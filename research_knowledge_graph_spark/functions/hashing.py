@@ -1,0 +1,45 @@
+"""Deterministic, engine-portable hashing.
+
+Two needs:
+
+1. **Deterministic ids** replacing the reference's ``uuid4`` defaults
+   (``src/graph/models.py:11,32``): ``sha2`` over a content key makes every
+   stage idempotent and resumable (same input ⇒ same node/edge id ⇒ MERGE
+   and re-runs converge).
+
+2. **Portable 64-bit hash** computable identically in Spark SQL and DuckDB,
+   so hash-dependent operators (MinHash, SimHash, hash-partitioned sampling)
+   can be oracle-checked: first 15 hex chars of md5 interpreted as a base-16
+   integer (60 bits, always non-negative, fits int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # unit separator: unlikely in labels, keeps keys unambiguous
+
+
+def det_id(kind: str, *cols: Column | str) -> Column:
+    """Deterministic 64-hex-char id for a node/edge from its content key."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.sha2(F.concat_ws(SEP, F.lit(kind), *cs), 256)
+
+
+def portable_hash64(col: Column | str, seed: int | None = None) -> Column:
+    """md5-derived 60-bit hash, identical in Spark and DuckDB.
+
+    Spark:  conv(substr(md5(x), 1, 15), 16, 10) :: bigint
+    DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat_ws(":", F.lit(str(seed)), c)
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(col_expr: str, seed: int | None = None) -> str:
+    """DuckDB-side rendering of :func:`portable_hash64` (same bits)."""
+    inner = col_expr if seed is None else f"'{seed}' || ':' || {col_expr}"
+    return f"CAST('0x' || substr(md5(CAST(({inner}) AS VARCHAR)), 1, 15) AS BIGINT)"

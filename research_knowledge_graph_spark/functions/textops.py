@@ -1,0 +1,199 @@
+"""Text operators: assembly, chunking, tokenization, language-ID, quality,
+fingerprinting.
+
+The assembly/chunking pair replicates the reference's ingestion agent
+byte-for-byte (``src/agents/paper_ingestion_agent.py:69-81`` text assembly,
+``:187-221`` chunking) — the "byte-identical extracted text per url"
+invariant. Chunking is inherently sequential per document, so it runs as an
+Arrow-batched pandas UDF returning ``array<string>`` (one Python call per
+document *batch*, never per row); everything else is pure Catalyst.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# Text assembly (reference paper_ingestion_agent.py:69-81)
+# ---------------------------------------------------------------------------
+
+def assemble_text_col(title: Column, abstract: Column, body: Column) -> Column:
+    """``"Title: {t}\\n\\nAbstract: {a}\\n\\n{body}"`` with absent (null/empty)
+    parts skipped — exactly the reference's ``"\\n\\n".join(text_parts)``."""
+    part = lambda prefix, c: F.when(  # noqa: E731
+        c.isNotNull() & (c != ""), F.concat(F.lit(prefix), c)
+    )
+    return F.concat_ws(
+        "\n\n",
+        part("Title: ", title),
+        part("Abstract: ", abstract),
+        F.when(body.isNotNull() & (body != ""), body),
+    )
+
+
+def assemble_text_py(title: str | None, abstract: str | None, body: str | None) -> str:
+    """Python twin (re-derived from the documented reference behavior)."""
+    parts = []
+    if title:
+        parts.append(f"Title: {title}")
+    if abstract:
+        parts.append(f"Abstract: {abstract}")
+    if body:
+        parts.append(body)
+    return "\n\n".join(parts)
+
+
+ASSEMBLE_TEXT_SQL_TEMPLATE = (
+    "concat_ws(chr(10)||chr(10), "
+    "CASE WHEN {title} IS NOT NULL AND {title} != '' THEN 'Title: ' || {title} END, "
+    "CASE WHEN {abstract} IS NOT NULL AND {abstract} != '' THEN 'Abstract: ' || {abstract} END, "
+    "CASE WHEN {body} IS NOT NULL AND {body} != '' THEN {body} END)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Chunking (reference paper_ingestion_agent.py:187-221)
+# ---------------------------------------------------------------------------
+
+def chunk_text_py(text: str, chunk_size: int = 2000, overlap: int = 200) -> list[str]:
+    """Fixed windows with overlap; prefer breaking at the last ``.``/``\\n``
+    when it falls past 70% of the window. Exact reference semantics."""
+    if len(text) <= chunk_size:
+        return [text]
+    chunks = []
+    start = 0
+    while start < len(text):
+        end = start + chunk_size
+        chunk = text[start:end]
+        if end < len(text):
+            last_period = chunk.rfind(".")
+            last_newline = chunk.rfind("\n")
+            break_point = max(last_period, last_newline)
+            if break_point > chunk_size * 0.7:
+                chunk = chunk[: break_point + 1]
+                end = start + break_point + 1
+        chunks.append(chunk.strip())
+        start = end - overlap
+    return chunks
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def chunk_text_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched chunker: one vectorized call per batch of documents."""
+    return texts.map(lambda t: chunk_text_py(t) if isinstance(t, str) else [])
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting (training-data pipeline surface)
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens_col(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count_col(col: Column | str) -> Column:
+    """Whitespace token count as a pure expression (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, "\\s+"), lambda w: w != F.lit("")))
+
+
+TOKEN_COUNT_SQL_TEMPLATE = (
+    "len(list_filter(string_split_regex({col}, '\\s+'), w -> w != ''))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic) — pure Catalyst, no UDF
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "es": ["el", "los", "las", "una", "que"],
+}
+
+
+def lang_id_col(col: Column | str) -> Column:
+    """Heuristic language ID: count hits of per-language stopword markers in
+    the lowercased token set; argmax with 'und' (undetermined) fallback.
+    Deterministic tie-break by language code order en < de < fr < es via
+    strictly-greater comparison chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), "\\s+"), lambda w: w != F.lit(""))
+    def _marker_hits(markers: list[str]):
+        # NOTE: a 2-arg lambda would make F.filter pass the array index as
+        # the second arg — close over `markers` instead.
+        return F.size(F.filter(toks, lambda w: w.isin(markers)))
+
+    scores = {lang: _marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    max_s = F.greatest(*scores.values())
+    out = F.when(max_s <= 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # dict order = tie-break priority (en first)
+        out = out.when(scores[lang] == max_s, F.lit(lang))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios) — pure Catalyst
+# ---------------------------------------------------------------------------
+
+def quality_features_cols(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = F.filter(F.split(c, "\\s+"), lambda w: w != F.lit(""))
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+    n_stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(_LANG_MARKERS["en"])))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))  # noqa: E731
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "alpha_ratio": safe(n_alpha, n_chars),
+        "punct_ratio": safe(n_punct, n_chars),
+        "stopword_ratio": safe(n_stop, n_tokens),
+        "mean_token_len": safe(n_alpha, n_tokens),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shingles + fingerprint
+# ---------------------------------------------------------------------------
+
+def char_shingles_col(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams of the lowercased text, as array<string>.
+    Pure Catalyst: sequence + transform + substring; no UDF, no explode
+    amplification unless the caller asks for it."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k)))
+
+
+def char_shingles_sql(col_expr: str, k: int = 5) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length(lower({col_expr})) - {k - 1}, 1) + 1),"
+        f" i -> substr(lower({col_expr}), i::INT, {k})))"
+    )
+
+
+def fingerprint_col(col: Column | str) -> Column:
+    """Document fingerprint: portable 60-bit hash of the
+    whitespace-normalized, lowercased text (rolling-hash analog that both
+    engines compute identically)."""
+    from research_knowledge_graph_spark.functions.hashing import portable_hash64
+
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.array_join(F.filter(F.split(F.lower(c), "\\s+"), lambda w: w != F.lit("")), " ")
+    return portable_hash64(canon)
