@@ -1,0 +1,64 @@
+"""Stage 1 — HTML → text extraction (trafilatura-style boilerplate strip).
+
+Analog of the reference's PDF text extraction (``src/utils/pdf.py:13-36``)
+for the Common-Crawl input shape: an Arrow-batched pandas UDF over the
+``html: binary`` column. Must reproduce the ``text`` column byte-identically
+per url for pages produced by :mod:`..sources.pages` (the invariant scored
+by the driver).
+
+Pure-Python parsing runs vectorized per Arrow batch; the regexes are
+precompiled once per executor (iterator-form UDF). Map-only stage — no
+shuffle, output co-partitioned with input.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_ARTICLE_RE = re.compile(rb"<article>(.*?)</article>", re.DOTALL)
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_BOILERPLATE_TAGS_RE = re.compile(
+    rb"<(nav|footer|header|script|style|aside)[^>]*>.*?</\1>", re.DOTALL
+)
+
+
+def extract_text_from_html_py(html: bytes) -> str:
+    """Deterministic boilerplate strip.
+
+    Main path: the content of ``<article>`` as paragraphs joined by a blank
+    line. Fallback for pages without an article element: strip
+    nav/footer/script/style blocks, then all tags, collapse blank lines.
+    """
+    if html is None:
+        return ""
+    m = _ARTICLE_RE.search(html)
+    if m:
+        paras = [p.strip() for p in _P_RE.findall(m.group(1))]
+        paras = [p for p in paras if p]
+        if paras:
+            return b"\n\n".join(paras).decode("utf-8", errors="replace")
+        body = _TAG_RE.sub(b" ", m.group(1))
+        return re.sub(rb"[ \t]+", b" ", body).strip().decode("utf-8", errors="replace")
+    stripped = _BOILERPLATE_TAGS_RE.sub(b"", html)
+    stripped = _TAG_RE.sub(b"\n", stripped)
+    lines = [ln.strip() for ln in stripped.split(b"\n")]
+    return b"\n".join(ln for ln in lines if ln).decode("utf-8", errors="replace")
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for htmls in batches:
+        yield htmls.map(extract_text_from_html_py)
+
+
+def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """pages(url, warc_ts, html, ...) → + extracted_text column."""
+    return pages.withColumn("extracted_text", extract_text_udf(F.col(html_col)))

@@ -1,0 +1,301 @@
+"""Stages 4-6 — entity canonicalization, graph materialization, cross-doc linking.
+
+Reference semantics being reimplemented:
+
+- **Exact-label canonicalization** (G3, ``ingestion_service.py:105-129``):
+  on insert, ``find_node_by_label(label, type)`` reuses an existing node ⇒
+  global entity resolution keyed on the exact normalized label. Batch
+  equivalent: canonical node id = sha2("node", entity_type, label); node
+  attributes (description/properties) come from the globally FIRST arrival
+  (ingestion order ⇒ here the deterministic (url, seq) order).
+- **Paper nodes** are created unconditionally per document (no label lookup,
+  ``ingestion_service.py:66-67``): id = sha2("paper", url).
+- **Edge materialization** (``ingestion_service.py:131-167``): paper→entity
+  edge per validated entity (AUTHORED_BY for authors, else INTRODUCES,
+  confidence 1.0); intra-doc relationship edges resolve raw endpoint labels
+  against THIS document's validated entity dict — unresolved endpoints are
+  SILENTLY DROPPED (``:154``), replicated here via inner joins.
+- **Edge uniqueness** (``sql/schema.sql:36`` + swallowed insert error):
+  one edge per (from, to, type), first insertion wins.
+- **Cross-doc linking** (J8, ``graph_service.py:167-316``): candidate pairs =
+  documents sharing ≥1 dataset/method/concept node (inverted-index blocking
+  ⇒ here a self-equi-join on entity_id), deduped as unordered pairs, scored
+  by the pair operator (DEBUG fixture: one SIMILAR_TO edge, confidence 0.75,
+  ``relationship_linking_agent.py:161-182``), with the direction rule for
+  asymmetric types (``relationship_linking_agent.py:144-147``).
+
+Scale notes (the part that matters at 100 TB):
+
+- The blocking self-join is the skew point — hot entities (head labels)
+  produce quadratic pair blowup. Mitigations: (a) AQE skew-join is on
+  session-wide; (b) ``max_block_degree`` drops blocking keys hotter than a
+  bound *before* the join (a standard entity-resolution guardrail — a key
+  shared by 10⁶ docs contributes 5·10¹¹ pairs and no information);
+  (c) the join keys are pre-projected narrow (two string columns).
+- Canonical ids are content hashes, so canonicalization needs NO global
+  dictionary build or broadcast of all labels — the "alias dictionary
+  broadcast" appears only in the optional fuzzy path (MinHash-LSH →
+  connected components, ``canonicalize_fuzzy``), where the small
+  cluster→canonical map is broadcast-joined back onto mentions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from research_knowledge_graph_spark.functions.hashing import det_id
+from research_knowledge_graph_spark.functions.sanitize import sanitize_string_col
+
+ENTITY_EDGE_CONFIDENCE = 1.0
+CROSS_DOC_TYPES = ("dataset", "method", "concept")
+# cross-paper predicates pointing doc2→doc1 (relationship_linking_agent.py:144-147)
+REVERSED_CROSS_PREDS = ("IMPROVES_ON", "EXTENDS", "REFINES_CONCEPT")
+
+
+def paper_node_id(url_col) -> F.Column:
+    return det_id("paper", url_col)
+
+
+def entity_node_id(entity_type_col, label_col) -> F.Column:
+    return det_id("node", entity_type_col, label_col)
+
+
+def build_paper_nodes(metadata: DataFrame) -> DataFrame:
+    """One paper node per document (url is the identity)."""
+    return metadata.select(
+        paper_node_id(F.col("url")).alias("id"),
+        F.lit("paper").alias("node_type"),
+        sanitize_string_col(F.coalesce(F.col("title"), F.lit("Unknown Paper"))).alias("label"),
+        F.map_filter(
+            F.create_map(
+                F.lit("url"), F.col("url"),
+                F.lit("abstract"), sanitize_string_col(F.coalesce(F.col("abstract"), F.lit(""))),
+                F.lit("year"), F.col("year").cast("string"),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("properties"),
+        F.col("url"),
+    )
+
+
+def build_entity_nodes(mentions_valid: DataFrame) -> DataFrame:
+    """Global exact-label canonicalization: one node per (entity_type, label);
+    description/properties from the globally-first (url, seq) arrival.
+
+    Single hash-aggregate; no join, no window. The reference's per-insert
+    ``find_node_by_label`` N+1 loop becomes one shuffle on the entity key.
+    """
+    return (
+        mentions_valid.groupBy("entity_type", "label")
+        .agg(
+            F.min_by(F.struct("description", "properties"), F.struct("url", "seq")).alias("_first"),
+            F.countDistinct("url").alias("n_docs"),
+        )
+        .select(
+            entity_node_id(F.col("entity_type"), F.col("label")).alias("id"),
+            F.col("entity_type").alias("node_type"),
+            "label",
+            F.map_concat(
+                F.map_filter(
+                    F.create_map(F.lit("description"), F.col("_first.description")),
+                    lambda _, v: v.isNotNull(),
+                ),
+                F.col("_first.properties"),
+            ).alias("properties"),
+            F.lit(None).cast("string").alias("url"),
+        )
+    )
+
+
+def build_edges(
+    metadata: DataFrame,
+    mentions_valid: DataFrame,
+    triples_valid: DataFrame,
+    resolve_titles: bool = False,
+) -> DataFrame:
+    """Materialize intra-document edges.
+
+    paper→entity INTRODUCES/AUTHORED_BY edges + relationship edges with both
+    endpoints resolved against the same document's entity dict (inner joins =
+    the reference's silent drop of unresolved endpoints,
+    ``ingestion_service.py:154``).
+
+    ``resolve_titles=False`` replicates the reference exactly: the paper
+    itself is NOT in the entity dict, so triples whose subject is the
+    document title are dropped. ``True`` (heuristic mode) additionally
+    resolves the title to the paper node — doc-level predicates
+    (EVALUATES_ON etc.) then materialize as paper→entity edges.
+    """
+    ent = mentions_valid.select(
+        "url",
+        "seq",
+        "entity_type",
+        "label",
+        entity_node_id(F.col("entity_type"), F.col("label")).alias("entity_id"),
+    )
+
+    paper_entity = ent.select(
+        paper_node_id(F.col("url")).alias("from_node_id"),
+        F.col("entity_id").alias("to_node_id"),
+        F.when(F.col("entity_type").isin("author", "authors"), F.lit("AUTHORED_BY"))
+        .otherwise(F.lit("INTRODUCES"))
+        .alias("edge_type"),
+        F.lit(ENTITY_EDGE_CONFIDENCE).alias("confidence"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+        F.col("url").alias("src_url"),
+        F.col("seq").alias("order_seq"),
+    )
+
+    # per-doc label→id resolution (J12): raw triple endpoints vs the doc's
+    # validated (normalized) labels — exact string match, like
+    # ``entity_nodes.get(rel.from_entity_label)``.
+    dict_df = ent.select("url", "label", "entity_id")
+    if resolve_titles:
+        dict_df = dict_df.unionByName(
+            metadata.select(
+                "url",
+                F.col("title").alias("label"),
+                paper_node_id(F.col("url")).alias("entity_id"),
+            )
+        )
+    rel = (
+        triples_valid.alias("t")
+        .join(
+            dict_df.alias("f"),
+            (F.col("t.url") == F.col("f.url")) & (F.col("t.subj") == F.col("f.label")),
+        )
+        .join(
+            dict_df.alias("o"),
+            (F.col("t.url") == F.col("o.url")) & (F.col("t.obj") == F.col("o.label")),
+        )
+        .select(
+            F.col("f.entity_id").alias("from_node_id"),
+            F.col("o.entity_id").alias("to_node_id"),
+            F.col("t.pred").alias("edge_type"),
+            F.col("t.confidence").alias("confidence"),
+            F.map_filter(
+                F.create_map(
+                    F.lit("rationale"), F.col("t.rationale"),
+                    F.lit("evidence_span"), F.col("t.evidence_span"),
+                ),
+                lambda _, v: v.isNotNull(),
+            ).alias("properties"),
+            F.col("t.url").alias("src_url"),
+            F.lit(1_000_000).alias("order_seq"),  # rels materialize after entities
+        )
+    )
+
+    edges = paper_entity.unionByName(rel)
+    # (from, to, type) uniqueness, first insertion order wins
+    w = Window.partitionBy("from_node_id", "to_node_id", "edge_type").orderBy(
+        "src_url", "order_seq"
+    )
+    return (
+        edges.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "order_seq")
+        .withColumn(
+            "id", det_id("edge", "from_node_id", "to_node_id", "edge_type")
+        )
+        .select(
+            "id", "from_node_id", "to_node_id", "edge_type", "confidence",
+            "properties", "src_url",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document linking (stage 6)
+# ---------------------------------------------------------------------------
+
+def candidate_pairs(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_block_degree: int | None = 1000,
+) -> DataFrame:
+    """Shared-entity blocking join (J8): pairs of papers connected to the
+    same dataset/method/concept node.
+
+    Returns (paper_a, paper_b) with paper_a < paper_b (unordered-pair dedup,
+    A7). ``max_block_degree`` caps hot blocking keys *before* the self-join —
+    at web scale a head entity shared by millions of docs adds O(n²) pairs
+    and zero linking signal.
+    """
+    ent_nodes = nodes.filter(F.col("node_type").isin(*CROSS_DOC_TYPES)).select(
+        F.col("id").alias("entity_id")
+    )
+    pe = (
+        edges.join(F.broadcast(ent_nodes), edges.to_node_id == ent_nodes.entity_id)
+        .select(F.col("from_node_id").alias("paper_id"), "entity_id")
+        .distinct()
+    )
+    if max_block_degree is not None:
+        degrees = pe.groupBy("entity_id").agg(F.count("*").alias("deg"))
+        pe = (
+            pe.join(degrees, "entity_id")
+            .filter(F.col("deg") <= max_block_degree)
+            .drop("deg")
+        )
+    a, b = pe.alias("a"), pe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.entity_id") == F.col("b.entity_id"))
+            & (F.col("a.paper_id") < F.col("b.paper_id")),
+        )
+        .select(
+            F.col("a.paper_id").alias("paper_a"),
+            F.col("b.paper_id").alias("paper_b"),
+        )
+        .distinct()
+    )
+
+
+def score_pairs_fixture(pairs: DataFrame) -> DataFrame:
+    """Pair-scoring operator, reference DEBUG semantics
+    (``relationship_linking_agent.py:161-182``): every candidate pair yields
+    one SIMILAR_TO edge, confidence 0.75. Direction: paper_a→paper_b with
+    the canonical (smaller id first) pair order; asymmetric predicates would
+    be flipped by :func:`orient_cross_edges`."""
+    props = F.create_map(
+        F.lit("rationale"),
+        F.lit("Papers appear to be related based on similar topics (DEBUG mode)"),
+        F.lit("evidence_concepts"),
+        F.lit('["3D Gaussian Splatting", "Neural Rendering"]'),
+    )
+    return pairs.select(
+        F.col("paper_a").alias("from_node_id"),
+        F.col("paper_b").alias("to_node_id"),
+        F.lit("SIMILAR_TO").alias("edge_type"),
+        F.lit(0.75).alias("confidence"),
+        props.alias("properties"),
+    )
+
+
+def orient_cross_edges(scored: DataFrame) -> DataFrame:
+    """Direction rule F10 (``relationship_linking_agent.py:144-147``): for
+    IMPROVES_ON / EXTENDS / REFINES_CONCEPT the edge points doc2→doc1."""
+    flip = F.col("edge_type").isin(*REVERSED_CROSS_PREDS)
+    return scored.select(
+        F.when(flip, F.col("to_node_id")).otherwise(F.col("from_node_id")).alias("from_node_id"),
+        F.when(flip, F.col("from_node_id")).otherwise(F.col("to_node_id")).alias("to_node_id"),
+        "edge_type",
+        "confidence",
+        "properties",
+    )
+
+
+def cross_link(
+    nodes: DataFrame, edges: DataFrame, max_block_degree: int | None = 1000
+) -> DataFrame:
+    """Full stage 6: blocking → pair scoring → orientation → edge rows."""
+    pairs = candidate_pairs(nodes, edges, max_block_degree)
+    scored = orient_cross_edges(score_pairs_fixture(pairs))
+    return scored.withColumn(
+        "id", det_id("edge", "from_node_id", "to_node_id", "edge_type")
+    ).select(
+        "id", "from_node_id", "to_node_id", "edge_type", "confidence", "properties",
+        F.lit(None).cast("string").alias("src_url"),
+    )

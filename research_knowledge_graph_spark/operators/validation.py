@@ -1,0 +1,98 @@
+"""Stage 3 — validation & normalization of the extraction stream.
+
+Reimplements ``ValidationAgent`` (``src/agents/validation_agent.py``) as
+shuffle-minimal DataFrame aggregations:
+
+- P5 blank-label filter (``validation_agent.py:62-63``)
+- F3 label normalization (``:96-119``) via the Catalyst expression
+- A1 case-insensitive per-document dedup with **first-wins** semantics
+  (``:56-94``): first arrival keeps its normalized label; description is the
+  first non-null among duplicates; properties merge with per-key LAST
+  occurrence winning (Python ``dict.update`` order).
+- P6 relationship validation (``:121-142``): drop triples missing an
+  endpoint or predicate; clamp confidence to [0,1], default 0.5.
+
+"Arrival order" is the explicit ``seq`` column carried from extraction —
+required for deterministic first-wins in a distributed setting.
+
+Scale notes: one hash-aggregate per stream, keyed by
+(url, entity_type, dedup_key) — co-partitioned with every later per-document
+stage, partial aggregation map-side. No windows (a window over the same key
+would add a sort per partition for no benefit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.functions.normalize import (
+    clamp_confidence_col,
+    normalize_label_col,
+)
+from research_knowledge_graph_spark.functions.sanitize import sanitize_string_col
+
+
+def validate_mentions(mentions: DataFrame) -> DataFrame:
+    """mentions(url, seq, entity_type, label, description, properties)
+    → same schema, normalized + deduped per (url, entity_type, lower(label))."""
+    m = mentions.filter(
+        F.col("label").isNotNull() & (F.trim(F.col("label")) != "")
+    ).withColumn("norm_label", normalize_label_col(F.col("label")))
+
+    grouped = (
+        m.groupBy("url", "entity_type", F.lower(F.col("norm_label")).alias("dedup_key"))
+        .agg(
+            F.min("seq").alias("seq"),
+            F.min_by("norm_label", "seq").alias("label"),
+            # first non-null description in arrival order
+            F.collect_list(F.struct("seq", "description")).alias("_descs"),
+            # properties fold in arrival order; LAST_WIN map_concat = dict.update
+            F.collect_list(F.struct("seq", "properties")).alias("_props"),
+        )
+    )
+
+    # array_sort with an explicit seq comparator: structs containing maps have
+    # no natural ordering, so sort_array would fail to analyze.
+    def _by_seq(col):
+        return F.array_sort(
+            col,
+            lambda l, r: F.when(l["seq"] < r["seq"], F.lit(-1))
+            .when(l["seq"] > r["seq"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+
+    grouped = grouped.withColumn("_descs", _by_seq(F.col("_descs"))).withColumn(
+        "_props", _by_seq(F.col("_props"))
+    )
+    first_desc = F.get(
+        F.filter(F.col("_descs"), lambda x: x["description"].isNotNull()), 0
+    )["description"]
+    merged_props = F.aggregate(
+        F.transform(F.col("_props"), lambda x: x["properties"]),
+        F.create_map().cast("map<string,string>"),
+        lambda acc, p: F.map_concat(acc, p),
+    )
+    return grouped.select(
+        "url",
+        "seq",
+        "entity_type",
+        "label",
+        sanitize_string_col(first_desc).alias("description"),
+        F.transform_values(merged_props, lambda _, v: sanitize_string_col(v)).alias(
+            "properties"
+        ),
+    )
+
+
+def validate_triples(triples: DataFrame) -> DataFrame:
+    """raw triples → validated: endpoints + predicate required, confidence
+    clamped with 0.5 default (reference ``validation_agent.py:121-142``)."""
+    return triples.filter(
+        F.col("subj").isNotNull()
+        & (F.col("subj") != "")
+        & F.col("obj").isNotNull()
+        & (F.col("obj") != "")
+        & F.col("pred").isNotNull()
+        & (F.col("pred") != "")
+    ).withColumn("confidence", clamp_confidence_col("confidence"))

@@ -1,0 +1,112 @@
+"""The end-to-end KG-construction pipeline (reference ``main.py ingest``).
+
+Stages (each a committed snapshot = checkpoint boundary; re-runs skip
+committed stages — the idempotency contract):
+
+1. ``docs``          pages → extracted text (byte-identical invariant)
+2. ``mentions`` / ``raw_triples``   triple extraction (fixture | heuristic)
+3. ``mentions_valid`` / ``triples_valid``  validation + normalization
+4+5. ``nodes`` / ``edges``   exact-label canonicalization + materialization
+6. ``cross_edges``   shared-entity blocking + pair scoring
+7. ``edges_all``     final edge table (intra ∪ cross)
+
+Reference flow: ``src/main.py:124-141`` →
+``ingestion_service.ingest_paper`` (per-paper sequential) →
+``graph_service.link_cross_paper_relationships_pruned_2``. Here every stage
+is one partition-parallel DataFrame job; the per-paper loop disappears.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators import extraction as X
+from research_knowledge_graph_spark.operators import html_text as H
+from research_knowledge_graph_spark.operators import linking as L
+from research_knowledge_graph_spark.operators import validation as V
+from research_knowledge_graph_spark.sources.table_io import TableIO
+
+
+@dataclass
+class PipelineResult:
+    nodes: DataFrame
+    edges: DataFrame
+    metrics: DataFrame
+    lineage: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    mode: str = "heuristic",
+    run_fingerprint: str = "r1",
+    cross_link: bool = True,
+    max_block_degree: int | None = 1000,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline over a pages table.
+
+    ``run_fingerprint`` keys checkpoint identity: same fingerprint ⇒
+    committed stages are skipped on re-run.
+    """
+    io = TableIO(spark, workdir)
+    fp = f"{run_fingerprint}:{mode}"
+
+    # stage 1: text extraction (map-only, Arrow UDF)
+    docs = io.write_stage(
+        H.extract_text(pages).select(
+            "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
+        ),
+        "docs",
+        fp,
+    )
+
+    # stage 2: extraction
+    meta = X.extract_metadata(docs)
+    if mode == "fixture":
+        mentions = X.extract_mentions_fixture(docs)
+        triples = X.extract_triples_fixture(
+            docs.join(meta.select("url", "title"), "url")
+        )
+    else:
+        mentions = X.extract_mentions_heuristic(docs)
+        triples = X.extract_triples_heuristic(docs)
+    mentions = io.write_stage(mentions, "mentions", fp)
+    triples = io.write_stage(triples, "raw_triples", fp)
+    meta = io.write_stage(meta, "metadata", fp)
+
+    # stage 3: validation/normalization
+    mentions_v = io.write_stage(V.validate_mentions(mentions), "mentions_valid", fp)
+    triples_v = io.write_stage(V.validate_triples(triples), "triples_valid", fp)
+
+    # stages 4+5: canonicalize + materialize (nodes partitioned by type —
+    # type filters become partition pruning, reference B-tree on node_type)
+    nodes = io.write_stage(
+        L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v)),
+        "nodes",
+        fp,
+        partition_by=["node_type"],
+    )
+    edges = io.write_stage(
+        L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture")),
+        "edges", fp,
+        partition_by=["edge_type"],
+    )
+
+    # stage 6: cross-document linking
+    if cross_link:
+        cross = io.write_stage(
+            L.cross_link(nodes, edges, max_block_degree), "cross_edges", fp,
+        )
+        edges_all = io.write_stage(
+            edges.unionByName(cross), "edges_all", fp, partition_by=["edge_type"]
+        )
+    else:
+        edges_all = io.write_stage(edges, "edges_all", fp, partition_by=["edge_type"])
+
+    return PipelineResult(
+        nodes=nodes, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
+    )

@@ -1,0 +1,130 @@
+"""Checkpointed table IO: snapshot-committed stage outputs with resume.
+
+The north rule asks for Iceberg tables with checkpoint-resumable stage
+boundaries. No Iceberg runtime jar ships in this sandbox, so ``TableIO``
+implements the same *semantics* behind one seam — swap in Iceberg
+(``spark.table`` / ``MERGE INTO``) on a real cluster without touching
+callers:
+
+- each stage write is a **snapshot directory** + an atomic manifest update
+  (write temp manifest, ``os.replace``) — a stage is either fully committed
+  or absent;
+- a stage keyed by (name, fingerprint) that is already committed is
+  **skipped on re-run** and its snapshot is read back (idempotent resume;
+  deterministic ids make output content-stable across runs);
+- ``upsert`` = MERGE-by-key emulation: new rows win over existing on key
+  collision, everything else is unioned.
+
+Lineage + metrics: every commit appends a lineage row and per-partition row
+counts to sidecar tables (``_lineage``, ``_metrics``), per the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"tables": {}}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    # -- stage commit / resume --------------------------------------------
+    def is_committed(self, name: str, fingerprint: str) -> bool:
+        t = self._load_manifest()["tables"].get(name)
+        return bool(t) and t.get("fingerprint") == fingerprint
+
+    def write_stage(
+        self,
+        df: DataFrame,
+        name: str,
+        fingerprint: str,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Commit ``df`` as the snapshot for stage ``name`` unless an
+        identical (name, fingerprint) snapshot exists; return the committed
+        table (always read back from storage — later stages see exactly what
+        was committed)."""
+        if self.is_committed(name, fingerprint):
+            return self.read(name)
+
+        snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        t0 = time.time()
+        writer.parquet(snap)
+
+        committed = self.spark.read.parquet(snap)
+        self._append_metrics(name, fingerprint, committed, time.time() - t0)
+
+        manifest = self._load_manifest()
+        manifest["tables"][name] = {
+            "path": snap,
+            "fingerprint": fingerprint,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._commit_manifest(manifest)
+        return committed
+
+    def read(self, name: str) -> DataFrame:
+        t = self._load_manifest()["tables"].get(name)
+        if not t:
+            raise FileNotFoundError(f"table {name!r} not committed under {self.root}")
+        return self.spark.read.parquet(t["path"])
+
+    def upsert(self, df: DataFrame, name: str, key: list[str], fingerprint: str) -> DataFrame:
+        """MERGE-emulation: new rows replace existing rows with the same key."""
+        manifest = self._load_manifest()
+        if name in manifest["tables"]:
+            existing = self.read(name)
+            merged = df.unionByName(existing.join(df.select(key), key, "left_anti"))
+        else:
+            merged = df
+        return self.write_stage(merged, name, fingerprint)
+
+    # -- lineage + metrics ---------------------------------------------------
+    def _append_metrics(
+        self, name: str, fingerprint: str, committed: DataFrame, elapsed: float
+    ) -> None:
+        per_part = (
+            committed.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("fingerprint", F.lit(fingerprint))
+        )
+        mpath = os.path.join(self.root, "_metrics")
+        per_part.write.mode("append").parquet(mpath)
+
+        lineage = self.spark.createDataFrame(
+            [(name, fingerprint, float(elapsed))],
+            "stage string, fingerprint string, elapsed_sec double",
+        ).withColumn("committed_at", F.current_timestamp())
+        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_metrics"))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
