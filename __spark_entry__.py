@@ -1,38 +1,549 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark KG engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over the
+driver-provided testdata; ``oracle_sql()`` gives the DuckDB-equivalent ANSI
+SQL for each. Graph operators run over a property graph derived relationally
+from the TPC-H-ish tables (see
+``research_knowledge_graph_spark/plans/tpch_graph.py``); text/dedup/
+similarity operators run over ``documents``/``embeddings``; windowed event
+aggregation runs over ``events``.
+
+Engine-parity conventions (why the SQL looks the way it does):
+- double aggregates are ``round(sum(x), 2)`` on BOTH sides — float summation
+  order differs between engines;
+- rankings order by ``round(score, 9)`` with an id tie-break;
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT and ``len()`` returns BIGINT —
+  casts keep schemas aligned;
+- timestamps are stringified with explicit formats.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from research_knowledge_graph_spark.functions.normalize import (
+    NORMALIZE_LABEL_SQL_TEMPLATE,
+    normalize_label_col,
+)
+from research_knowledge_graph_spark.functions.hashing import (
+    portable_hash64_sql,
+)
+from research_knowledge_graph_spark.functions.textops import (
+    _LANG_MARKERS,
+    fingerprint_col,
+    lang_id_col,
+    quality_features_cols,
+)
+from research_knowledge_graph_spark.operators import dedup as D
+from research_knowledge_graph_spark.operators import graph_queries as G
+from research_knowledge_graph_spark.operators import similarity as S
+from research_knowledge_graph_spark.plans import tpch_graph as TG
+from research_knowledge_graph_spark.plans.tpch_graph import GRAPH_CTE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ===========================================================================
+# entry: flagship query (driver smoke check at sf0.001)
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: influence top-k over the derived property graph — the
+    reference's q8 'most influential concepts' (sql/example_queries.sql:114-126)
+    as one declarative plan (left join + countDistinct + top-k)."""
+    sf_dir = "/root/testdata/sf0.001"
+    nodes = TG.derive_nodes(spark, sf_dir)
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.influence_topk(nodes, edges, "part", ["USES_PART"], k=20)
+
+
+# ===========================================================================
+# Spark-side queries
+# ===========================================================================
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with pushdown (SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1995-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q03_top_revenue(spark, sf_dir):
+    """Join-heavy top-k: revenue per order for one segment (J1/O-family)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_window_top3(spark, sf_dir):
+    """Window top-k per group (SURVEY §2.5): top-3 orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def g01_node_type_counts(spark, sf_dir):
+    """P3 type filter / A6 counts over the derived graph."""
+    return TG.derive_nodes(spark, sf_dir).groupBy("node_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def g02_neighbors_out(spark, sf_dir):
+    """G4/J2 neighbor expansion: orders placed by customer c1."""
+    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
+    return G.neighbors_out(nodes, edges, from_node_id="c1", edge_type="PLACED").select(
+        "neighbor_id", "neighbor_label", "confidence"
+    )
+
+
+def g03_two_hop(spark, sf_dir):
+    """J10 chained joins: (customer)-PLACED->(order)-USES_PART->(part)."""
+    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
+    return G.two_hop(nodes, edges, "PLACED", "USES_PART", end_node_type="part")
+
+
+def g04_influence_topk(spark, sf_dir):
+    """A3/q8 influence ranking: top-20 parts by distinct using orders."""
+    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
+    return G.influence_topk(nodes, edges, "part", ["USES_PART"], k=20).select(
+        "label", "usage_count"
+    )
+
+
+def g05_supplier_stats(spark, sf_dir):
+    """A2/q4 usage counts: distinct parts per supplier node."""
+    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
+    sup = nodes.filter(F.col("node_type") == "supplier")
+    e = edges.filter(F.col("edge_type") == "SUPPLIES")
+    return (
+        sup.join(e, sup.id == e.from_node_id)
+        .groupBy("label")
+        .agg(F.countDistinct("to_node_id").alias("n_parts"))
+    )
+
+
+def g06_shared_entity_pairs(spark, sf_dir):
+    """J8/J9 blocking self-join: order pairs sharing ≥2 parts."""
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.shared_entity_pairs(edges, ["USES_PART"]).filter(F.col("shared_count") >= 2)
+
+
+def g07_reverse_reach(spark, sf_dir):
+    """J3 reverse reachability + DISTINCT: customers whose orders use part p1."""
+    edges = TG.derive_edges(spark, sf_dir)
+    up = edges.filter((F.col("edge_type") == "USES_PART") & (F.col("to_node_id") == "p1"))
+    placed = edges.filter(F.col("edge_type") == "PLACED").select(
+        F.col("from_node_id").alias("cust"), F.col("to_node_id").alias("ord")
+    )
+    return (
+        up.join(placed, up.from_node_id == placed.ord)
+        .select(F.col("cust").alias("customer_id"))
+        .distinct()
+    )
+
+
+def g08_recursive_chain(spark, sf_dir):
+    """G2/q9 recursive chain: walk FOLLOWS edges from each first order."""
+    edges = TG.derive_edges(spark, sf_dir)
+    starts = TG.first_orders(spark, sf_dir)
+    return G.recursive_chain(edges, starts, edge_type="FOLLOWS", max_depth=5)
+
+
+def g09_bfs(spark, sf_dir):
+    """G1 bidirectional BFS to depth 2 from customer c1."""
+    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
+    return G.bfs_subgraph(nodes, edges, "c1", max_depth=2)
+
+
+def g10_recent_orders(spark, sf_dir):
+    """J1/O1 ordered join: latest 50 orders with customer names."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.desc_nulls_last("o_orderdate"), F.asc("o_orderkey"))
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+def t01_normalize_labels(spark, sf_dir):
+    """F3 label normalization at scale (the pinned expression)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", normalize_label_col(F.substring("text", 1, 50)).alias("norm_label")
+    )
+
+
+def t02_quality(spark, sf_dir):
+    """Quality scoring: length/punct/stopword features per document."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features_cols("text")
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(q["mean_token_len"], 6).alias("mean_token_len"),
+    )
+
+
+def t03_langid(spark, sf_dir):
+    """Language-ID heuristic, aggregated."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(lang_id_col("text").alias("lang_guess")).groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def t04_exact_dedup(spark, sf_dir):
+    """Exact dedup stats per source: fingerprint-distinct counts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", fingerprint_col("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("fp").alias("n_unique"))
+    )
+
+
+def t05_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs, blocked by source."""
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs_blocked(
+        d, block_col="source", threshold=0.5, shingle_k=4
+    )
+
+
+def t06_simhash(spark, sf_dir):
+    """16-bit SimHash per document (portable hash → oracle-identical).
+    Uses the explode+aggregate variant: one hash per token, not per bit."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_agg(d, id_col="doc_id", text_col="text", bits=16)
+
+
+def e01_knn_bruteforce(spark, sf_dir):
+    """J4/J5 vector top-k: exact cosine kNN for 5 query vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.knn_bruteforce(e, q, k=10).withColumn("rank", F.col("rank").cast("int"))
+
+
+def e02_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(e, block_col="label", threshold=0.25)
+
+
+def v01_hourly_rollup(spark, sf_dir):
+    """Event-time windowed aggregation (tumbling 1h) over events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def v02_user_value_topk(spark, sf_dir):
+    """Top-10 users by total event value."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_revenue": q03_top_revenue,
+        "q05_window_top3": q05_window_top3,
+        "g01_node_type_counts": g01_node_type_counts,
+        "g02_neighbors_out": g02_neighbors_out,
+        "g03_two_hop": g03_two_hop,
+        "g04_influence_topk": g04_influence_topk,
+        "g05_supplier_stats": g05_supplier_stats,
+        "g06_shared_entity_pairs": g06_shared_entity_pairs,
+        "g07_reverse_reach": g07_reverse_reach,
+        "g08_recursive_chain": g08_recursive_chain,
+        "g09_bfs": g09_bfs,
+        "g10_recent_orders": g10_recent_orders,
+        "t01_normalize_labels": t01_normalize_labels,
+        "t02_quality": t02_quality,
+        "t03_langid": t03_langid,
+        "t04_exact_dedup": t04_exact_dedup,
+        "t05_jaccard_pairs": t05_jaccard_pairs,
+        "t06_simhash": t06_simhash,
+        "e01_knn_bruteforce": e01_knn_bruteforce,
+        "e02_embedding_near_dups": e02_embedding_near_dups,
+        "v01_hourly_rollup": v01_hourly_rollup,
+        "v02_user_value_topk": v02_user_value_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ===========================================================================
+# DuckDB oracle SQL
+# ===========================================================================
+
+_TOKENS = "list_filter(string_split_regex({col}, '\\s+'), w -> w != '')"
+
+
+def _shingles_sql(col: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length(lower({col})) - {k - 1}, 1) + 1),"
+        f" i -> substr(lower({col}), CAST(i AS INT), {k})))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) > 0 "
+        f"THEN list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _langid_sql() -> str:
+    toks = "list_transform(" + _TOKENS.format(col="lower(text)") + ", w -> w)"
+    score = {
+        lang: f"len(list_filter({toks}, w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    max_expr = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANG_MARKERS) + ")"
+    case = "CASE WHEN " + max_expr + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {max_expr} THEN '{lg}'" for lg in _LANG_MARKERS
+    ) + " END"
+    scores_sel = ", ".join(f"{expr} AS s_{lg}" for lg, expr in score.items())
+    return (
+        f"WITH scored AS (SELECT {scores_sel} FROM documents) "
+        f"SELECT {case} AS lang_guess, count(*) AS n FROM scored GROUP BY 1"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = portable_hash64_sql("w")
+    inner = (
+        f"SELECT doc_id, list_transform({_TOKENS.format(col='lower(text)')}, w -> {h}) AS hs "
+        f"FROM documents"
+    )
+    bit_terms = []
+    for b in range(bits):
+        ones = f"len(list_filter(hs, h -> (h >> {b}) & 1 = 1))"
+        bit_terms.append(
+            f"CASE WHEN (2 * {ones} - len(hs)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        )
+    return (
+        f"SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash FROM ({inner})"
+    )
+
+
+def _fingerprint_sql(col: str) -> str:
+    canon = f"array_to_string({_TOKENS.format(col=f'lower({col})')}, ' ')"
+    return portable_hash64_sql(canon)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm50 = NORMALIZE_LABEL_SQL_TEMPLATE.format(col="substr(text, 1, 50)")
+    toks = _TOKENS.format(col="text")
+    en = ", ".join(repr(m) for m in _LANG_MARKERS["en"])
+    sh4a, sh4b = _shingles_sql("a.text", 4), _shingles_sql("b.text", 4)
+    cos_ab = _cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    cos_qd = _cosine_sql("qv", "dv")
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_top_revenue": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q05_window_top3": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "g01_node_type_counts": f"WITH {GRAPH_CTE} SELECT node_type, count(*) AS n FROM nodes GROUP BY node_type",
+        "g02_neighbors_out": f"""
+            WITH {GRAPH_CTE}
+            SELECT n.id AS neighbor_id, n.label AS neighbor_label, e.confidence
+            FROM edges e JOIN nodes n ON e.to_node_id = n.id
+            WHERE e.from_node_id = 'c1' AND e.edge_type = 'PLACED'
+        """,
+        "g03_two_hop": f"""
+            WITH {GRAPH_CTE}
+            SELECT DISTINCT e1.from_node_id AS start_id, e2.to_node_id AS end_id, n.label AS end_label
+            FROM edges e1
+            JOIN edges e2 ON e1.to_node_id = e2.from_node_id AND e2.edge_type = 'USES_PART'
+            JOIN nodes n ON e2.to_node_id = n.id AND n.node_type = 'part'
+            WHERE e1.edge_type = 'PLACED'
+        """,
+        "g04_influence_topk": f"""
+            WITH {GRAPH_CTE}
+            SELECT n.label, count(DISTINCT e.from_node_id) AS usage_count
+            FROM nodes n LEFT JOIN edges e ON e.to_node_id = n.id AND e.edge_type = 'USES_PART'
+            WHERE n.node_type = 'part'
+            GROUP BY n.id, n.label
+            ORDER BY usage_count DESC, n.label ASC LIMIT 20
+        """,
+        "g05_supplier_stats": f"""
+            WITH {GRAPH_CTE}
+            SELECT n.label, count(DISTINCT e.to_node_id) AS n_parts
+            FROM nodes n JOIN edges e ON e.from_node_id = n.id AND e.edge_type = 'SUPPLIES'
+            WHERE n.node_type = 'supplier'
+            GROUP BY n.label
+        """,
+        "g06_shared_entity_pairs": f"""
+            WITH {GRAPH_CTE},
+            pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART')
+            SELECT a.src AS node_a, b.src AS node_b, count(*) AS shared_count
+            FROM pe a JOIN pe b ON a.tgt = b.tgt AND a.src < b.src
+            GROUP BY a.src, b.src HAVING count(*) >= 2
+        """,
+        "g07_reverse_reach": f"""
+            WITH {GRAPH_CTE}
+            SELECT DISTINCT p.from_node_id AS customer_id
+            FROM edges u JOIN edges p ON p.to_node_id = u.from_node_id AND p.edge_type = 'PLACED'
+            WHERE u.edge_type = 'USES_PART' AND u.to_node_id = 'p1'
+        """,
+        "g08_recursive_chain": f"""
+            WITH RECURSIVE {GRAPH_CTE},
+            chain AS (
+                SELECT node_id AS start_id, node_id, 0 AS depth FROM first_orders
+                UNION ALL
+                SELECT c.start_id, e.from_node_id, c.depth + 1
+                FROM chain c JOIN edges e ON e.to_node_id = c.node_id AND e.edge_type = 'FOLLOWS'
+                WHERE c.depth < 5
+            )
+            SELECT DISTINCT start_id, node_id, depth FROM chain
+        """,
+        "g09_bfs": f"""
+            WITH {GRAPH_CTE},
+            und AS (SELECT from_node_id AS u, to_node_id AS v FROM edges
+                    UNION SELECT to_node_id, from_node_id FROM edges),
+            l1 AS (SELECT DISTINCT v AS node_id FROM und WHERE u = 'c1' AND v <> 'c1'),
+            l2 AS (SELECT DISTINCT v AS node_id FROM und JOIN l1 ON und.u = l1.node_id
+                   WHERE v <> 'c1' AND v NOT IN (SELECT node_id FROM l1))
+            SELECT 'c1' AS node_id, 0 AS depth
+            UNION ALL SELECT node_id, 1 FROM l1
+            UNION ALL SELECT node_id, 2 FROM l2
+        """,
+        "g10_recent_orders": """
+            SELECT o_orderkey, c_name, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey LIMIT 50
+        """,
+        "t01_normalize_labels": f"SELECT doc_id, {norm50} AS norm_label FROM documents",
+        "t02_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len({toks}) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+                   round(CASE WHEN len({toks}) > 0 THEN CAST(len(list_filter({toks}, w -> lower(w) IN ({en}))) AS DOUBLE) / len({toks}) ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN len({toks}) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len({toks}) ELSE 0.0 END, 6) AS mean_token_len
+            FROM documents
+        """,
+        "t03_langid": _langid_sql(),
+        "t04_exact_dedup": f"""
+            SELECT source, count(*) AS n_docs, count(DISTINCT {_fingerprint_sql('text')}) AS n_unique
+            FROM documents GROUP BY source
+        """,
+        "t05_jaccard_pairs": f"""
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect({sh4a}, {sh4b})) AS DOUBLE)
+                         / (len({sh4a}) + len({sh4b}) - len(list_intersect({sh4a}, {sh4b}))), 6) AS jaccard
+            FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect({sh4a}, {sh4b})) AS DOUBLE)
+                        / (len({sh4a}) + len({sh4b}) - len(list_intersect({sh4a}, {sh4b}))), 6) >= 0.5
+        """,
+        "t06_simhash": _simhash_sql(16),
+        "e01_knn_bruteforce": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+            d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+            s AS (
+                SELECT query_id, vec_id, round({cos_qd}, 9) AS s9
+                FROM q CROSS JOIN d WHERE query_id <> vec_id
+            ),
+            r AS (
+                SELECT query_id, vec_id, s9,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(s9, 6) AS cosine
+            FROM r WHERE rank <= 10
+        """,
+        "e02_embedding_near_dups": f"""
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({cos_ab}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round({cos_ab}, 6) >= 0.25
+        """,
+        "v01_hourly_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "v02_user_value_topk": """
+            SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,266 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Exact (hash groupBy), MinHash + LSH banding, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — all pure Catalyst expressions built on the
+engine-portable hash (:mod:`..functions.hashing`), so every variant is
+oracle-checkable in DuckDB bit-for-bit.
+
+Scale posture:
+- exact dedup: one hash-aggregate on a 60-bit fingerprint — the cheapest
+  possible global dedup; at 10¹² docs this is the shuffle that matters, so
+  the key is a fixed-width long, not the document text.
+- MinHash-LSH: signatures are computed map-side (per-row expressions over
+  the shingle array — no explode, no shuffle); only (band_hash → doc) pairs
+  shuffle, and candidate verification joins band buckets, never all pairs.
+- SimHash: 16-bit (configurable) — near-dup bucketing by Hamming-adjacent
+  keys.
+- n-gram Jaccard: exact verification on candidate pairs (blocked upstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.functions.hashing import portable_hash64
+from research_knowledge_graph_spark.functions.textops import char_shingles_col
+from research_knowledge_graph_spark.functions.vectors import cosine_col
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (whitespace-canonicalized) documents:
+    (fingerprint, n_docs, keep_id) — keep_id = min id, the survivor."""
+    from research_knowledge_graph_spark.functions.textops import fingerprint_col
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature_col(text: Column, k: int = 8, shingle_k: int = 5) -> Column:
+    """k-permutation MinHash over char shingles, as array<bigint>.
+    Per-row expression — computed map-side, no shuffle."""
+    sh = char_shingles_col(text, shingle_k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, j=j: portable_hash64(s, seed=j))) for j in range(k)]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, shingle_k: int = 5,
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature_col(F.col(text_col), k, shingle_k).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature; docs agreeing on any full band are candidates.
+    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    sig = signatures
+    banded = None
+    for b in range(bands):
+        band_slice = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            portable_hash64(F.concat_ws("_", *[band_slice.getItem(i) for i in range(rows_per_band)])).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
+    candidate pairs → exact Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(docs, id_col, text_col, k, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands, k // bands)
+    return ngram_jaccard_verify(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), cands, threshold, shingle_k)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, threshold: float = 0.7, shingle_k: int = 5
+) -> DataFrame:
+    """Exact Jaccard over char-shingle sets for given candidate pairs.
+    docs: (doc_id, text); pairs: (doc_a, doc_b)."""
+    sh = docs.select(F.col("doc_id"), char_shingles_col(F.col("text"), shingle_k).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_blocked(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """All-pairs Jaccard within blocks (block key = e.g. source/domain/length
+    band) — the classic blocked-comparison shape; never a global cross join."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"),
+        char_shingles_col(F.col(text_col), shingle_k).alias("sh"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh"))
+        - F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    ).cast("double")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: per bit, sum ±1 weighted by token-hash
+    bit, emit 1 where the sum is positive. Pure expressions (tokens →
+    hashes → per-bit fold), portable to the oracle."""
+    toks = F.filter(F.split(F.lower(text), "\\s+"), lambda w: w != F.lit(""))
+    hashes = F.transform(toks, lambda w: portable_hash64(w))
+    n = F.size(hashes)
+
+    def _ones(b: int):
+        # count tokens whose hash has bit b set; closure (NOT a default-arg
+        # lambda — extra lambda params are treated as lambda variables).
+        return F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        # sum of ±1 == 2*ones - n (integer-exact, matches the oracle SQL)
+        out = out + F.when(2 * _ones(b) - n > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def simhash_agg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Scale variant of :func:`simhash_col`: explode tokens → ONE hash per
+    token → single aggregate with per-bit conditional sums. The inline
+    expression recomputes the hash array per bit; this computes each token
+    hash exactly once (the md5 dominates cost at 10⁹ docs). Docs with no
+    tokens get simhash 0. Output identical to :func:`simhash_col`."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != F.lit(""))
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode_outer(toks).alias("tok"))
+    h = portable_hash64(F.col("tok"))
+    aggs = [F.count(F.col("tok")).alias("n")] + [
+        F.sum(
+            F.when(F.col("tok").isNull(), F.lit(0)).otherwise(
+                F.shiftright(h, b).bitwiseAND(F.lit(1))
+            )
+        ).alias(f"ones_{b}")
+        for b in range(bits)
+    ]
+    g = exploded.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(2 * F.col(f"ones_{b}") - F.col("n") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(simhash, n_docs, doc_ids sorted) — identical-simhash near-dup buckets."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold; blocked self-join when a block column
+    is given (at scale: LSH buckets or IVF cells feed the block key)."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    d = embs.select(*cols)
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(cosine_col(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

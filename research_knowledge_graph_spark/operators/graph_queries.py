@@ -1,0 +1,239 @@
+"""Graph query operators over materialized ``nodes``/``edges`` tables.
+
+The reference's query surface, re-expressed as single declarative plans:
+
+- neighbor expansion with type filters (G4, ``graph_service.py:318-396``;
+  J2, ``repository.py:317-366``) — was an N+1 point-lookup loop, here one
+  broadcast-hash join;
+- reverse reachability + distinct (J3, ``repository.py:368-383``);
+- shared-entity pairs (J8/J9, ``sql/example_queries.sql:82-97``);
+- influence top-k (A3, ``sql/example_queries.sql:114-126``);
+- usage counts (A2, ``sql/example_queries.sql:54-65``);
+- multi-hop chains (J10, ``sql/example_queries.sql:36-51``);
+- recursive improvement chain (G2, ``sql/example_queries.sql:129-160``) —
+  iterative DataFrame joins with a path-array cycle guard;
+- bidirectional BFS subgraph (G1, ``graph_visualizer.py:238-311``);
+- SIMILAR_TO union both directions (E4, ``graph_service.py:403-458``).
+
+All operators take and return DataFrames; nothing collects to the driver.
+Iterative operators (`recursive_chain`, `bfs`) localCheckpoint per round to
+cut lineage — at depth d the alternative is a 2^d-deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def neighbors_out(
+    nodes: DataFrame,
+    edges: DataFrame,
+    from_node_id: str | None = None,
+    edge_type: str | None = None,
+    to_node_type: str | None = None,
+) -> DataFrame:
+    """Outgoing neighbor expansion with optional type filters (P4 + J2).
+    Filters land on partition columns (edge_type/node_type) → pruning."""
+    e = edges
+    if from_node_id is not None:
+        e = e.filter(F.col("from_node_id") == from_node_id)
+    if edge_type is not None:
+        e = e.filter(F.col("edge_type") == edge_type)
+    n = nodes
+    if to_node_type is not None:
+        n = n.filter(F.col("node_type") == to_node_type)
+    return e.join(n, e.to_node_id == n.id).select(
+        "from_node_id",
+        F.col("id").alias("neighbor_id"),
+        F.col("node_type").alias("neighbor_type"),
+        F.col("label").alias("neighbor_label"),
+        "edge_type",
+        "confidence",
+    )
+
+
+def neighbors_in(
+    nodes: DataFrame,
+    edges: DataFrame,
+    to_node_id: str | None = None,
+    edge_type: str | None = None,
+    from_node_type: str | None = None,
+) -> DataFrame:
+    """Incoming mirror (get_edges_to_node + lookups, e.g. paper improvements
+    ``graph_service.py:318-340``)."""
+    e = edges
+    if to_node_id is not None:
+        e = e.filter(F.col("to_node_id") == to_node_id)
+    if edge_type is not None:
+        e = e.filter(F.col("edge_type") == edge_type)
+    n = nodes
+    if from_node_type is not None:
+        n = n.filter(F.col("node_type") == from_node_type)
+    return e.join(n, e.from_node_id == n.id).select(
+        "to_node_id",
+        F.col("id").alias("neighbor_id"),
+        F.col("node_type").alias("neighbor_type"),
+        F.col("label").alias("neighbor_label"),
+        "edge_type",
+        "confidence",
+    )
+
+
+def connected_docs(nodes: DataFrame, edges: DataFrame, entity_id: str) -> DataFrame:
+    """Docs connected to an entity node, DISTINCT (J3)."""
+    return (
+        edges.filter(F.col("to_node_id") == entity_id)
+        .join(nodes, edges.from_node_id == nodes.id)
+        .select("id", "node_type", "label")
+        .distinct()
+    )
+
+
+def shared_entity_pairs(edges: DataFrame, entity_edge_types: list[str] | None = None) -> DataFrame:
+    """Unordered pairs of source nodes sharing ≥1 target node (J8/J9 shape).
+    Returns (node_a, node_b, shared_count). Skew note: hot targets quadratic
+    — callers cap degree upstream; AQE skew-join splits the rest."""
+    e = edges
+    if entity_edge_types:
+        e = e.filter(F.col("edge_type").isin(*entity_edge_types))
+    pe = e.select(F.col("from_node_id").alias("src"), F.col("to_node_id").alias("tgt")).distinct()
+    a, b = pe.alias("a"), pe.alias("b")
+    return (
+        a.join(b, (F.col("a.tgt") == F.col("b.tgt")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("node_a"), F.col("b.src").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("shared_count"))
+    )
+
+
+def influence_topk(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_type: str,
+    edge_types: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Most-influential nodes of a type by distinct in-degree (A3/q8):
+    left join keeps zero-usage nodes, deterministic (count desc, label)."""
+    n = nodes.filter(F.col("node_type") == node_type)
+    e = edges.filter(F.col("edge_type").isin(*edge_types))
+    return (
+        n.join(e, n.id == e.to_node_id, "left")
+        .groupBy(n.id, "label")
+        .agg(F.countDistinct("from_node_id").alias("usage_count"))
+        .orderBy(F.desc("usage_count"), F.asc("label"))
+        .limit(k)
+    )
+
+
+def two_hop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    e1_type: str,
+    e2_type: str,
+    end_node_type: str | None = None,
+) -> DataFrame:
+    """Chained equi-joins: a -e1→ b -e2→ c (J10/q3 shape), DISTINCT ends."""
+    e1 = edges.filter(F.col("edge_type") == e1_type).select(
+        F.col("from_node_id").alias("a"), F.col("to_node_id").alias("b")
+    )
+    e2 = edges.filter(F.col("edge_type") == e2_type).select(
+        F.col("from_node_id").alias("b2"), F.col("to_node_id").alias("c")
+    )
+    n = nodes if end_node_type is None else nodes.filter(F.col("node_type") == end_node_type)
+    return (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(n, F.col("c") == n.id)
+        .select(F.col("a").alias("start_id"), F.col("c").alias("end_id"), F.col("label").alias("end_label"))
+        .distinct()
+    )
+
+
+def similar_union(nodes: DataFrame, edges: DataFrame, node_id: str, edge_type: str = "SIMILAR_TO") -> DataFrame:
+    """SIMILAR_TO in both directions, neighbor-side selection, dedup (E4)."""
+    e = edges.filter(F.col("edge_type") == edge_type)
+    out = e.filter(F.col("from_node_id") == node_id).select(
+        F.col("to_node_id").alias("other_id"), "confidence"
+    )
+    inn = e.filter(F.col("to_node_id") == node_id).select(
+        F.col("from_node_id").alias("other_id"), "confidence"
+    )
+    both = out.unionByName(inn).groupBy("other_id").agg(F.max("confidence").alias("confidence"))
+    return both.join(nodes, both.other_id == nodes.id).select(
+        "other_id", "label", "node_type", "confidence"
+    )
+
+
+def recursive_chain(
+    edges: DataFrame,
+    start: DataFrame,
+    edge_type: str = "IMPROVES_ON",
+    max_depth: int = 5,
+) -> DataFrame:
+    """Recursive chain expansion (G2, the reference's WITH RECURSIVE q9):
+    from each start node, repeatedly follow ``edge_type`` edges *into* the
+    current frontier (who improves on me), guarding cycles with a path array.
+
+    ``start``: DataFrame with column ``node_id``. Returns
+    (start_id, node_id, depth) for every reached node incl. depth 0.
+
+    Iterative joins with localCheckpoint per level — the standard Spark
+    recursion pattern (Spark SQL has no recursive CTE).
+    """
+    e = edges.filter(F.col("edge_type") == edge_type).select(
+        F.col("from_node_id").alias("child"), F.col("to_node_id").alias("parent")
+    )
+    frontier = start.select(
+        F.col("node_id").alias("start_id"),
+        F.col("node_id").alias("node_id"),
+        F.lit(0).alias("depth"),
+        F.array(F.col("node_id")).alias("path"),
+    )
+    out = frontier
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(e, frontier.node_id == e.parent)
+            .filter(~F.array_contains(F.col("path"), F.col("child")))
+            .select(
+                "start_id",
+                F.col("child").alias("node_id"),
+                (F.col("depth") + 1).alias("depth"),
+                F.array_append(F.col("path"), F.col("child")).alias("path"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out.select("start_id", "node_id", "depth").distinct()
+
+
+def bfs_subgraph(
+    nodes: DataFrame, edges: DataFrame, root_id: str, max_depth: int = 2
+) -> DataFrame:
+    """Bidirectional BFS to depth k (G1, ``graph_visualizer.py:238-311``):
+    returns (node_id, depth) with the minimal depth per visited node."""
+    und = edges.select(
+        F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
+    ).unionByName(
+        edges.select(F.col("to_node_id").alias("u"), F.col("from_node_id").alias("v"))
+    ).distinct()
+
+    visited = nodes.sparkSession.createDataFrame(
+        [(root_id, 0)], "node_id string, depth int"
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier.node_id == und.u)
+            .select(F.col("v").alias("node_id"), F.lit(d).alias("depth"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from research_knowledge_graph_spark.functions.hashing import det_id
 from research_knowledge_graph_spark.functions.sanitize import sanitize_string_col
@@ -188,20 +187,25 @@ def build_edges(
     )
 
     edges = paper_entity.unionByName(rel)
-    # (from, to, type) uniqueness, first insertion order wins
-    w = Window.partitionBy("from_node_id", "to_node_id", "edge_type").orderBy(
-        "src_url", "order_seq"
-    )
+    # (from, to, type) uniqueness, first insertion (src_url, order_seq) wins —
+    # hash aggregate with min_by instead of a window (a window would add a
+    # full sort per partition; min_by is one partial-aggregating shuffle).
     return (
-        edges.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "order_seq")
-        .withColumn(
-            "id", det_id("edge", "from_node_id", "to_node_id", "edge_type")
+        edges.groupBy("from_node_id", "to_node_id", "edge_type")
+        .agg(
+            F.min_by(
+                F.struct("confidence", "properties", "src_url"),
+                F.struct("src_url", "order_seq"),
+            ).alias("_first")
         )
         .select(
-            "id", "from_node_id", "to_node_id", "edge_type", "confidence",
-            "properties", "src_url",
+            det_id("edge", "from_node_id", "to_node_id", "edge_type").alias("id"),
+            "from_node_id",
+            "to_node_id",
+            "edge_type",
+            F.col("_first.confidence").alias("confidence"),
+            F.col("_first.properties").alias("properties"),
+            F.col("_first.src_url").alias("src_url"),
         )
     )
 

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (J4/J5, the pgvector surface).
+
+- :func:`knn_bruteforce` — exact cosine top-k for a set of query vectors.
+  Replaces the reference's per-row ``ORDER BY embedding <-> q LIMIT k`` loop
+  (``repository.py:385-418``): ALL queries rank at once via a window, the
+  queries side is broadcast.
+- :func:`knn_lsh` — the scale path: sign-random-projection LSH buckets;
+  candidates = same-bucket pairs, exact rerank inside buckets. Hyperplanes
+  are derived from the portable hash (deterministic, reproducible on any
+  cluster, no state to ship).
+
+Ordering ties: scores are ranked on ``round(cosine, 9)`` with vec_id as the
+final tie-break, so rankings are stable across engines and float summation
+orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from research_knowledge_graph_spark.functions.hashing import portable_hash64
+from research_knowledge_graph_spark.functions.vectors import cosine_col
+
+
+def knn_bruteforce(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded when ids
+    collide). Broadcast the (small) query side; one shuffle for the window."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    d = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = F.broadcast(q).crossJoin(d).filter(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("qv"), F.col("vec")), 9).alias("_score9"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round(F.col("_score9"), 6).alias("cosine"))
+    )
+
+
+def srp_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id: for each pseudo-random hyperplane p,
+    bit_p = [Σ_i vec[i]·h(p,i) > 0] where h(p,i) ∈ {-1,+1} comes from the
+    portable hash — fully deterministic, expressible in SQL for oracles."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i, p=p: x.cast("double")
+                * F.when(
+                    portable_hash64(F.concat_ws("_", F.lit(str(p)), i.cast("string")))
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    embs: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN via SRP-LSH bucketing: exact rerank only within matching buckets.
+    At 10⁹ vectors the bucket join replaces the full cross product with a
+    1/2^planes-selective equi-join; recall is tunable via ``planes``."""
+    d = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket_col(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        srp_bucket_col(F.col(query_vec_col), dim, planes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(d, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("vec")), 9).alias("_score9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_score9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round(F.col("_score9"), 6).alias("cosine"))
+    )

@@ -45,33 +45,28 @@ def validate_mentions(mentions: DataFrame) -> DataFrame:
         .agg(
             F.min("seq").alias("seq"),
             F.min_by("norm_label", "seq").alias("label"),
-            # first non-null description in arrival order
-            F.collect_list(F.struct("seq", "description")).alias("_descs"),
-            # properties fold in arrival order; LAST_WIN map_concat = dict.update
-            F.collect_list(F.struct("seq", "properties")).alias("_props"),
+            # first NON-NULL description in arrival order: min over
+            # (seq, description) structs, null rows skipped by min — native
+            # codegen'd struct ordering, no lambda comparator.
+            F.min(
+                F.when(F.col("description").isNotNull(), F.struct("seq", "description"))
+            ).alias("_d"),
+            # properties in arrival order: maps aren't orderable, so collect
+            # (seq, entries-array) structs — arrays of string structs ARE —
+            # and let the native sort_array order by seq.
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("seq"), F.map_entries("properties").alias("entries"))
+                )
+            ).alias("_props"),
         )
     )
-
-    # array_sort with an explicit seq comparator: structs containing maps have
-    # no natural ordering, so sort_array would fail to analyze.
-    def _by_seq(col):
-        return F.array_sort(
-            col,
-            lambda l, r: F.when(l["seq"] < r["seq"], F.lit(-1))
-            .when(l["seq"] > r["seq"], F.lit(1))
-            .otherwise(F.lit(0)),
-        )
-
-    grouped = grouped.withColumn("_descs", _by_seq(F.col("_descs"))).withColumn(
-        "_props", _by_seq(F.col("_props"))
-    )
-    first_desc = F.get(
-        F.filter(F.col("_descs"), lambda x: x["description"].isNotNull()), 0
-    )["description"]
+    first_desc = F.col("_d")["description"]
+    # fold in arrival order; LAST_WIN map_concat = Python dict.update
     merged_props = F.aggregate(
-        F.transform(F.col("_props"), lambda x: x["properties"]),
+        F.col("_props"),
         F.create_map().cast("map<string,string>"),
-        lambda acc, p: F.map_concat(acc, p),
+        lambda acc, p: F.map_concat(acc, F.map_from_entries(p["entries"])),
     )
     return grouped.select(
         "url",

@@ -107,6 +107,7 @@ def run_pipeline(
     else:
         edges_all = io.write_stage(edges, "edges_all", fp, partition_by=["edge_type"])
 
+    io.flush_metrics()
     return PipelineResult(
         nodes=nodes, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
     )

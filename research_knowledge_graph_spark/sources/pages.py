@@ -44,18 +44,26 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
-N_DOMAINS = 50
+N_DOMAINS = 50  # fixed: head-domain skew must persist at every corpus size
 N_CONCEPTS = 40
 N_METHODS = 30
 N_DATASETS = 20
 N_METRICS = 10
 
-_CONCEPTS = [f"Neural Concept {i}" for i in range(N_CONCEPTS)]
-_METHODS = [f"Method Alpha {i}" for i in range(N_METHODS)]
-_DATASETS = [f"Benchmark Set {i}" for i in range(N_DATASETS)]
-_METRICS = [f"METRIC{i}" for i in range(N_METRICS)]  # ALL-CAPS → acronym-preserved
+# Base vocabularies; ``vocab_scale`` multiplies each size so entity
+# cardinality grows with the corpus (real web vocabularies do), keeping the
+# blocking join realistic: Zipf head entities stay hot (skew exercise) while
+# the tail grows.
+_CONCEPT = "Neural Concept {i}".format
+_METHOD = "Method Alpha {i}".format
+_DATASET = "Benchmark Set {i}".format
+_METRIC = "METRIC{i}".format  # ALL-CAPS → acronym-preserved by normalization
 
 _DOMAINS = [f"site{i:03d}.example.org" for i in range(N_DOMAINS)]
+
+
+def default_vocab_scale(n_docs: int) -> int:
+    return max(1, n_docs // 200)
 
 _FILLER = (
     "the quick analysis shows that large scale web data processing requires "
@@ -82,19 +90,19 @@ def _zipf_idx(rng: np.random.RandomState, n: int, a: float = 1.3) -> int:
             return int(v - 1)
 
 
-def _gen_doc(doc_id: int) -> dict:
+def _gen_doc(doc_id: int, vocab_scale: int = 1) -> dict:
     """Deterministic page content + the triples planted in it (single source
     of truth: page text and ground-truth triples cannot drift apart)."""
     rng = np.random.RandomState(doc_id % (2**31 - 1) + 7)
     domain = _DOMAINS[_zipf_idx(rng, N_DOMAINS)]
     url = f"https://{domain}/articles/{doc_id}"
 
-    concept = _CONCEPTS[_zipf_idx(rng, N_CONCEPTS)]
-    concept2 = _CONCEPTS[_zipf_idx(rng, N_CONCEPTS)]
-    method = _METHODS[_zipf_idx(rng, N_METHODS)]
-    method2 = _METHODS[_zipf_idx(rng, N_METHODS)]
-    dataset = _DATASETS[_zipf_idx(rng, N_DATASETS)]
-    metric = _METRICS[_zipf_idx(rng, N_METRICS)]
+    concept = _CONCEPT(i=_zipf_idx(rng, N_CONCEPTS * vocab_scale))
+    concept2 = _CONCEPT(i=_zipf_idx(rng, N_CONCEPTS * vocab_scale))
+    method = _METHOD(i=_zipf_idx(rng, N_METHODS * vocab_scale))
+    method2 = _METHOD(i=_zipf_idx(rng, N_METHODS * vocab_scale))
+    dataset = _DATASET(i=_zipf_idx(rng, N_DATASETS * vocab_scale))
+    metric = _METRIC(i=_zipf_idx(rng, N_METRICS * vocab_scale))
 
     title = f"Study {doc_id}: {concept} via {method}"
 
@@ -142,8 +150,8 @@ def _gen_doc(doc_id: int) -> dict:
     }
 
 
-def _make_page(doc_id: int) -> tuple[str, str, str, str]:
-    d = _gen_doc(doc_id)
+def _make_page(doc_id: int, vocab_scale: int = 1) -> tuple[str, str, str, str]:
+    d = _gen_doc(doc_id, vocab_scale)
     return d["url"], d["title"], d["body"], d["lang"]
 
 
@@ -153,17 +161,24 @@ def _render_html(title: str, body: str, domain: str) -> str:
 
 
 def synthesize_pages(
-    spark: SparkSession, n_docs: int, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    vocab_scale: int | None = None,
 ) -> DataFrame:
-    """Distributed deterministic corpus of ``n_docs`` pages."""
+    """Distributed deterministic corpus of ``n_docs`` pages.
+
+    ``vocab_scale`` defaults to 1 for small corpora (stable unit-test
+    fixtures); pass ``default_vocab_scale(n_docs)`` for scale benchmarks."""
     parts = partitions or max(spark.sparkContext.defaultParallelism, 4)
+    vs = 1 if vocab_scale is None else vocab_scale
     base = spark.range(0, n_docs, numPartitions=parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id in pdf["id"]:
-                url, title, body, lang = _make_page(int(doc_id))
+                url, title, body, lang = _make_page(int(doc_id), vs)
                 domain = url.split("/")[2]
                 html = _render_html(title, body, domain).encode("utf-8")
                 ts = pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(
@@ -181,8 +196,8 @@ def write_pages(spark: SparkSession, n_docs: int, path: str) -> None:
     synthesize_pages(spark, n_docs).write.mode("overwrite").parquet(path)
 
 
-def planted_triples_py(doc_id: int) -> list[tuple[str, str, str, str]]:
+def planted_triples_py(doc_id: int, vocab_scale: int = 1) -> list[tuple[str, str, str, str]]:
     """Ground-truth (url, subj, pred, obj) planted in page ``doc_id`` — the
     oracle the heuristic extractor is P/R-scored against in tests."""
-    d = _gen_doc(doc_id)
+    d = _gen_doc(doc_id, vocab_scale)
     return [(d["url"], s, p, o) for s, p, o in d["triples"]]

@@ -31,11 +31,16 @@ from pyspark.sql import functions as F
 
 
 class TableIO:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, defer_metrics: bool = True):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
+        # deferred mode batches all stages' metrics into ONE Spark job at
+        # flush() instead of one job per stage (10 stages = 10 job launches
+        # of pure overhead otherwise)
+        self.defer_metrics = defer_metrics
+        self._pending: list[tuple[str, str, str, float]] = []  # (name, fp, path, sec)
 
     # -- manifest ----------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -77,7 +82,10 @@ class TableIO:
         writer.parquet(snap)
 
         committed = self.spark.read.parquet(snap)
-        self._append_metrics(name, fingerprint, committed, time.time() - t0)
+        if self.defer_metrics:
+            self._pending.append((name, fingerprint, snap, time.time() - t0))
+        else:
+            self._append_metrics(name, fingerprint, committed, time.time() - t0)
 
         manifest = self._load_manifest()
         manifest["tables"][name] = {
@@ -105,6 +113,30 @@ class TableIO:
         return self.write_stage(merged, name, fingerprint)
 
     # -- lineage + metrics ---------------------------------------------------
+    def flush_metrics(self) -> None:
+        """Emit all deferred per-partition metrics in ONE job + one lineage
+        append. No-op when nothing is pending."""
+        if not self._pending:
+            return
+        per_stage = None
+        for name, fp, snap, _ in self._pending:
+            df = (
+                self.spark.read.parquet(snap)
+                .groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .withColumn("stage", F.lit(name))
+                .withColumn("fingerprint", F.lit(fp))
+            )
+            per_stage = df if per_stage is None else per_stage.unionByName(df)
+        per_stage.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+
+        lineage = self.spark.createDataFrame(
+            [(n, fp, float(sec)) for n, fp, _, sec in self._pending],
+            "stage string, fingerprint string, elapsed_sec double",
+        ).withColumn("committed_at", F.current_timestamp())
+        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+        self._pending = []
+
     def _append_metrics(
         self, name: str, fingerprint: str, committed: DataFrame, elapsed: float
     ) -> None:

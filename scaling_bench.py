@@ -1,0 +1,110 @@
+"""Scaling-efficiency evidence: the same pipeline job at two parallelism
+levels (local[N] vs local[4N]) over the SAME pre-generated input.
+
+The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
+≥ 0.8) cannot use a real cluster in this sandbox; per the driver's
+instruction it is evidenced by running the identical job in separate JVMs at
+two local parallelism levels and reporting throughput at both.
+
+    efficiency = (docs/sec at 4N) / (4 × docs/sec at N)
+
+Usage: ``python scaling_bench.py [--docs 60000] [--n 8]`` — prints one JSON
+line and (with ``--update-baseline``) appends the evidence to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+RUNNER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_MASTER"] = "local[{cores}]"
+os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(max(8, {cores}))
+import research_knowledge_graph_spark as rkg
+from research_knowledge_graph_spark.plans.pipeline import run_pipeline
+
+spark = rkg.get_spark(app_name="rkg_scaling_{cores}")
+pages = spark.read.parquet({pages!r})
+pages.count()  # warm input footers; exclude from timing
+workdir = tempfile.mkdtemp(prefix="rkg_scale_")
+try:
+    t0 = time.time()
+    res = run_pipeline(spark, pages, workdir, mode="heuristic", max_block_degree=200)
+    n_edges = res.edges.count()
+    elapsed = time.time() - t0
+finally:
+    shutil.rmtree(workdir, ignore_errors=True)
+print(json.dumps({{"cores": {cores}, "elapsed_sec": round(elapsed, 2),
+                   "edges": n_edges}}))
+"""
+
+
+def run_at(cores: int, pages_path: str) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, pages=pages_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level N")
+    ap.add_argument("--update-baseline", action="store_true")
+    args = ap.parse_args()
+
+    # generate input ONCE; both runs read the same bytes
+    pages_dir = tempfile.mkdtemp(prefix="rkg_pages_")
+    gen_code = (
+        f"import sys; sys.path.insert(0, {REPO!r});\n"
+        "import research_knowledge_graph_spark as rkg\n"
+        "from research_knowledge_graph_spark.sources.pages import synthesize_pages, default_vocab_scale\n"
+        "spark = rkg.get_spark(app_name='rkg_gen')\n"
+        f"synthesize_pages(spark, {args.docs}, vocab_scale=default_vocab_scale({args.docs}))"
+        f".write.mode('overwrite').parquet({pages_dir!r}/'pages')"
+    ).replace(f"{pages_dir!r}/'pages'", repr(os.path.join(pages_dir, "pages")))
+    subprocess.run([sys.executable, "-c", gen_code], check=True, capture_output=True, text=True)
+    pages_path = os.path.join(pages_dir, "pages")
+
+    try:
+        small = run_at(args.n, pages_path)
+        big = run_at(args.n * 4, pages_path)
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+
+    tp_small = args.docs / small["elapsed_sec"]
+    tp_big = args.docs / big["elapsed_sec"]
+    eff = tp_big / (4 * tp_small)
+    result = {
+        "metric": "pipeline_scaling_efficiency",
+        "docs": args.docs,
+        "n_cores": args.n,
+        "4n_cores": args.n * 4,
+        "elapsed_n_sec": small["elapsed_sec"],
+        "elapsed_4n_sec": big["elapsed_sec"],
+        "docs_per_sec_n": round(tp_small, 1),
+        "docs_per_sec_4n": round(tp_big, 1),
+        "efficiency": round(eff, 3),
+        "edges_n": small["edges"],
+        "edges_4n": big["edges"],
+        "identical_output": small["edges"] == big["edges"],
+    }
+    print(json.dumps(result))
+
+    if args.update_baseline:
+        with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
