@@ -34,6 +34,7 @@ from research_knowledge_graph_spark.functions.normalize import (
     normalize_label_col,
 )
 from research_knowledge_graph_spark.functions.hashing import (
+    portable_hash64_py,
     portable_hash64_sql,
 )
 from research_knowledge_graph_spark.functions.textops import (
@@ -274,6 +275,33 @@ def e02_embedding_near_dups(spark, sf_dir):
     return D.embedding_near_dups(e, block_col="label", threshold=0.25)
 
 
+def g11_undirected_degree(spark, sf_dir):
+    """E4 both-direction union shape: undirected FOLLOWS degree per order."""
+    edges = TG.derive_edges(spark, sf_dir).filter(F.col("edge_type") == "FOLLOWS")
+    und = edges.select(F.col("from_node_id").alias("node_id")).unionByName(
+        edges.select(F.col("to_node_id").alias("node_id"))
+    )
+    return und.groupBy("node_id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def t07_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-signature LSH banding candidate pairs over documents."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
+    return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+def e03_knn_lsh(spark, sf_dir):
+    """SRP-LSH bucketed ANN: same-bucket rerank for 5 query vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.knn_lsh(e, q, dim=64, k=10, planes=6).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 def v01_hourly_rollup(spark, sf_dir):
     """Event-time windowed aggregation (tumbling 1h) over events."""
     ev = _t(spark, sf_dir, "events")
@@ -318,8 +346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t04_exact_dedup": t04_exact_dedup,
         "t05_jaccard_pairs": t05_jaccard_pairs,
         "t06_simhash": t06_simhash,
+        "g11_undirected_degree": g11_undirected_degree,
+        "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
+        "e03_knn_lsh": e03_knn_lsh,
         "v01_hourly_rollup": v01_hourly_rollup,
         "v02_user_value_topk": v02_user_value_topk,
     }
@@ -380,6 +411,71 @@ def _simhash_sql(bits: int = 16) -> str:
     return (
         f"SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash FROM ({inner})"
     )
+
+
+def _minhash_lsh_sql(k: int = 8, shingle_k: int = 4, bands: int = 4) -> str:
+    rows = k // bands
+    sh = _shingles_sql("text", shingle_k)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {portable_hash64_sql('s', seed=j)})) AS m{j}"
+        for j in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = " || '_' || ".join(
+            f"CAST(m{b * rows + i} AS VARCHAR)" for i in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {portable_hash64_sql(concat)} AS bucket FROM sig"
+        )
+    return (
+        f"WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh), "
+        f"banded AS ({' UNION ALL '.join(band_selects)}) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+        f"AND a.doc_id < b.doc_id"
+    )
+
+
+def _srp_bucket_sql(vec_expr: str, dim: int, planes: int) -> str:
+    """SRP bucket with the hyperplane signs precomputed in Python via the
+    SAME portable hash the Spark expression uses — identical buckets."""
+    terms = []
+    for p in range(planes):
+        signs = [
+            "1.0" if portable_hash64_py(f"{p}_{i}") & 1 else "-1.0"
+            for i in range(dim)
+        ]
+        plane = "[" + ", ".join(signs) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {plane}) > 0 "
+            f"THEN CAST({2**p} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _knn_lsh_sql(dim: int = 64, planes: int = 6, k: int = 10) -> str:
+    cos = _cosine_sql("qv", "dv")
+    qb = _srp_bucket_sql("qv", dim, planes)
+    db = _srp_bucket_sql("dv", dim, planes)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+        d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        qb AS (SELECT query_id, qv, {qb} AS bucket FROM q),
+        db AS (SELECT vec_id, dv, {db} AS bucket FROM d),
+        s AS (
+            SELECT query_id, vec_id, round({cos}, 9) AS s9
+            FROM qb JOIN db USING (bucket) WHERE query_id <> vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, s9,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(s9, 6) AS cosine
+        FROM r WHERE rank <= {k}
+    """
 
 
 def _fingerprint_sql(col: str) -> str:
@@ -516,6 +612,17 @@ def oracle_sql() -> dict[str, str]:
                         / (len({sh4a}) + len({sh4b}) - len(list_intersect({sh4a}, {sh4b}))), 6) >= 0.5
         """,
         "t06_simhash": _simhash_sql(16),
+        "t07_minhash_lsh_pairs": _minhash_lsh_sql(k=8, shingle_k=4, bands=4),
+        "e03_knn_lsh": _knn_lsh_sql(dim=64, planes=6, k=10),
+        "g11_undirected_degree": f"""
+            WITH {GRAPH_CTE},
+            und AS (
+                SELECT from_node_id AS node_id FROM edges WHERE edge_type = 'FOLLOWS'
+                UNION ALL
+                SELECT to_node_id FROM edges WHERE edge_type = 'FOLLOWS'
+            )
+            SELECT node_id, count(*) AS degree FROM und GROUP BY node_id
+        """,
         "e01_knn_bruteforce": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
             d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),

@@ -43,3 +43,12 @@ def portable_hash64_sql(col_expr: str, seed: int | None = None) -> str:
     """DuckDB-side rendering of :func:`portable_hash64` (same bits)."""
     inner = col_expr if seed is None else f"'{seed}' || ':' || {col_expr}"
     return f"CAST('0x' || substr(md5(CAST(({inner}) AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def portable_hash64_py(value: str, seed: int | None = None) -> int:
+    """Python twin (same bits) — used to precompute constants (e.g. SRP
+    hyperplane signs) that are inlined into both engines' plans."""
+    import hashlib
+
+    s = value if seed is None else f"{seed}:{value}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -52,9 +52,13 @@ def minhash_signature_col(text: Column, k: int = 8, shingle_k: int = 5) -> Colum
     """k-permutation MinHash over char shingles, as array<bigint>.
     Per-row expression — computed map-side, no shuffle."""
     sh = char_shingles_col(text, shingle_k)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s, j=j: portable_hash64(s, seed=j))) for j in range(k)]
-    )
+
+    def _min_hash(seed: int) -> Column:
+        # closure, NOT a default-arg lambda (2-arg transform lambdas
+        # receive the array index as the second argument)
+        return F.array_min(F.transform(sh, lambda s: portable_hash64(s, seed=seed)))
+
+    return F.array(*[_min_hash(j) for j in range(k)])
 
 
 def minhash_signatures(

@@ -56,19 +56,21 @@ def srp_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
     """Sign-random-projection bucket id: for each pseudo-random hyperplane p,
     bit_p = [Σ_i vec[i]·h(p,i) > 0] where h(p,i) ∈ {-1,+1} comes from the
     portable hash — fully deterministic, expressible in SQL for oracles."""
+    from research_knowledge_graph_spark.functions.hashing import portable_hash64_py
+
     bucket = F.lit(0).cast("bigint")
     for p in range(planes):
+        # hyperplane signs precomputed driver-side with the portable hash —
+        # the plane is a LITERAL array, so the projection is a plain dot
+        # product (and the oracle SQL inlines the identical literals)
+        signs = F.array(
+            *[
+                F.lit(1.0 if portable_hash64_py(f"{p}_{i}") & 1 else -1.0)
+                for i in range(dim)
+            ]
+        )
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i, p=p: x.cast("double")
-                * F.when(
-                    portable_hash64(F.concat_ws("_", F.lit(str(p)), i.cast("string")))
-                    .bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -106,7 +106,9 @@ def _gen_doc(doc_id: int, vocab_scale: int = 1) -> dict:
 
     title = f"Study {doc_id}: {concept} via {method}"
 
-    filler = " ".join(rng.choice(_FILLER, size=30))
+    # ~1.5 KB of body filler: realistic page weight so benchmark compute
+    # (regex extraction, hashing, shuffles) dominates per-task overhead
+    filler = " ".join(rng.choice(_FILLER, size=200))
     sents = [
         f"This work introduces {method}.",
         f"We study {concept} in depth.",

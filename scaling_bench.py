@@ -58,7 +58,7 @@ def run_at(cores: int, pages_path: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--docs", type=int, default=240000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism level N")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()

@@ -1,0 +1,53 @@
+"""Fuzzy canonicalization: LSH blocking → Jaccard verify → connected
+components → broadcast alias dictionary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.canonicalize import (
+    canonicalize_fuzzy,
+    connected_components,
+)
+
+MENTION_SCHEMA = (
+    "url string, seq int, entity_type string, label string, description string, "
+    "properties map<string,string>"
+)
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "key_a string, key_b string"
+    )
+    comps = {r.key: r.component for r in connected_components(pairs).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["a"] != comps["x"]
+
+
+def test_canonicalize_fuzzy_clusters_variants(spark):
+    rows = [
+        ("u1", 0, "method", "Gaussian Splatting", None, {}),
+        ("u2", 0, "method", "Gaussian Splatting", None, {}),   # typo variant
+        ("u3", 0, "method", "Gaussian  Splatting", None, {}),  # spacing variant
+        ("u4", 0, "method", "Completely Different Thing", None, {}),
+        ("u5", 0, "dataset", "Gaussian Splatting", None, {}),  # other type: no merge
+    ]
+    m = spark.createDataFrame(rows, MENTION_SCHEMA)
+    out = canonicalize_fuzzy(m, threshold=0.5, shingle_k=3)
+    canon = {(r.url, r.entity_type): r.canonical_label for r in out.collect()}
+
+    # the three method variants share one canonical label
+    assert canon[("u1", "method")] == canon[("u2", "method")] == canon[("u3", "method")]
+    # unrelated label unchanged
+    assert canon[("u4", "method")] == "Completely Different Thing"
+    # same surface in a different type canonicalizes within its own type
+    assert canon[("u5", "dataset")] == "Gaussian Splatting"
+
+
+def test_canonicalize_fuzzy_no_pairs(spark):
+    rows = [("u1", 0, "concept", "Alpha", None, {}), ("u2", 0, "concept", "Zeta Omega Prime", None, {})]
+    m = spark.createDataFrame(rows, MENTION_SCHEMA)
+    out = canonicalize_fuzzy(m, threshold=0.9)
+    assert {r.canonical_label for r in out.collect()} == {"Alpha", "Zeta Omega Prime"}
