@@ -1,0 +1,62 @@
+"""Property tests: the Catalyst expressions must match their Python twins on
+adversarial inputs (hypothesis-generated). These guard the byte-identical
+normalization requirement against regex/semantic drift between the JVM and
+Python string models."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.functions.normalize import (
+    normalize_label_col,
+    normalize_label_py,
+)
+from research_knowledge_graph_spark.functions.sanitize import (
+    sanitize_string_col,
+    sanitize_string_py,
+)
+from research_knowledge_graph_spark.functions.textops import chunk_text_py
+
+# printable ASCII + the control chars the sanitizer targets + whitespace
+ALPHABET = string.ascii_letters + string.digits + " .,-_:;!?\t\n\r" + "\x00\x01\x0b\x0c\x1f"
+
+
+@st.composite
+def labels(draw):
+    return draw(st.text(alphabet=ALPHABET, min_size=0, max_size=60))
+
+
+def _batch_check(spark, values, expr_fn, py_fn):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    outs = [r[0] for r in df.select(expr_fn(F.col("v")).alias("o")).collect()]
+    for v, o in zip(values, outs):
+        assert o == py_fn(v), f"expr {o!r} != twin {py_fn(v)!r} for input {v!r}"
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(labels(), min_size=1, max_size=25))
+def test_normalize_expr_matches_twin(spark, vals):
+    _batch_check(spark, vals, normalize_label_col, normalize_label_py)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(labels(), min_size=1, max_size=25))
+def test_sanitize_expr_matches_twin(spark, vals):
+    _batch_check(spark, vals, sanitize_string_col, sanitize_string_py)
+
+
+@given(st.text(alphabet=string.ascii_lowercase + " .\n", min_size=0, max_size=9000))
+@settings(max_examples=50, deadline=None)
+def test_chunking_invariants(text):
+    chunks = chunk_text_py(text)
+    if len(text) <= 2000:
+        assert chunks == [text]
+        return
+    assert all(len(c) <= 2000 for c in chunks)
+    # overlap windows must cover the document: stripped concatenation loses
+    # at most whitespace
+    assert sum(len(c) for c in chunks) >= len(text.replace(" ", "").replace("\n", ""))
