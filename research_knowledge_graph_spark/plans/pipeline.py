@@ -18,6 +18,7 @@ is one partition-parallel DataFrame job; the per-paper loop disappears.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,39 +65,48 @@ def run_pipeline(
         fp,
     )
 
-    # stage 2: extraction
-    meta = X.extract_metadata(docs)
+    # stage 2: extraction — three independent outputs of one docs scan;
+    # submitted from concurrent driver threads so their job latencies overlap
+    # (the Spark scheduler interleaves the tasks; this trims the serial
+    # stage-boundary floor that otherwise caps scaling efficiency)
+    meta_df = X.extract_metadata(docs)
     if mode == "fixture":
-        mentions = X.extract_mentions_fixture(docs)
-        triples = X.extract_triples_fixture(
-            docs.join(meta.select("url", "title"), "url")
+        mentions_df = X.extract_mentions_fixture(docs)
+        triples_df = X.extract_triples_fixture(
+            docs.join(meta_df.select("url", "title"), "url")
         )
     else:
-        mentions = X.extract_mentions_heuristic(docs)
-        triples = X.extract_triples_heuristic(docs)
-    mentions = io.write_stage(mentions, "mentions", fp)
-    triples = io.write_stage(triples, "raw_triples", fp)
-    meta = io.write_stage(meta, "metadata", fp)
+        mentions_df = X.extract_mentions_heuristic(docs)
+        triples_df = X.extract_triples_heuristic(docs)
 
-    # stage 3: validation/normalization
-    mentions_v = io.write_stage(V.validate_mentions(mentions), "mentions_valid", fp)
-    triples_v = io.write_stage(V.validate_triples(triples), "triples_valid", fp)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_mentions = ex.submit(io.write_stage, mentions_df, "mentions", fp)
+        f_triples = ex.submit(io.write_stage, triples_df, "raw_triples", fp)
+        f_meta = ex.submit(io.write_stage, meta_df, "metadata", fp)
+        mentions, triples, meta = f_mentions.result(), f_triples.result(), f_meta.result()
+
+    # stage 3: validation/normalization (independent streams, overlapped)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_mv = ex.submit(io.write_stage, V.validate_mentions(mentions), "mentions_valid", fp)
+        f_tv = ex.submit(io.write_stage, V.validate_triples(triples), "triples_valid", fp)
+        mentions_v, triples_v = f_mv.result(), f_tv.result()
 
     # stages 4+5: canonicalize + materialize (nodes partitioned by type —
-    # type filters become partition pruning, reference B-tree on node_type)
-    nodes = io.write_stage(
-        L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v)),
-        "nodes",
-        fp,
-        partition_by=["node_type"],
-    )
-    # edges: cluster by type (row-group stats pruning) instead of hive
-    # partitioning — the dynamic-partition write tripled stage cost
-    edges = io.write_stage(
-        L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture")),
-        "edges", fp,
-        sort_by=["edge_type"],
-    )
+    # type filters become partition pruning, reference B-tree on node_type;
+    # edges cluster-by-sort instead: the dynamic-partition write tripled
+    # stage cost on the 7M-row table)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_nodes = ex.submit(
+            io.write_stage,
+            L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v)),
+            "nodes", fp, ["node_type"],
+        )
+        f_edges = ex.submit(
+            io.write_stage,
+            L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture")),
+            "edges", fp, None, ["edge_type"],
+        )
+        nodes, edges = f_nodes.result(), f_edges.result()
 
     # stage 6: cross-document linking. The final edge table is a zero-copy
     # union commit (Iceberg-append semantics): rewriting all intra-doc edges

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -41,6 +42,9 @@ class TableIO:
         # of pure overhead otherwise)
         self.defer_metrics = defer_metrics
         self._pending: list[tuple[str, str, str, float]] = []  # (name, fp, path, sec)
+        # stage writes may be submitted from concurrent driver threads
+        # (independent stages overlap); manifest read-modify-write is locked
+        self._lock = threading.Lock()
 
     # -- manifest ----------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -94,17 +98,19 @@ class TableIO:
 
         committed = self.spark.read.parquet(snap)
         if self.defer_metrics:
-            self._pending.append((name, fingerprint, snap, time.time() - t0))
+            with self._lock:
+                self._pending.append((name, fingerprint, snap, time.time() - t0))
         else:
             self._append_metrics(name, fingerprint, committed, time.time() - t0)
 
-        manifest = self._load_manifest()
-        manifest["tables"][name] = {
-            "path": snap,
-            "fingerprint": fingerprint,
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        self._commit_manifest(manifest)
+        with self._lock:
+            manifest = self._load_manifest()
+            manifest["tables"][name] = {
+                "path": snap,
+                "fingerprint": fingerprint,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self._commit_manifest(manifest)
         return committed
 
     def commit_union(self, name: str, members: list[str], fingerprint: str) -> DataFrame:

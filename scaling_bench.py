@@ -1,15 +1,18 @@
-"""Scaling-efficiency evidence: the same pipeline job at two parallelism
-levels (local[N] vs local[4N]) over the SAME pre-generated input.
+"""Scaling-efficiency evidence: the same pipeline job at two CLUSTER SIZES —
+N executors vs 4N executors — on identical input.
 
-The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
-≥ 0.8) cannot use a real cluster in this sandbox; per the driver's
-instruction it is evidenced by running the identical job in separate JVMs at
-two local parallelism levels and reporting throughput at both.
+No real multi-machine cluster exists in this sandbox, so executors are
+spawned as separate JVM processes via Spark's ``local-cluster[N, cores, mem]``
+master (the standalone-mode test harness: one worker JVM per executor, real
+shuffle/broadcast over the localhost network, the application code shipped
+to executors via py-files exactly as ``spark-submit --py-files`` would).
+This is materially closer to a multi-executor cluster than ``local[N]``
+thread scaling, which bottlenecks on a single JVM's allocator/GC.
 
-    efficiency = (docs/sec at 4N) / (4 × docs/sec at N)
+    efficiency = (docs/sec at 4N executors) / (4 × docs/sec at N executors)
 
-Usage: ``python scaling_bench.py [--docs 60000] [--n 8]`` — prints one JSON
-line and (with ``--update-baseline``) appends the evidence to BASELINE.md.
+Usage: ``python scaling_bench.py [--docs 240000] [--n 1] [--cores 4]
+[--repeats 2] [--update-baseline]`` — prints one JSON line.
 """
 
 from __future__ import annotations
@@ -21,20 +24,38 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import zipfile
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 RUNNER = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
-os.environ["SPARK_GRAFT_MASTER"] = "local[{cores}]"
-os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(max(8, {cores}))
-import research_knowledge_graph_spark as rkg
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local-cluster[{execs},{cores},{mem}]")
+    .appName("rkg_scaling_{execs}x{cores}")
+    .config("spark.executor.memory", "{mem_g}g")
+    .config("spark.driver.memory", "8g")
+    .config("spark.sql.shuffle.partitions", str({execs} * {cores} * 2))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.addPyFile({pkg_zip!r})  # ship the package to executors
 from research_knowledge_graph_spark.plans.pipeline import run_pipeline
 
-spark = rkg.get_spark(app_name="rkg_scaling_{cores}")
 pages = spark.read.parquet({pages!r})
-pages.count()  # warm input footers; exclude from timing
+pages.count()  # warm input footers; excluded from timing
 workdir = tempfile.mkdtemp(prefix="rkg_scale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 try:
     t0 = time.time()
@@ -43,17 +64,32 @@ try:
     elapsed = time.time() - t0
 finally:
     shutil.rmtree(workdir, ignore_errors=True)
-print(json.dumps({{"cores": {cores}, "elapsed_sec": round(elapsed, 2),
-                   "edges": n_edges}}))
+print(json.dumps({{"executors": {execs}, "cores": {cores},
+                   "elapsed_sec": round(elapsed, 2), "edges": n_edges}}))
 """
 
 
-def run_at(cores: int, pages_path: str, repeats: int = 2) -> dict:
-    """Best-of-N runs: the sandbox VM shows ±25% run-to-run noise (shared
-    host), so a single sample per level is meaningless."""
+def _make_pkg_zip() -> str:
+    path = os.path.join(tempfile.gettempdir(), "rkg_pkg.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "research_knowledge_graph_spark")
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def run_at(execs: int, cores: int, mem_g: int, pages_path: str, pkg_zip: str, repeats: int) -> dict:
+    """Best-of-N runs: the sandbox VM shows ±25% run-to-run noise."""
     best = None
     for _ in range(repeats):
-        code = RUNNER.format(repo=REPO, cores=cores, pages=pages_path)
+        code = RUNNER.format(
+            repo=REPO, execs=execs, cores=cores, mem=mem_g * 1024, mem_g=mem_g,
+            pages=pages_path, pkg_zip=pkg_zip,
+        )
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, check=True
         )
@@ -66,34 +102,32 @@ def run_at(cores: int, pages_path: str, repeats: int = 2) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=240000)
-    ap.add_argument(
-        "--n", type=int, default=2,
-        help="small parallelism level N (4N must stay well under physical "
-        "cores: local mode shares one JVM, and beyond ~8-16 threads the "
-        "shared allocator/GC — not the operators — becomes the limit)",
-    )
+    ap.add_argument("--n", type=int, default=1, help="small cluster size (executors)")
+    ap.add_argument("--cores", type=int, default=4, help="cores per executor")
+    ap.add_argument("--mem", type=int, default=6, help="GiB per executor")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
-    # generate input ONCE; both runs read the same bytes (shm: keep the
-    # measurement about compute, not disk)
+    pkg_zip = _make_pkg_zip()
+
+    # generate input ONCE; both cluster sizes read the same bytes
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     pages_dir = tempfile.mkdtemp(prefix="rkg_pages_", dir=tmp_root)
+    pages_path = os.path.join(pages_dir, "pages")
     gen_code = (
-        f"import sys; sys.path.insert(0, {REPO!r});\n"
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
         "import research_knowledge_graph_spark as rkg\n"
         "from research_knowledge_graph_spark.sources.pages import synthesize_pages, default_vocab_scale\n"
         "spark = rkg.get_spark(app_name='rkg_gen')\n"
         f"synthesize_pages(spark, {args.docs}, vocab_scale=default_vocab_scale({args.docs}))"
-        f".write.mode('overwrite').parquet({pages_dir!r}/'pages')"
-    ).replace(f"{pages_dir!r}/'pages'", repr(os.path.join(pages_dir, "pages")))
+        f".write.mode('overwrite').parquet({pages_path!r})"
+    )
     subprocess.run([sys.executable, "-c", gen_code], check=True, capture_output=True, text=True)
-    pages_path = os.path.join(pages_dir, "pages")
 
     try:
-        small = run_at(args.n, pages_path, args.repeats)
-        big = run_at(args.n * 4, pages_path, args.repeats)
+        small = run_at(args.n, args.cores, args.mem, pages_path, pkg_zip, args.repeats)
+        big = run_at(args.n * 4, args.cores, args.mem, pages_path, pkg_zip, args.repeats)
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
 
@@ -102,9 +136,10 @@ def main() -> None:
     eff = tp_big / (4 * tp_small)
     result = {
         "metric": "pipeline_scaling_efficiency",
+        "mode": f"local-cluster, {args.cores} cores x {args.mem}g per executor, package shipped via py-files",
         "docs": args.docs,
-        "n_cores": args.n,
-        "4n_cores": args.n * 4,
+        "n_executors": args.n,
+        "4n_executors": args.n * 4,
         "elapsed_n_sec": small["elapsed_sec"],
         "elapsed_4n_sec": big["elapsed_sec"],
         "docs_per_sec_n": round(tp_small, 1),
