@@ -79,15 +79,24 @@ def build_paper_nodes(metadata: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_label_col(mentions: DataFrame) -> F.Column:
+    """Node-identity label: the fuzzy path adds ``canonical_label``
+    (cluster canonical); otherwise the normalized surface label."""
+    if "canonical_label" in mentions.columns:
+        return F.coalesce(F.col("canonical_label"), F.col("label"))
+    return F.col("label")
+
+
 def build_entity_nodes(mentions_valid: DataFrame) -> DataFrame:
-    """Global exact-label canonicalization: one node per (entity_type, label);
+    """Global canonicalization: one node per (entity_type, canonical label);
     description/properties from the globally-first (url, seq) arrival.
 
     Single hash-aggregate; no join, no window. The reference's per-insert
     ``find_node_by_label`` N+1 loop becomes one shuffle on the entity key.
     """
+    mentions_valid = mentions_valid.withColumn("_canon", _canonical_label_col(mentions_valid))
     return (
-        mentions_valid.groupBy("entity_type", "label")
+        mentions_valid.groupBy("entity_type", F.col("_canon").alias("label"))
         .agg(
             F.min_by(F.struct("description", "properties"), F.struct("url", "seq")).alias("_first"),
             F.countDistinct("url").alias("n_docs"),
@@ -131,8 +140,10 @@ def build_edges(
         "url",
         "seq",
         "entity_type",
-        "label",
-        entity_node_id(F.col("entity_type"), F.col("label")).alias("entity_id"),
+        "label",  # surface label: the triple-endpoint resolution key
+        entity_node_id(
+            F.col("entity_type"), _canonical_label_col(mentions_valid)
+        ).alias("entity_id"),
     )
 
     paper_entity = ent.select(

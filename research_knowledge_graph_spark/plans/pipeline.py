@@ -47,14 +47,21 @@ def run_pipeline(
     run_fingerprint: str = "r1",
     cross_link: bool = True,
     max_block_degree: int | None = 1000,
+    canonicalize: str = "exact",
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a pages table.
 
     ``run_fingerprint`` keys checkpoint identity: same fingerprint ⇒
     committed stages are skipped on re-run.
+
+    ``canonicalize``: ``"exact"`` (reference parity — entities merge on
+    exact normalized label, ``ingestion_service.py:105-129``) or ``"fuzzy"``
+    (scale path: MinHash-LSH → connected components → broadcast alias
+    dictionary rewrites each mention's label to its cluster canonical before
+    materialization).
     """
     io = TableIO(spark, workdir)
-    fp = f"{run_fingerprint}:{mode}"
+    fp = f"{run_fingerprint}:{mode}:{canonicalize}"
 
     # stage 1: text extraction (map-only, Arrow UDF)
     docs = io.write_stage(
@@ -90,6 +97,21 @@ def run_pipeline(
         f_mv = ex.submit(io.write_stage, V.validate_mentions(mentions), "mentions_valid", fp)
         f_tv = ex.submit(io.write_stage, V.validate_triples(triples), "triples_valid", fp)
         mentions_v, triples_v = f_mv.result(), f_tv.result()
+
+    # stage 3b (optional): fuzzy alias clustering — mentions keep their
+    # surface label for provenance; the canonical label drives node identity
+    if canonicalize == "fuzzy":
+        from research_knowledge_graph_spark.operators.canonicalize import (
+            canonicalize_fuzzy,
+        )
+
+        # surface label kept (it is the triple-endpoint resolution key);
+        # canonical_label drives node identity downstream
+        fuzzy = canonicalize_fuzzy(mentions_v).select(
+            "url", "seq", "entity_type", "label", "description", "properties",
+            "canonical_label",
+        )
+        mentions_v = io.write_stage(fuzzy, "mentions_canonical", fp)
 
     # stages 4+5: canonicalize + materialize (nodes partitioned by type —
     # type filters become partition pruning, reference B-tree on node_type;

@@ -183,8 +183,10 @@ def synthesize_pages(
                 url, title, body, lang = _make_page(int(doc_id), vs)
                 domain = url.split("/")[2]
                 html = _render_html(title, body, domain).encode("utf-8")
+                # ~45-minute stride per doc id → event time spans hours even
+                # for small corpora (watermark/window tests need real spread)
                 ts = pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(
-                    seconds=int(doc_id) % 31_536_000
+                    seconds=(int(doc_id) * 2711) % 31_536_000
                 )
                 rows.append((url, ts, html, body, lang))
             yield pd.DataFrame(
