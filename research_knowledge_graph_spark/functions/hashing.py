@@ -22,9 +22,13 @@ SEP = "\x1f"  # unit separator: unlikely in labels, keeps keys unambiguous
 
 
 def det_id(kind: str, *cols: Column | str) -> Column:
-    """Deterministic 64-hex-char id for a node/edge from its content key."""
+    """Deterministic id for a node/edge from its content key: first 128 bits
+    of sha256, hex. 128 bits keeps the collision probability among 10¹² ids
+    at ~1.5e-15 (birthday bound), while halving id bytes vs full sha256 hex —
+    ids dominate shuffle volume in the join/dedup stages, so this directly
+    halves their exchange size."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.sha2(F.concat_ws(SEP, F.lit(kind), *cs), 256)
+    return F.substring(F.sha2(F.concat_ws(SEP, F.lit(kind), *cs), 256), 1, 32)
 
 
 def portable_hash64(col: Column | str, seed: int | None = None) -> Column:
