@@ -302,6 +302,54 @@ def e03_knn_lsh(spark, sf_dir):
     )
 
 
+def t08_chunk_stats(spark, sf_dir):
+    """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF —
+    iterative per-document algorithm, not ANSI-SQL-expressible: rows-only
+    check (no oracle entry)."""
+    from research_knowledge_graph_spark.functions.textops import chunk_text_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(chunk_text_udf(F.col("text"))).cast("int").alias("n_chunks"),
+    )
+
+
+def m01_media_features(spark, sf_dir):
+    """Multimodal plumbing: treat document bytes as opaque media payloads,
+    run the feature-extraction mapInPandas path (decode stubbed — see
+    operators/multimodal.py). Numpy histogram features are not
+    SQL-expressible: rows-only check."""
+    from research_knowledge_graph_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").limit(100)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return extract_media_features(media).select(
+        "media_id", "n_bytes", F.round("byte_mean", 4).alias("byte_mean")
+    )
+
+
+def e04_embed_documents(spark, sf_dir):
+    """L4 embedding generation (hashing-trick pandas UDF) over documents —
+    float-vector output, rows-only check."""
+    from research_knowledge_graph_spark.operators.qa import embed_docs
+
+    d = _t(spark, sf_dir, "documents").limit(200)
+    out = embed_docs(d, dim=32)
+    return out.select(
+        "doc_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm"),
+    )
+
+
 def v01_hourly_rollup(spark, sf_dir):
     """Event-time windowed aggregation (tumbling 1h) over events."""
     ev = _t(spark, sf_dir, "events")
@@ -351,6 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
         "e03_knn_lsh": e03_knn_lsh,
+        "t08_chunk_stats": t08_chunk_stats,
+        "m01_media_features": m01_media_features,
+        "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
         "v02_user_value_topk": v02_user_value_topk,
     }

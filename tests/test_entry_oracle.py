@@ -68,7 +68,19 @@ def _rows_duck(con, sql):
     ), cols
 
 
-@pytest.mark.parametrize("name", sorted(ENTRY.queries().keys()))
+# UDF-backed operators whose semantics are not ANSI-SQL-expressible:
+# the driver records a weaker rows-only check for these (documented in
+# each query's docstring); locally we verify they run and return rows.
+ROWS_ONLY = {"t08_chunk_stats", "m01_media_features", "e04_embed_documents"}
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_queries_run(spark, name):
+    df = ENTRY.queries()[name](spark, SF_DIR)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(set(ENTRY.queries()) - ROWS_ONLY))
 def test_query_matches_oracle(spark, ddb, name):
     oracles = ENTRY.oracle_sql()
     assert name in oracles, f"{name} has no oracle (add it or document why)"
