@@ -54,6 +54,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _utc(spark: SparkSession) -> None:
+    """Timestamp-sensitive queries pin the session timezone: DuckDB reads
+    parquet timestamps as naive UTC wall-clock, so Spark must render/compare
+    in UTC too regardless of the host session's default."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # ===========================================================================
 # entry: flagship query (driver smoke check at sf0.001)
 # ===========================================================================
@@ -74,6 +81,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q01_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-filter-aggregate with pushdown (SURVEY §2.4)."""
+    _utc(spark)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1995-09-02")))
@@ -177,6 +185,7 @@ def g07_reverse_reach(spark, sf_dir):
 
 def g08_recursive_chain(spark, sf_dir):
     """G2/q9 recursive chain: walk FOLLOWS edges from each first order."""
+    _utc(spark)
     edges = TG.derive_edges(spark, sf_dir)
     starts = TG.first_orders(spark, sf_dir)
     return G.recursive_chain(edges, starts, edge_type="FOLLOWS", max_depth=5)
@@ -190,6 +199,7 @@ def g09_bfs(spark, sf_dir):
 
 def g10_recent_orders(spark, sf_dir):
     """J1/O1 ordered join: latest 50 orders with customer names."""
+    _utc(spark)
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
@@ -352,6 +362,7 @@ def e04_embed_documents(spark, sf_dir):
 
 def v01_hourly_rollup(spark, sf_dir):
     """Event-time windowed aggregation (tumbling 1h) over events."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(

@@ -1,0 +1,38 @@
+"""IVF ANN: probing all cells must equal brute force exactly; partial probe
+keeps high recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.ann_ivf import knn_ivf
+from research_knowledge_graph_spark.operators.similarity import knn_bruteforce
+
+
+def _queries(e):
+    return e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _queries(e)
+    bf = {(r.query_id, r.rank, r.vec_id) for r in knn_bruteforce(e, q, k=10).collect()}
+    ivf = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_ivf(spark, e, q, k_cells=8, nprobe=8, k=10).collect()
+    }
+    assert ivf == bf  # probing every cell == exact search
+
+
+def test_ivf_partial_probe_recall(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _queries(e)
+    bf = {(r.query_id, r.vec_id) for r in knn_bruteforce(e, q, k=10).collect()}
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in knn_ivf(spark, e, q, k_cells=8, nprobe=4, k=10).collect()
+    }
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.5, recall  # half the cells probed → decent recall
