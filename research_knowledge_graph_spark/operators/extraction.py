@@ -227,6 +227,16 @@ HEURISTIC_TEMPLATES: list[dict] = [
      "title_subj": False, "subj_type": "method", "obj_type": "method", "conf": 0.8},
     {"pat": r"([A-Z][A-Za-z0-9 ]*?) is compared with ([A-Z][A-Za-z0-9 ]*?)\.", "pred": "COMPARES_WITH",
      "title_subj": False, "subj_type": "method", "obj_type": "method", "conf": 0.75},
+    # generic patterns for free-form text (not planted by the synthetic
+    # corpus — covered by their own unit tests)
+    {"pat": r"([A-Z][A-Za-z0-9 ]*?) is based on ([A-Z][A-Za-z0-9 ]*?)\.", "pred": "USES_CONCEPT",
+     "title_subj": False, "subj_type": "method", "obj_type": "concept", "conf": 0.7},
+    {"pat": r"[Ww]e use the ([^.\n]+?) algorithm\.", "pred": "USES_CONCEPT",
+     "title_subj": True, "obj_type": "method", "conf": 0.7},
+    {"pat": r"trained on the ([^.\n]+?) dataset", "pred": "USES_DATASET",
+     "title_subj": True, "obj_type": "dataset", "conf": 0.8},
+    {"pat": r"measured by ([A-Z][A-Za-z0-9 ]*?)\.", "pred": "EVALUATES_WITH",
+     "title_subj": True, "obj_type": "metric", "conf": 0.8},
 ]
 
 

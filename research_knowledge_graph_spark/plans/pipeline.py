@@ -48,6 +48,7 @@ def run_pipeline(
     cross_link: bool = True,
     max_block_degree: int | None = 1000,
     canonicalize: str = "exact",
+    materialize_raw: bool = False,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a pages table.
 
@@ -59,6 +60,13 @@ def run_pipeline(
     (scale path: MinHash-LSH → connected components → broadcast alias
     dictionary rewrites each mention's label to its cluster canonical before
     materialization).
+
+    ``materialize_raw``: checkpoint the raw extraction streams (mentions /
+    raw_triples / metadata) as their own snapshots. Default off — the right
+    scale tradeoff: extraction is a map-only recompute from the committed
+    ``docs`` table, so writing + re-reading 10¹² raw mention rows costs more
+    than re-deriving them; checkpoints sit at the expensive boundaries
+    (html decode, post-shuffle validation, graph materialization).
     """
     io = TableIO(spark, workdir)
     fp = f"{run_fingerprint}:{mode}:{canonicalize}"
@@ -86,11 +94,14 @@ def run_pipeline(
         mentions_df = X.extract_mentions_heuristic(docs)
         triples_df = X.extract_triples_heuristic(docs)
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        f_mentions = ex.submit(io.write_stage, mentions_df, "mentions", fp)
-        f_triples = ex.submit(io.write_stage, triples_df, "raw_triples", fp)
-        f_meta = ex.submit(io.write_stage, meta_df, "metadata", fp)
-        mentions, triples, meta = f_mentions.result(), f_triples.result(), f_meta.result()
+    if materialize_raw:
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_mentions = ex.submit(io.write_stage, mentions_df, "mentions", fp)
+            f_triples = ex.submit(io.write_stage, triples_df, "raw_triples", fp)
+            f_meta = ex.submit(io.write_stage, meta_df, "metadata", fp)
+            mentions, triples, meta = f_mentions.result(), f_triples.result(), f_meta.result()
+    else:
+        mentions, triples, meta = mentions_df, triples_df, meta_df
 
     # stage 3: validation/normalization (independent streams, overlapped)
     with ThreadPoolExecutor(max_workers=2) as ex:

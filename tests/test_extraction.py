@@ -95,6 +95,22 @@ def test_heuristic_mentions_typed(spark):
     assert m.filter(F.col("label").startswith("Benchmark Set")).count() > 0
 
 
+def test_heuristic_generic_patterns(spark):
+    """Free-form patterns beyond the synthetic templates."""
+    text = (
+        "Deep Retrieval Nets\n\n"
+        "Our system is trained on the Common Web Corpus dataset. "
+        "Quality is measured by BLEU. We use the beam search algorithm. "
+        "Deep Retrieval Nets is based on Dense Indexing."
+    )
+    docs = spark.createDataFrame([("u://x", text)], "url string, text string")
+    got = {(r.subj, r.pred, r.obj) for r in extract_triples_heuristic(docs).collect()}
+    assert ("Deep Retrieval Nets", "USES_DATASET", "Common Web Corpus") in got
+    assert ("Deep Retrieval Nets", "EVALUATES_WITH", "BLEU") in got
+    assert ("Deep Retrieval Nets", "USES_CONCEPT", "beam search") in got
+    assert ("Deep Retrieval Nets", "USES_CONCEPT", "Dense Indexing") in got
+
+
 def test_html_text_byte_identical(spark):
     """Stage-1 invariant: extracted text == the text column, per url."""
     pages = synthesize_pages(spark, 30)
