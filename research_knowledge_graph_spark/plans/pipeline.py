@@ -101,7 +101,11 @@ def run_pipeline(
             f_meta = ex.submit(io.write_stage, meta_df, "metadata", fp)
             mentions, triples, meta = f_mentions.result(), f_triples.result(), f_meta.result()
     else:
-        mentions, triples, meta = mentions_df, triples_df, meta_df
+        # single-consumer streams stay lazy (validation fuses with
+        # extraction in one job); metadata has TWO consumers (nodes, edges)
+        # so it is always materialized — lazy would recompute it per consumer
+        mentions, triples = mentions_df, triples_df
+        meta = io.write_stage(meta_df, "metadata", fp)
 
     # stage 3: validation/normalization (independent streams, overlapped)
     with ThreadPoolExecutor(max_workers=2) as ex:
