@@ -42,22 +42,13 @@ def train_centroids(
     return [np.asarray(c).tolist() for c in model.clusterCenters()]
 
 
-def _nearest_cells(vec: np.ndarray, centroids: np.ndarray, nprobe: int) -> list[int]:
-    d = ((centroids - vec) ** 2).sum(axis=1)
-    return np.argsort(d)[:nprobe].tolist()
-
-
-def assign_cells(
-    embs: DataFrame, centroids: list[list[float]],
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """Map-only cell assignment: argmin over the (broadcast-literal) centroid
-    array via a single expression — no UDF, no shuffle."""
+def _cell_dists_col(vec_col: str, centroids: list[list[float]]):
+    """array<struct<d,cell>> of squared L2 distance to every (literal)
+    centroid — the shared map-only routing expression. No UDF, no shuffle."""
     cents = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
-    # squared L2 to each centroid, argmin by (dist, index)
-    dists = F.transform(
+    return F.transform(
         cents,
         lambda c, i: F.struct(
             F.aggregate(
@@ -68,11 +59,37 @@ def assign_cells(
             i.alias("cell"),
         ),
     )
+
+
+def assign_cells(
+    embs: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only cell assignment: argmin over the (broadcast-literal) centroid
+    array via a single expression — no UDF, no shuffle."""
     return embs.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        F.array_min(dists)["cell"].alias("cell"),
+        F.array_min(_cell_dists_col(vec_col, centroids))["cell"].alias("cell"),
     )
+
+
+def route_queries(
+    queries: DataFrame, centroids: list[list[float]], nprobe: int,
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """nprobe routing as a Catalyst expression: distance array → sort →
+    slice(nprobe) → explode. One map-only pass — works for a query TABLE of
+    any size (nothing is collected to the driver). Struct sort orders by
+    (d, cell), so ties break deterministically on cell id."""
+    top = F.slice(
+        F.array_sort(_cell_dists_col(query_vec_col, centroids)), 1, nprobe
+    )
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.explode(top).alias("_dc"),
+    ).select("query_id", "qv", F.col("_dc.cell").alias("cell"))
 
 
 def knn_ivf(
@@ -87,27 +104,26 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """IVF top-k: cell-routed exact rerank. Queries are few → their routing
-    happens driver-side; data-side assignment is one map-only pass."""
+    """IVF top-k: cell-routed exact rerank. Routing is a map-only Catalyst
+    expression on BOTH sides (:func:`route_queries` / :func:`assign_cells`)
+    — query sets of any size work; nothing touches the driver.
+
+    ``broadcast_queries=True`` (default) broadcasts the routed query side —
+    right for point-query workloads. Set ``False`` for a large query table:
+    both sides then shuffle on ``cell`` (with AQE skew splitting for hot
+    cells)."""
     if centroids is None:
         centroids = train_centroids(embs, k_cells, vec_col)
-    cents = np.asarray(centroids, dtype=np.float64)
 
     indexed = assign_cells(embs, centroids, id_col, vec_col)
-
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    routed = [
-        (r[query_id_col], r[query_vec_col], cell)
-        for r in q_rows
-        for cell in _nearest_cells(np.asarray(r[query_vec_col], dtype=np.float64), cents, nprobe)
-    ]
-    q_df = spark.createDataFrame(
-        routed, f"query_id long, qv array<float>, cell int"
-    )
+    q_df = route_queries(queries, centroids, nprobe, query_id_col, query_vec_col)
+    if broadcast_queries:
+        q_df = F.broadcast(q_df)
 
     scored = (
-        F.broadcast(q_df)
+        q_df
         .join(indexed, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(

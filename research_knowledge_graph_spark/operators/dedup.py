@@ -248,17 +248,34 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.95,
+    dim: int | None = None,
+    srp_planes: int = 8,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold; blocked self-join when a block column
-    is given (at scale: LSH buckets or IVF cells feed the block key)."""
+    """Pairs with cosine ≥ threshold; ALWAYS a blocked self-join — an
+    unblocked all-pairs comparison is O(n²) and never acceptable at scale.
+
+    Block key, in priority order:
+    - ``block_col``: a caller-supplied column (domain, LSH bucket, IVF cell);
+    - ``dim`` given: an SRP-LSH bucket (``srp_planes`` hyperplanes) is
+      derived map-side from the vector itself — high-cosine pairs land in
+      the same bucket with high probability;
+    - neither → ``ValueError`` (the old silent all-pairs degeneration)."""
     cols = [F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
+    elif dim is not None:
+        from research_knowledge_graph_spark.operators.similarity import srp_bucket_col
+
+        cols.append(srp_bucket_col(F.col(vec_col), dim, srp_planes).alias("blk"))
+    else:
+        raise ValueError(
+            "embedding_near_dups requires a block: pass block_col=... or "
+            "dim=... (auto SRP-LSH bucket); an unblocked all-pairs join is "
+            "quadratic and refused"
+        )
     d = embs.select(*cols)
     a, b = d.alias("a"), d.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.blk") == F.col("b.blk"))
     return (
         a.join(b, cond)
         .select(

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from research_knowledge_graph_spark.operators import extraction as X
 from research_knowledge_graph_spark.operators import html_text as H
@@ -49,6 +50,7 @@ def run_pipeline(
     max_block_degree: int | None = 1000,
     canonicalize: str = "exact",
     materialize_raw: bool = False,
+    checkpoint_level: str = "full",
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a pages table.
 
@@ -67,17 +69,48 @@ def run_pipeline(
     ``docs`` table, so writing + re-reading 10¹² raw mention rows costs more
     than re-deriving them; checkpoints sit at the expensive boundaries
     (html decode, post-shuffle validation, graph materialization).
+
+    ``checkpoint_level``:
+
+    - ``"full"`` (default): every stage is a committed snapshot — resume
+      restarts at any stage boundary. The right mode for long multi-day
+      ingest jobs where executor loss is routine.
+    - ``"minimal"``: only the FINAL tables (nodes, edges, cross_edges,
+      edges_all) are committed; intermediates (docs, metadata,
+      mentions_valid) live in the executor block-manager cache
+      (MEMORY_AND_DISK) instead of being written + re-read through shared
+      storage. Caches are executor-local, so this path's IO scales with
+      cluster size, where a stage write through one storage endpoint does
+      not — measured: it is what closes the N→4N scaling-efficiency gap on
+      a single host, and on a real cluster it removes 4 full-table round
+      trips to the object store. Tradeoff: a failure re-runs from the pages
+      scan (lineage recompute), not from the last stage snapshot.
     """
     io = TableIO(spark, workdir)
     fp = f"{run_fingerprint}:{mode}:{canonicalize}"
+    minimal = checkpoint_level == "minimal"
+    _cached: list[DataFrame] = []
 
-    # stage 1: text extraction (map-only, Arrow UDF)
-    docs = io.write_stage(
+    def _stage(df: DataFrame, name: str, eager: bool = False) -> DataFrame:
+        """Checkpoint boundary: snapshot commit (full) or executor-local
+        cache (minimal). ``eager`` materializes the cache up front so
+        concurrent consumer jobs don't race to compute the same partitions."""
+        if not minimal:
+            return io.write_stage(df, name, fp)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _cached.append(df)
+        if eager:
+            df.count()
+        return df
+
+    # stage 1: text extraction (map-only, Arrow UDF); three downstream
+    # consumers scan it → eager cache in minimal mode
+    docs = _stage(
         H.extract_text(pages).select(
             "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
         ),
         "docs",
-        fp,
+        eager=True,
     )
 
     # stage 2: extraction — three independent outputs of one docs scan;
@@ -105,13 +138,21 @@ def run_pipeline(
         # extraction in one job); metadata has TWO consumers (nodes, edges)
         # so it is always materialized — lazy would recompute it per consumer
         mentions, triples = mentions_df, triples_df
-        meta = io.write_stage(meta_df, "metadata", fp)
+        meta = _stage(meta_df, "metadata", eager=True)
 
-    # stage 3: validation/normalization (independent streams, overlapped)
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_mv = ex.submit(io.write_stage, V.validate_mentions(mentions), "mentions_valid", fp)
-        f_tv = ex.submit(io.write_stage, V.validate_triples(triples), "triples_valid", fp)
-        mentions_v, triples_v = f_mv.result(), f_tv.result()
+    # stage 3: validation/normalization. In full mode the two independent
+    # streams are committed from overlapped driver threads; in minimal mode
+    # validation FUSES with extraction into the consuming jobs —
+    # mentions_valid is cached eagerly (nodes + edges both scan it),
+    # triples_valid has one consumer (build_edges) and stays fully lazy.
+    if minimal:
+        mentions_v = _stage(V.validate_mentions(mentions), "mentions_valid", eager=True)
+        triples_v = V.validate_triples(triples)
+    else:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_mv = ex.submit(io.write_stage, V.validate_mentions(mentions), "mentions_valid", fp)
+            f_tv = ex.submit(io.write_stage, V.validate_triples(triples), "triples_valid", fp)
+            mentions_v, triples_v = f_mv.result(), f_tv.result()
 
     # stage 3b (optional): fuzzy alias clustering — mentions keep their
     # surface label for provenance; the canonical label drives node identity
@@ -126,7 +167,7 @@ def run_pipeline(
             "url", "seq", "entity_type", "label", "description", "properties",
             "canonical_label",
         )
-        mentions_v = io.write_stage(fuzzy, "mentions_canonical", fp)
+        mentions_v = _stage(fuzzy, "mentions_canonical", eager=True)
 
     # stages 4+5: canonicalize + materialize (nodes partitioned by type —
     # type filters become partition pruning, reference B-tree on node_type;
@@ -158,6 +199,8 @@ def run_pipeline(
         edges_all = io.commit_union("edges_all", ["edges"], fp)
 
     io.flush_metrics()
+    for df in _cached:
+        df.unpersist()
     return PipelineResult(
         nodes=nodes, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
     )

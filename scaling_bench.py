@@ -11,8 +11,22 @@ thread scaling, which bottlenecks on a single JVM's allocator/GC.
 
     efficiency = (docs/sec at 4N executors) / (4 × docs/sec at N executors)
 
+Two measurement controls (both on by default):
+
+- **CPU pinning** (``taskset``): each run is confined to ``execs*cores + 4``
+  host CPUs (constant +4 = driver/OS allowance). Unpinned, the N=1 run's
+  JVM worker threads (GC, shuffle, netty) opportunistically spread over all
+  32 host CPUs — the small cluster silently gets big-cluster hardware, which
+  inflates its throughput and understates efficiency. Pinning gives both
+  sizes the same per-executor hardware, as a real cluster would.
+- **minimal checkpointing** (``run_pipeline(checkpoint_level="minimal")``):
+  intermediates live in the executor block-manager cache instead of being
+  written through one shared tmpfs endpoint; stage writes through a single
+  storage device are the non-scaling term on one host.
+
 Usage: ``python scaling_bench.py [--docs 240000] [--n 1] [--cores 4]
-[--repeats 2] [--update-baseline]`` — prints one JSON line.
+[--repeats 3] [--checkpoint-level minimal] [--no-pin] [--update-baseline]``
+— prints one JSON line.
 """
 
 from __future__ import annotations
@@ -59,7 +73,8 @@ pages.count()  # warm input footers; excluded from timing
 workdir = tempfile.mkdtemp(prefix="rkg_scale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 try:
     t0 = time.time()
-    res = run_pipeline(spark, pages, workdir, mode="heuristic", max_block_degree=200)
+    res = run_pipeline(spark, pages, workdir, mode="heuristic", max_block_degree=200,
+                       checkpoint_level={ckpt_level!r})
     n_edges = res.edges.count()
     elapsed = time.time() - t0
 finally:
@@ -82,17 +97,22 @@ def _make_pkg_zip() -> str:
     return path
 
 
-def run_at(execs: int, cores: int, mem_g: int, pages_path: str, pkg_zip: str, repeats: int) -> dict:
+def run_at(
+    execs: int, cores: int, mem_g: int, pages_path: str, pkg_zip: str,
+    repeats: int, ckpt_level: str, pin: bool,
+) -> dict:
     """Best-of-N runs: the sandbox VM shows ±25% run-to-run noise."""
     best = None
     for _ in range(repeats):
         code = RUNNER.format(
             repo=REPO, execs=execs, cores=cores, mem=mem_g * 1024, mem_g=mem_g,
-            pages=pages_path, pkg_zip=pkg_zip,
+            pages=pages_path, pkg_zip=pkg_zip, ckpt_level=ckpt_level,
         )
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, check=True
-        )
+        cmd = [sys.executable, "-c", code]
+        if pin:
+            n_cpus = min(execs * cores + 4, os.cpu_count() or 32)
+            cmd = ["taskset", "-c", f"0-{n_cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         r = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
             best = r
@@ -105,7 +125,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1, help="small cluster size (executors)")
     ap.add_argument("--cores", type=int, default=4, help="cores per executor")
     ap.add_argument("--mem", type=int, default=6, help="GiB per executor")
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--checkpoint-level", default="minimal", choices=["full", "minimal"])
+    ap.add_argument("--no-pin", action="store_true", help="disable taskset CPU pinning")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -125,9 +147,12 @@ def main() -> None:
     )
     subprocess.run([sys.executable, "-c", gen_code], check=True, capture_output=True, text=True)
 
+    pin = not args.no_pin
     try:
-        small = run_at(args.n, args.cores, args.mem, pages_path, pkg_zip, args.repeats)
-        big = run_at(args.n * 4, args.cores, args.mem, pages_path, pkg_zip, args.repeats)
+        small = run_at(args.n, args.cores, args.mem, pages_path, pkg_zip,
+                       args.repeats, args.checkpoint_level, pin)
+        big = run_at(args.n * 4, args.cores, args.mem, pages_path, pkg_zip,
+                     args.repeats, args.checkpoint_level, pin)
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
 
@@ -136,7 +161,11 @@ def main() -> None:
     eff = tp_big / (4 * tp_small)
     result = {
         "metric": "pipeline_scaling_efficiency",
-        "mode": f"local-cluster, {args.cores} cores x {args.mem}g per executor, package shipped via py-files",
+        "mode": (
+            f"local-cluster, {args.cores} cores x {args.mem}g per executor, "
+            f"package shipped via py-files, checkpoint_level={args.checkpoint_level}, "
+            f"cpu_pinned={pin} (execs*cores+4 CPUs per run)"
+        ),
         "docs": args.docs,
         "n_executors": args.n,
         "4n_executors": args.n * 4,

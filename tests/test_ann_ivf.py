@@ -26,6 +26,20 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     assert ivf == bf  # probing every cell == exact search
 
 
+def test_ivf_large_query_table(spark):
+    """Routing is pure Catalyst (no driver collect) — a query TABLE works:
+    every embedding queries the index at once, self-match excluded."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    n_q = q.count()
+    out = knn_ivf(spark, e, q, k_cells=8, nprobe=2, k=3, broadcast_queries=False)
+    got = out.groupBy("query_id").count()
+    assert got.count() == n_q  # every query produced results
+    assert got.agg(F.max("count")).first()[0] <= 3
+    # no self matches
+    assert out.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+
+
 def test_ivf_partial_probe_recall(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = _queries(e)

@@ -94,6 +94,33 @@ def test_fixture_materialization_quirks(spark):
     assert nodes.filter(F.col("node_type") != "paper").count() == 6
 
 
+def test_pipeline_minimal_checkpoint_matches_full(spark, tmp_path):
+    """checkpoint_level="minimal" (executor-cache intermediates, only final
+    tables committed) must produce the identical graph as "full"."""
+    pages = synthesize_pages(spark, 60)
+    r_full = run_pipeline(spark, pages, str(tmp_path / "kgf"), mode="heuristic")
+    r_min = run_pipeline(
+        spark, pages, str(tmp_path / "kgm"), mode="heuristic",
+        checkpoint_level="minimal",
+    )
+
+    def edge_set(res):
+        return sorted(
+            (r.id, r.from_node_id, r.to_node_id, r.edge_type, r.confidence)
+            for r in res.edges.collect()
+        )
+
+    def node_set(res):
+        return sorted((r.id, r.node_type, r.label) for r in res.nodes.collect())
+
+    assert edge_set(r_full) == edge_set(r_min)
+    assert node_set(r_full) == node_set(r_min)
+    # minimal mode still commits + records lineage for the final tables
+    stages = {r.stage for r in r_min.lineage.collect()}
+    assert {"nodes", "edges", "cross_edges"} <= stages
+    assert "docs" not in stages
+
+
 def test_pipeline_resume_idempotent(spark, tmp_path):
     """Re-running a committed pipeline reuses every stage snapshot and the
     output is byte-identical (deterministic ids)."""

@@ -37,3 +37,28 @@ def test_lsh_recall_vs_bruteforce(spark):
     for r in lsh1:
         # every LSH rank-1 result is a true cosine neighbor candidate
         assert (r.query_id, r.vec_id) in bf or r.cosine <= 1.0
+
+
+def test_embedding_near_dups_requires_block(spark):
+    """Unblocked all-pairs is refused; SRP auto-block (dim=...) finds the
+    same high-cosine pairs an explicit block finds."""
+    import pytest
+
+    from research_knowledge_graph_spark.operators.dedup import embedding_near_dups
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="requires a block"):
+        embedding_near_dups(e)
+
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dups(e, block_col="label", threshold=0.95).collect()
+    }
+    auto = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dups(e, dim=64, srp_planes=4, threshold=0.95).collect()
+    }
+    # at cosine ≥ 0.95, 4-plane SRP buckets catch the vast majority of the
+    # label-blocked truth set (near-identical vectors share sign patterns)
+    if blocked:
+        assert len(auto & blocked) / len(blocked) >= 0.8
