@@ -215,6 +215,74 @@ def g10_recent_orders(spark, sf_dir):
     )
 
 
+def g12_citation_network(spark, sf_dir):
+    """Reference q7 (sql/example_queries.sql:99-112): the citation-network
+    shape — a typed edge with the side-table metadata joined on BOTH
+    endpoints, ordered by the citing side's date. FOLLOWS plays CITES;
+    orders plays papers."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    e = TG.derive_edges(spark, sf_dir).filter(F.col("edge_type") == "FOLLOWS")
+    o1 = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("nid1"),
+        F.col("o_orderkey").alias("citing_order"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("citing_date"),
+    )
+    o2 = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("nid2"),
+        F.col("o_orderkey").alias("cited_order"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("cited_date"),
+    )
+    return (
+        e.join(o1, e.from_node_id == o1.nid1)
+        .join(o2, e.to_node_id == o2.nid2)
+        .orderBy(F.desc("citing_date"), F.asc("citing_order"), F.asc("cited_order"))
+        .limit(100)
+        .select("citing_order", "citing_date", "cited_order", "cited_date", "confidence")
+    )
+
+
+def g13_papers_by_dataset(spark, sf_dir):
+    """Reference q10 (sql/example_queries.sql:163-175): entities of one type
+    reached from the side table through typed edges, projecting an edge
+    property, ordered by date. Parts play datasets; USES_PART plays
+    USES_DATASET/EVALUATES_ON; confidence plays the evidence property."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    nodes = TG.derive_nodes(spark, sf_dir).filter(F.col("node_type") == "part")
+    e = TG.derive_edges(spark, sf_dir).filter(F.col("edge_type") == "USES_PART")
+    onode = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("nid"),
+        F.col("o_orderkey").alias("order_key"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+    return (
+        onode.join(e, onode.nid == e.from_node_id)
+        .join(nodes, e.to_node_id == nodes.id)
+        .orderBy(
+            F.desc("order_date"), F.asc("order_key"), F.asc("label"), F.asc("to_node_id")
+        )
+        .limit(100)
+        .select("order_key", "order_date", F.col("label").alias("part_name"), "confidence")
+    )
+
+
+def g14_motif_triangle(spark, sf_dir):
+    """Motif finding (GraphFrames-find surface, operators/motif.py):
+    consecutive orders sharing a part — a 3-edge triangle
+    (o1)-FOLLOWS->(o2) with both using the same part p. Pure equi-join
+    plan; the same-variable constraint IS the join condition."""
+    from research_knowledge_graph_spark.operators.motif import find_motif
+
+    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
+    m = find_motif(
+        nodes,
+        edges,
+        "(o1)-[:FOLLOWS]->(o2); (o1)-[:USES_PART]->(p); (o2)-[:USES_PART]->(p)",
+    )
+    return m.select("o1_id", "o2_id", "p_id", "p_label")
+
+
 def t01_normalize_labels(spark, sf_dir):
     """F3 label normalization at scale (the pinned expression)."""
     d = _t(spark, sf_dir, "documents")
@@ -286,12 +354,18 @@ def e02_embedding_near_dups(spark, sf_dir):
 
 
 def g11_undirected_degree(spark, sf_dir):
-    """E4 both-direction union shape: undirected FOLLOWS degree per order."""
+    """E4 both-direction union shape: undirected FOLLOWS degree per order,
+    via the two-phase salted count (functions/salt.py) — partial count by
+    (key, partition-salt), sum by key; same result, skew-immune shuffle."""
+    from research_knowledge_graph_spark.functions.salt import two_phase_count
+
     edges = TG.derive_edges(spark, sf_dir).filter(F.col("edge_type") == "FOLLOWS")
     und = edges.select(F.col("from_node_id").alias("node_id")).unionByName(
         edges.select(F.col("to_node_id").alias("node_id"))
     )
-    return und.groupBy("node_id").agg(F.count(F.lit(1)).alias("degree"))
+    return two_phase_count(und, ["node_id"]).select(
+        "node_id", F.col("n").alias("degree")
+    )
 
 
 def t07_minhash_lsh_pairs(spark, sf_dir):
@@ -308,6 +382,20 @@ def e03_knn_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.knn_lsh(e, q, dim=64, k=10, planes=6).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def e05_knn_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe SRP-LSH ANN: the query additionally probes every bucket
+    one bit-flip away (Hamming-1 ball) — the standard recall lever when a
+    neighbor straddles one hyperplane. Spark explodes the probe set into an
+    equi-join; the oracle expresses the same set as a Hamming θ-join."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.knn_lsh(e, q, dim=64, k=10, planes=6, probe_bits=1).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -399,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g08_recursive_chain": g08_recursive_chain,
         "g09_bfs": g09_bfs,
         "g10_recent_orders": g10_recent_orders,
+        "g12_citation_network": g12_citation_network,
+        "g13_papers_by_dataset": g13_papers_by_dataset,
+        "g14_motif_triangle": g14_motif_triangle,
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
         "t03_langid": t03_langid,
@@ -410,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
         "e03_knn_lsh": e03_knn_lsh,
+        "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "t08_chunk_stats": t08_chunk_stats,
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
@@ -517,10 +609,17 @@ def _srp_bucket_sql(vec_expr: str, dim: int, planes: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _knn_lsh_sql(dim: int = 64, planes: int = 6, k: int = 10) -> str:
+def _knn_lsh_sql(dim: int = 64, planes: int = 6, k: int = 10, hamming: int = 0) -> str:
+    """``hamming`` = the multi-probe radius: the DuckDB twin of Spark's
+    exploded probe buckets is a θ-join on bucket Hamming distance (the probe
+    set {b} ∪ {b⊕2^p} IS the Hamming-≤1 ball around b)."""
     cos = _cosine_sql("qv", "dv")
     qb = _srp_bucket_sql("qv", dim, planes)
     db = _srp_bucket_sql("dv", dim, planes)
+    if hamming > 0:
+        join = f"qb JOIN db ON bit_count(xor(qb.bucket, db.bucket)) <= {hamming}"
+    else:
+        join = "qb JOIN db USING (bucket)"
     return f"""
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
         d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
@@ -528,7 +627,7 @@ def _knn_lsh_sql(dim: int = 64, planes: int = 6, k: int = 10) -> str:
         db AS (SELECT vec_id, dv, {db} AS bucket FROM d),
         s AS (
             SELECT query_id, vec_id, round({cos}, 9) AS s9
-            FROM qb JOIN db USING (bucket) WHERE query_id <> vec_id
+            FROM {join} WHERE query_id <> vec_id
         ),
         r AS (
             SELECT query_id, vec_id, s9,
@@ -650,6 +749,38 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             ORDER BY o_orderdate DESC NULLS LAST, o_orderkey LIMIT 50
         """,
+        "g12_citation_network": f"""
+            WITH {GRAPH_CTE}
+            SELECT o1.o_orderkey AS citing_order, strftime(o1.o_orderdate, '%Y-%m-%d') AS citing_date,
+                   o2.o_orderkey AS cited_order, strftime(o2.o_orderdate, '%Y-%m-%d') AS cited_date,
+                   e.confidence
+            FROM edges e
+            JOIN orders o1 ON e.from_node_id = 'o' || CAST(o1.o_orderkey AS VARCHAR)
+            JOIN orders o2 ON e.to_node_id = 'o' || CAST(o2.o_orderkey AS VARCHAR)
+            WHERE e.edge_type = 'FOLLOWS'
+            ORDER BY citing_date DESC, citing_order, cited_order LIMIT 100
+        """,
+        "g13_papers_by_dataset": f"""
+            WITH {GRAPH_CTE}
+            SELECT o.o_orderkey AS order_key, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+                   n.label AS part_name, e.confidence
+            FROM orders o
+            JOIN edges e ON e.from_node_id = 'o' || CAST(o.o_orderkey AS VARCHAR)
+                        AND e.edge_type = 'USES_PART'
+            JOIN nodes n ON e.to_node_id = n.id AND n.node_type = 'part'
+            ORDER BY order_date DESC, order_key, part_name, e.to_node_id LIMIT 100
+        """,
+        "g14_motif_triangle": f"""
+            WITH {GRAPH_CTE}
+            SELECT f.from_node_id AS o1_id, f.to_node_id AS o2_id,
+                   u1.to_node_id AS p_id, n.label AS p_label
+            FROM edges f
+            JOIN edges u1 ON u1.from_node_id = f.from_node_id AND u1.edge_type = 'USES_PART'
+            JOIN edges u2 ON u2.from_node_id = f.to_node_id AND u2.edge_type = 'USES_PART'
+                         AND u2.to_node_id = u1.to_node_id
+            JOIN nodes n ON n.id = u1.to_node_id
+            WHERE f.edge_type = 'FOLLOWS'
+        """,
         "t01_normalize_labels": f"SELECT doc_id, {norm50} AS norm_label FROM documents",
         "t02_quality": f"""
             SELECT doc_id,
@@ -676,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "t06_simhash": _simhash_sql(16),
         "t07_minhash_lsh_pairs": _minhash_lsh_sql(k=8, shingle_k=4, bands=4),
         "e03_knn_lsh": _knn_lsh_sql(dim=64, planes=6, k=10),
+        "e05_knn_lsh_multiprobe": _knn_lsh_sql(dim=64, planes=6, k=10, hamming=1),
         "g11_undirected_degree": f"""
             WITH {GRAPH_CTE},
             und AS (

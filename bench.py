@@ -81,8 +81,11 @@ def main() -> None:
             spark, PIPELINE_DOCS, vocab_scale=default_vocab_scale(PIPELINE_DOCS)
         )
         t0 = time.time()
+        # minimal checkpointing = the production-throughput configuration
+        # (intermediates in executor cache; final tables still committed)
         res = run_pipeline(
-            spark, pages, workdir, mode="heuristic", max_block_degree=200
+            spark, pages, workdir, mode="heuristic", max_block_degree=200,
+            checkpoint_level="minimal",
         )
         res.edges.count()
         pipeline_sec = round(time.time() - t0, 3)

@@ -43,3 +43,60 @@ def replicate_for_salted_join(
     ``n_buckets`` reducers instead of one."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
     return small.withColumn(salt_name, salts)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase (salted) aggregation for Zipf-keyed groupBys
+# ---------------------------------------------------------------------------
+#
+# Plain ``count`` already combines map-side, but aggregations that carry
+# per-group STATE through the shuffle (countDistinct, collect_set) ship a hot
+# key's entire value set to one reducer. The two-phase shape — partial
+# aggregate by (key, salt), final aggregate by key — bounds any reducer's
+# state at 1/n_salts of the hot key. The salt must be a function of the
+# VALUE (same value → same salt) so distinctness is decided locally.
+
+
+def two_phase_count(df: DataFrame, key_cols: list[str], n_salts: int = 32) -> DataFrame:
+    """count(*) per key via partial counts by (key, partition-salt) → sum.
+    Output: key_cols + ``n``. Equivalent to ``groupBy(key).count()`` and
+    useful when map-side combine is defeated (e.g. immediately after an
+    explode that makes one input partition hold a whole hot key)."""
+    return (
+        df.groupBy(*key_cols, F.pmod(F.spark_partition_id(), F.lit(n_salts)).alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy(*key_cols)
+        .agg(F.sum("_partial").alias("n"))
+    )
+
+
+def two_phase_count_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """countDistinct(value) per key without shipping a hot key's whole value
+    set to one reducer: distinct values are counted within (key,
+    hash(value) mod n_salts) slots — a value always lands in ONE slot, so
+    the per-key sum of slot-distincts is exact. Output: key_cols + ``n_distinct``."""
+    slot = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("_salt")
+    return (
+        df.groupBy(*key_cols, slot)
+        .agg(F.countDistinct(value_col).alias("_partial"))
+        .groupBy(*key_cols)
+        .agg(F.sum("_partial").alias("n_distinct"))
+    )
+
+
+def two_phase_collect_set(
+    df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """Sorted distinct value array per key, assembled from per-(key, salt)
+    partial sets — no reducer ever materializes more than one slot of a hot
+    key until the (much smaller) final merge of pre-deduped arrays.
+    Output: key_cols + ``values``."""
+    slot = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("_salt")
+    return (
+        df.groupBy(*key_cols, slot)
+        .agg(F.collect_set(value_col).alias("_vals"))
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.flatten(F.collect_list("_vals"))).alias("values"))
+    )

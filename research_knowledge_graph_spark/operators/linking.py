@@ -225,18 +225,55 @@ def build_edges(
 # Cross-document linking (stage 6)
 # ---------------------------------------------------------------------------
 
+def _salted_pair_sides(
+    pe: DataFrame, salt_above: int, max_salts: int
+) -> tuple[DataFrame, DataFrame]:
+    """Degree-aware salting of the blocking self-join (``functions/salt.py``
+    composed into the hot path). Each blocking key gets
+    ``n_salts = min(max_salts, ceil(deg / salt_above))`` salt slots:
+
+    - left side: each row lands in ONE slot (hash of its paper_id);
+    - right side: each row is replicated into ALL of its key's slots.
+
+    The join key becomes (entity_id, _salt), so a key of degree d spreads
+    its d²/2 comparisons over n_salts reducers instead of one. Cold keys
+    (deg ≤ salt_above) have n_salts = 1 — zero replication, identical plan
+    to the unsalted join. Requires ``pe`` to carry a ``deg`` column."""
+    nsalt = F.greatest(
+        F.least(F.lit(max_salts), F.ceil(F.col("deg") / F.lit(salt_above))).cast("int"),
+        F.lit(1),
+    )
+    with_n = pe.withColumn("_nsalt", nsalt)
+    a = with_n.withColumn(
+        "_salt", F.pmod(F.xxhash64("paper_id"), F.col("_nsalt")).cast("int")
+    )
+    b = with_n.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1))
+    )
+    return a, b
+
+
 def candidate_pairs(
     nodes: DataFrame,
     edges: DataFrame,
     max_block_degree: int | None = 1000,
+    salt_above: int | None = 256,
+    max_salts: int = 16,
 ) -> DataFrame:
     """Shared-entity blocking join (J8): pairs of papers connected to the
     same dataset/method/concept node.
 
     Returns (paper_a, paper_b) with paper_a < paper_b (unordered-pair dedup,
-    A7). ``max_block_degree`` caps hot blocking keys *before* the self-join —
-    at web scale a head entity shared by millions of docs adds O(n²) pairs
-    and zero linking signal.
+    A7). Skew defenses, outermost first:
+
+    - ``max_block_degree`` caps hot blocking keys *before* the self-join —
+      at web scale a head entity shared by millions of docs adds O(n²) pairs
+      and zero linking signal;
+    - ``salt_above`` (degree-aware salting, on by default): keys hotter than
+      this degree are split across ``min(max_salts, ceil(deg/salt_above))``
+      salt slots so no single reducer owns a head key's quadratic pair
+      blowup (see :func:`_salted_pair_sides`); cold keys are untouched;
+    - AQE skew-join (session-wide) splits any residual hot partitions.
     """
     ent_nodes = nodes.filter(F.col("node_type").isin(*CROSS_DOC_TYPES)).select(
         F.col("id").alias("entity_id")
@@ -246,20 +283,30 @@ def candidate_pairs(
         .select(F.col("from_node_id").alias("paper_id"), "entity_id")
         .distinct()
     )
-    if max_block_degree is not None:
+    need_degrees = max_block_degree is not None or salt_above is not None
+    if need_degrees:
         degrees = pe.groupBy("entity_id").agg(F.count("*").alias("deg"))
-        pe = (
-            pe.join(degrees, "entity_id")
-            .filter(F.col("deg") <= max_block_degree)
-            .drop("deg")
-        )
-    a, b = pe.alias("a"), pe.alias("b")
-    return (
-        a.join(
-            b,
+        pe = pe.join(degrees, "entity_id")
+        if max_block_degree is not None:
+            pe = pe.filter(F.col("deg") <= max_block_degree)
+
+    if salt_above is not None:
+        sa, sb = _salted_pair_sides(pe, salt_above, max_salts)
+        a, b = sa.alias("a"), sb.alias("b")
+        cond = (
             (F.col("a.entity_id") == F.col("b.entity_id"))
-            & (F.col("a.paper_id") < F.col("b.paper_id")),
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.paper_id") < F.col("b.paper_id"))
         )
+    else:
+        if need_degrees:
+            pe = pe.drop("deg")
+        a, b = pe.alias("a"), pe.alias("b")
+        cond = (F.col("a.entity_id") == F.col("b.entity_id")) & (
+            F.col("a.paper_id") < F.col("b.paper_id")
+        )
+    return (
+        a.join(b, cond)
         .select(
             F.col("a.paper_id").alias("paper_a"),
             F.col("b.paper_id").alias("paper_b"),

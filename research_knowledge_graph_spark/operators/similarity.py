@@ -78,6 +78,24 @@ def srp_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
     return bucket
 
 
+def _probe_buckets_col(bucket: Column, planes: int, probe_bits: int) -> Column:
+    """Multi-probe SRP: the query's bucket plus every bucket within Hamming
+    distance ``probe_bits`` (0 → exact bucket only; 1 → flip each plane bit;
+    2 → also every 2-bit flip). A vector whose angle straddles j hyperplanes
+    lands j bit-flips away — probing the 1-flip shell recovers most of the
+    recall single-bucket SRP loses, at (1 + planes) buckets per query."""
+    probes = [bucket]
+    if probe_bits >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(planes)]
+    if probe_bits >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((2**p) | (2**r)).cast("bigint"))
+            for p in range(planes)
+            for r in range(p + 1, planes)
+        ]
+    return F.array(*probes)
+
+
 def knn_lsh(
     embs: DataFrame,
     queries: DataFrame,
@@ -88,10 +106,13 @@ def knn_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """ANN via SRP-LSH bucketing: exact rerank only within matching buckets.
     At 10⁹ vectors the bucket join replaces the full cross product with a
-    1/2^planes-selective equi-join; recall is tunable via ``planes``."""
+    1/2^planes-selective equi-join; recall is tunable via ``planes`` and
+    ``probe_bits`` (multi-probe — see :func:`_probe_buckets_col`; measured
+    recall@10 per setting is tabulated in BASELINE.md §ANN)."""
     d = embs.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -102,6 +123,14 @@ def knn_lsh(
         F.col(query_vec_col).alias("qv"),
         srp_bucket_col(F.col(query_vec_col), dim, planes).alias("bucket"),
     )
+    if probe_bits > 0:
+        q = q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                _probe_buckets_col(F.col("bucket"), planes, probe_bits)
+            ).alias("bucket"),
+        )
     scored = (
         F.broadcast(q)
         .join(d, "bucket")
@@ -112,6 +141,11 @@ def knn_lsh(
             F.round(cosine_col(F.col("qv"), F.col("vec")), 9).alias("_score9"),
         )
     )
+    if probe_bits > 0:
+        # a vector can match via several probed buckets → dedup pairs
+        scored = scored.groupBy("query_id", "vec_id").agg(
+            F.max("_score9").alias("_score9")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("_score9"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

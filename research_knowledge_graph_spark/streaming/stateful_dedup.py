@@ -5,10 +5,33 @@ was already seen in ANY earlier micro-batch. That is per-key state across
 triggers — Structured Streaming's ``applyInPandasWithState``:
 
 - stream is grouped by fingerprint bucket (bounded key cardinality —
-  state scales with bucket count × seen-fingerprint set, not row count);
-- each group's state holds the set of fingerprints already emitted;
+  state scales with bucket count, not row count);
+- each group's state remembers which fingerprints were already emitted;
 - new rows whose fingerprint is in state are dropped; survivors are emitted
-  and their fingerprints added to state.
+  and their fingerprints recorded.
+
+Two state representations (``state_mode``):
+
+- ``"exact"``: the sorted array of every seen fingerprint. Zero false
+  positives, but state grows LINEARLY with distinct documents — fine for
+  bounded backfills, a scale-killer for an unbounded 10¹²-doc stream.
+- ``"bloom"``: a fixed-size per-bucket Bloom filter (``bloom_bits`` bits,
+  ``bloom_k`` probes via double hashing of the 64-bit fingerprint). State
+  is CONSTANT-size regardless of rows seen. Tradeoff: a false positive
+  silently DROPS a new document (never re-emits a dup — dedup errs on the
+  drop side). FP rate ≈ (1 - e^(-k·n/m))^k; the default 1 MiB/bucket,
+  k=5 holds FP < 1e-3 up to ~1M fingerprints per bucket — size
+  ``n_buckets × bloom_bits`` to the corpus.
+
+Expiry (``ttl_minutes``): with a processing-time timeout, a bucket idle for
+the TTL has its state dropped — bounding state lifetime for append-mostly
+streams where re-crawled dups arrive close together. Tradeoff: a dup whose
+original arrived more than the TTL ago is re-emitted (dedup becomes
+windowed, the Kafka-Streams-style retention compromise).
+
+For production the state store itself should be RocksDB (spills to local
+disk, incremental checkpoints): :func:`rocksdb_state_conf` returns the
+session configs; ``run_streaming_dedup(use_rocksdb=True)`` applies them.
 
 ``dropDuplicates`` on a stream keeps per-row state with a watermark; this
 operator demonstrates the *custom* stateful surface (arbitrary per-group
@@ -19,6 +42,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,53 +59,172 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-STATE_SCHEMA = T.StructType(
+EXACT_STATE_SCHEMA = T.StructType(
     [T.StructField("seen", T.ArrayType(T.LongType()))]
 )
 
+BLOOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bits", T.BinaryType()),
+        T.StructField("n_inserted", T.LongType()),
+    ]
+)
 
-def _dedup_group(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    for pdf in batches:
-        fresh = pdf[~pdf["fingerprint"].isin(seen)]
-        # also dedup within the batch, first occurrence wins
-        fresh = fresh.drop_duplicates(subset=["fingerprint"], keep="first")
-        if len(fresh):
-            seen.update(int(f) for f in fresh["fingerprint"])
-            yield fresh[["url", "text", "fingerprint"]]
-    state.update((sorted(seen),))
+class _Bloom:
+    """Fixed-size Bloom filter over 64-bit fingerprints, vectorized with
+    numpy. Double hashing: probe_i = (h1 + i·h2) mod m with h1/h2 derived
+    from the fingerprint by two odd multipliers (Kirsch-Mitzenmacher)."""
+
+    def __init__(self, bits: bytes | None, m_bits: int, k: int):
+        self.m = m_bits
+        self.k = k
+        if bits is None:
+            self.arr = np.zeros(m_bits // 8, dtype=np.uint8)
+        else:
+            self.arr = np.frombuffer(bits, dtype=np.uint8).copy()
+
+    @staticmethod
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — multiplicative probes alone leave the low
+        bits unmixed, which ruins uniformity mod a power-of-two m."""
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def _probes(self, fps: np.ndarray) -> np.ndarray:
+        h1 = self._mix64(fps)
+        h2 = self._mix64(fps ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+
+    def contains(self, fps: np.ndarray) -> np.ndarray:
+        idx = self._probes(fps)
+        bits = (self.arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return bits.all(axis=0)
+
+    def add(self, fps: np.ndarray) -> None:
+        idx = self._probes(fps).ravel()
+        np.bitwise_or.at(self.arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+    def tobytes(self) -> bytes:
+        return self.arr.tobytes()
 
 
-def dedup_stream(stream: DataFrame, n_buckets: int = 64) -> DataFrame:
+def _make_exact_dedup(ttl_ms: int | None):
+    def _dedup_group_exact(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in batches:
+            fresh = pdf[~pdf["fingerprint"].isin(seen)]
+            # also dedup within the batch, first occurrence wins
+            fresh = fresh.drop_duplicates(subset=["fingerprint"], keep="first")
+            if len(fresh):
+                seen.update(int(f) for f in fresh["fingerprint"])
+                yield fresh[["url", "text", "fingerprint"]]
+        state.update((sorted(seen),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _dedup_group_exact
+
+
+def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
+    def _dedup_group_bloom(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            bits, n_ins = state.get
+            bloom = _Bloom(bits, m_bits, k)
+        else:
+            bloom, n_ins = _Bloom(None, m_bits, k), 0
+        for pdf in batches:
+            fps = pdf["fingerprint"].to_numpy().astype(np.uint64)
+            fresh = pdf[~bloom.contains(fps)]
+            fresh = fresh.drop_duplicates(subset=["fingerprint"], keep="first")
+            if len(fresh):
+                bloom.add(fresh["fingerprint"].to_numpy().astype(np.uint64))
+                n_ins += len(fresh)
+                yield fresh[["url", "text", "fingerprint"]]
+        state.update((bloom.tobytes(), int(n_ins)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _dedup_group_bloom
+
+
+def dedup_stream(
+    stream: DataFrame,
+    n_buckets: int = 64,
+    state_mode: str = "exact",
+    bloom_bits: int = 1 << 23,  # 1 MiB per bucket
+    bloom_k: int = 5,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
     """stream(url, text, …) → first-seen rows only, across all triggers.
 
-    Keys state by fingerprint bucket so each group's state stays small and
-    the shuffle is uniform (fingerprints are uniform hashes — no skew)."""
+    Keys state by fingerprint bucket so the shuffle is uniform (fingerprints
+    are uniform hashes — no skew). ``state_mode="bloom"`` bounds per-bucket
+    state at ``bloom_bits/8`` bytes forever; ``ttl_minutes`` additionally
+    expires idle buckets (see module docstring for both tradeoffs)."""
     with_fp = stream.select(
         "url", "text", fingerprint_col("text").alias("fingerprint")
     ).withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)))
+    if ttl_minutes is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+        ttl_ms = ttl_minutes * 60_000
+    else:
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    if state_mode == "bloom":
+        fn, schema = _make_bloom_dedup(bloom_bits, bloom_k, ttl_ms), BLOOM_STATE_SCHEMA
+    else:
+        fn, schema = _make_exact_dedup(ttl_ms), EXACT_STATE_SCHEMA
     return (
         with_fp.groupBy("bucket")
         .applyInPandasWithState(
-            _dedup_group,
+            fn,
             outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            stateStructType=schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
 
+def rocksdb_state_conf() -> dict[str, str]:
+    """Session configs putting streaming state in RocksDB: state spills to
+    executor-local disk with incremental (changelog) checkpoints instead of
+    living on the JVM heap — the right provider for dedup state that exceeds
+    memory."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
 def run_streaming_dedup(
-    spark, input_dir: str, output_dir: str, checkpoint_dir: str, schema
+    spark, input_dir: str, output_dir: str, checkpoint_dir: str, schema,
+    state_mode: str = "exact", use_rocksdb: bool = False,
 ) -> None:
+    if use_rocksdb:
+        for k, v in rocksdb_state_conf().items():
+            spark.conf.set(k, v)
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 16).parquet(input_dir)
     )
     q = (
-        dedup_stream(stream)
+        dedup_stream(stream, state_mode=state_mode)
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", output_dir)

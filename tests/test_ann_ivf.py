@@ -50,3 +50,32 @@ def test_ivf_partial_probe_recall(spark):
     }
     recall = len(ivf & bf) / len(bf)
     assert recall >= 0.5, recall  # half the cells probed → decent recall
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """Persisted cell-partitioned index returns exactly the inline knn_ivf
+    result, and the scan plan prunes to the probed cell directories
+    (dynamic partition pruning from the broadcast routed-query side)."""
+    from research_knowledge_graph_spark.operators.ann_ivf import (
+        build_ivf_index,
+        knn_ivf_indexed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _queries(e)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(e, path, k_cells=8)
+
+    idx = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_ivf_indexed(spark, path, q, nprobe=3, k=10).collect()
+    }
+    inline = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_ivf(spark, e, q, k_cells=8, nprobe=3, k=10, centroids=cents).collect()
+    }
+    assert idx == inline
+
+    plan = knn_ivf_indexed(spark, path, q, nprobe=3, k=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -54,3 +54,126 @@ def test_replicate_for_salted_join(spark):
     rep = replicate_for_salted_join(dim, 8)
     assert rep.count() == 16
     assert rep.select("_salt").distinct().count() == 8
+
+
+# ---------------------------------------------------------------------------
+# Degree-aware salting wired into the blocking self-join (cross_link hot path)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_pe(spark):
+    """Synthetic blocking table with a Zipf head: entity j has ~2000/(j+1)
+    papers — the degree profile sources/pages.py's head entities produce."""
+    rows = []
+    for j in range(40):
+        deg = max(2000 // (j + 1), 2)
+        rows.extend((f"p{j}_{i}", f"e{j}", deg) for i in range(deg))
+    return spark.createDataFrame(rows, "paper_id string, entity_id string, deg int")
+
+
+def test_salted_pair_sides_balance(spark):
+    """Per-shuffle-partition comparison load of the salted join stays within
+    2x of ideal on a Zipf corpus; the unsalted join does not."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.operators.linking import _salted_pair_sides
+
+    pe = _zipf_pe(spark)
+    n_part = 32
+
+    # salt_above bounds per-slot load at deg_max * salt_above comparisons;
+    # max_salts high enough that the head key is never re-capped
+    sa, sb = _salted_pair_sides(pe, salt_above=32, max_salts=64)
+    na = sa.groupBy("entity_id", "_salt").agg(F.count("*").alias("n_a"))
+    nb = sb.groupBy("entity_id", "_salt").agg(F.count("*").alias("n_b"))
+    load = (
+        na.join(nb, ["entity_id", "_salt"])
+        .withColumn("part", F.pmod(F.xxhash64("entity_id", "_salt"), F.lit(n_part)))
+        .groupBy("part")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("load"))
+    )
+    stats = load.agg(F.max("load").alias("mx"), F.sum("load").alias("tot")).first()
+    ideal = stats.tot / n_part
+    assert stats.mx / ideal < 2.0, (stats.mx, ideal)
+
+    # unsalted baseline: the head key's deg^2 dominates a single partition
+    un = (
+        pe.groupBy("entity_id").agg(F.count("*").alias("n"))
+        .withColumn("part", F.pmod(F.xxhash64("entity_id"), F.lit(n_part)))
+        .groupBy("part")
+        .agg(F.sum(F.col("n") * F.col("n")).alias("load"))
+    )
+    ustats = un.agg(F.max("load").alias("mx"), F.sum("load").alias("tot")).first()
+    assert ustats.mx / (ustats.tot / n_part) > 2.0  # skew the salt removes
+
+
+def test_candidate_pairs_salted_identical_output(spark):
+    """Salting is a physical-plan change only: pair sets match exactly on a
+    pipeline-derived graph from the Zipf page corpus."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.operators import extraction as X
+    from research_knowledge_graph_spark.operators import html_text as H
+    from research_knowledge_graph_spark.operators import linking as L
+    from research_knowledge_graph_spark.operators import validation as V
+    from research_knowledge_graph_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 150)
+    docs = H.extract_text(pages).select(
+        "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
+    )
+    meta = X.extract_metadata(docs)
+    mv = V.validate_mentions(X.extract_mentions_heuristic(docs))
+    tv = V.validate_triples(X.extract_triples_heuristic(docs))
+    nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mv))
+    edges = L.build_edges(meta, mv, tv, resolve_titles=True)
+
+    salted = {
+        (r.paper_a, r.paper_b)
+        for r in L.candidate_pairs(nodes, edges, salt_above=4, max_salts=8).collect()
+    }
+    plain = {
+        (r.paper_a, r.paper_b)
+        for r in L.candidate_pairs(nodes, edges, salt_above=None).collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
+# ---------------------------------------------------------------------------
+# Two-phase salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_two_phase_aggs_match_direct(spark):
+    """On a Zipf-keyed table the two-phase count / countDistinct /
+    collect_set equal their single-shuffle counterparts exactly."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.functions.salt import (
+        two_phase_collect_set,
+        two_phase_count,
+        two_phase_count_distinct,
+    )
+
+    rows = []
+    for j in range(20):
+        n = max(3000 // (j + 1) ** 2, 3)
+        rows.extend((f"k{j}", f"v{i % max(n // 3, 1)}") for i in range(n))
+    df = spark.createDataFrame(rows, "key string, val string").repartition(8)
+
+    direct_n = {r.key: r.n for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got_n = {r.key: r.n for r in two_phase_count(df, ["key"]).collect()}
+    assert got_n == direct_n
+
+    direct_d = {
+        r.key: r.d for r in df.groupBy("key").agg(F.countDistinct("val").alias("d")).collect()
+    }
+    got_d = {r.key: r.n_distinct for r in two_phase_count_distinct(df, ["key"], "val").collect()}
+    assert got_d == direct_d
+
+    direct_s = {
+        r.key: sorted(r.s)
+        for r in df.groupBy("key").agg(F.collect_set("val").alias("s")).collect()
+    }
+    got_s = {r.key: list(r.values) for r in two_phase_collect_set(df, ["key"], "val").collect()}
+    assert got_s == direct_s
