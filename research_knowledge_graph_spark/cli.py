@@ -25,6 +25,17 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--canonicalize", default="exact", choices=["exact", "fuzzy"])
     p_ing.add_argument("--no-cross-link", action="store_true")
 
+    p_inc = sub.add_parser(
+        "ingest-batch",
+        help="incrementally ingest one batch of new pages into an existing graph",
+    )
+    p_inc.add_argument("--input", help="pages parquet path for THIS batch")
+    p_inc.add_argument("--synthetic", type=int, help="generate N synthetic pages instead")
+    p_inc.add_argument("--workdir", required=True)
+    p_inc.add_argument("--batch-id", required=True)
+    p_inc.add_argument("--mode", default="heuristic", choices=["heuristic", "fixture"])
+    p_inc.add_argument("--no-cross-link", action="store_true")
+
     p_q = sub.add_parser("query", help="query the materialized graph")
     p_q.add_argument("--workdir", required=True)
     p_q.add_argument(
@@ -68,6 +79,30 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"nodes={res.nodes.count()} edges={res.edges.count()}")
         res.lineage.orderBy("committed_at").show(truncate=False)
+        return 0
+
+    if args.cmd == "ingest-batch":
+        from research_knowledge_graph_spark.plans.pipeline import (
+            run_pipeline_incremental,
+        )
+        from research_knowledge_graph_spark.sources.pages import (
+            default_vocab_scale,
+            synthesize_pages,
+        )
+
+        if args.synthetic:
+            pages = synthesize_pages(
+                spark, args.synthetic, vocab_scale=default_vocab_scale(args.synthetic)
+            )
+        elif args.input:
+            pages = spark.read.parquet(args.input)
+        else:
+            ap.error("ingest-batch needs --input or --synthetic")
+        res = run_pipeline_incremental(
+            spark, pages, args.workdir, args.batch_id, mode=args.mode,
+            cross_link=not args.no_cross_link,
+        )
+        print(f"nodes={res.nodes.count()} edges={res.edges.count()}")
         return 0
 
     io = TableIO(spark, args.workdir)

@@ -122,7 +122,10 @@ class TableIO:
         if self.is_committed(name, fingerprint):
             return self.read(name)
         manifest = self._load_manifest()
-        paths = [manifest["tables"][m]["path"] for m in members]
+        paths = []
+        for m in members:
+            t = manifest["tables"][m]
+            paths.extend(t["paths"] if "paths" in t else [t["path"]])
         manifest["tables"][name] = {
             "paths": paths,
             "fingerprint": fingerprint,
@@ -152,6 +155,49 @@ class TableIO:
         else:
             merged = df
         return self.write_stage(merged, name, fingerprint)
+
+    def append_rows(
+        self, df: DataFrame, name: str, key: list[str], fingerprint: str
+    ) -> DataFrame:
+        """First-wins incremental MERGE, append-only: write ONLY the delta
+        (rows of ``df`` whose key is not yet in the table — existing rows
+        win, the reference's first-insertion semantics) as a new snapshot
+        and add it to the table's member-path list. Per batch, IO is
+        O(delta), never O(table) — the Iceberg MERGE-on-read append analog.
+        A batch fingerprint already committed is skipped (idempotent
+        re-runs). Returns the full table after the append."""
+        if self.is_committed(f"{name}@{fingerprint}", fingerprint):
+            return self.read(name)
+        with self._lock:
+            manifest = self._load_manifest()
+            t = manifest["tables"].get(name)
+            prior_paths = (t.get("paths") or [t["path"]]) if t else []
+        delta = df.dropDuplicates(key)
+        if prior_paths:
+            existing = self.spark.read.parquet(prior_paths[0])
+            for p in prior_paths[1:]:
+                existing = existing.unionByName(self.spark.read.parquet(p))
+            delta = delta.join(existing.select(*key), key, "left_anti")
+
+        snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
+        t0 = time.time()
+        delta.write.mode("overwrite").parquet(snap)
+        with self._lock:
+            manifest = self._load_manifest()
+            manifest["tables"][name] = {
+                "paths": prior_paths + [snap],
+                "fingerprint": fingerprint,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            # marker entry records that this batch's delta is committed
+            manifest["tables"][f"{name}@{fingerprint}"] = {
+                "path": snap,
+                "fingerprint": fingerprint,
+                "committed_at": manifest["tables"][name]["committed_at"],
+            }
+            self._commit_manifest(manifest)
+            self._pending.append((name, fingerprint, snap, time.time() - t0))
+        return self.read(name)
 
     # -- lineage + metrics ---------------------------------------------------
     def flush_metrics(self) -> None:
