@@ -472,6 +472,19 @@ def v02_user_value_topk(spark, sf_dir):
     )
 
 
+def v03_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) over the event log: one row per
+    (user, session) with count/duration/value — pure window + hash-agg
+    (operators/sessions.py)."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30).withColumn(
+        "session_idx", F.col("session_idx").cast("int")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -507,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
         "v02_user_value_topk": v02_user_value_topk,
+        "v03_sessionize": v03_sessionize,
     }
 
 
@@ -846,5 +860,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "v03_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 30 * 60
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+                   count(*) AS n_events,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec,
+                   round(sum(value), 2) AS total_value
+            FROM sess GROUP BY user_id, session_idx
         """,
     }

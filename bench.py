@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "t06_simhash",
     "e01_knn_bruteforce",
     "v01_hourly_rollup",
+    "v03_sessionize",
 ]
 
 

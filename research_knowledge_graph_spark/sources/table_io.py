@@ -199,6 +199,30 @@ class TableIO:
             self._pending.append((name, fingerprint, snap, time.time() - t0))
         return self.read(name)
 
+    def compact(self, name: str, fingerprint: str) -> DataFrame:
+        """Rewrite a multi-snapshot (delta-appended) table into ONE snapshot
+        — the Iceberg rewrite_data_files maintenance analog. Run when the
+        member-path list grows enough that per-read union planning and
+        small-file overhead matter (e.g. every N ingest batches); contents
+        are unchanged (content equality is test-pinned)."""
+        t = self._load_manifest()["tables"].get(name)
+        if not t:
+            raise FileNotFoundError(f"table {name!r} not committed under {self.root}")
+        if "paths" not in t or len(t["paths"]) <= 1:
+            return self.read(name)
+        df = self.read(name)
+        snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(snap)
+        with self._lock:
+            manifest = self._load_manifest()
+            manifest["tables"][name] = {
+                "paths": [snap],
+                "fingerprint": fingerprint,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self._commit_manifest(manifest)
+        return self.read(name)
+
     # -- lineage + metrics ---------------------------------------------------
     def flush_metrics(self) -> None:
         """Emit all deferred per-partition metrics in ONE job + one lineage

@@ -56,3 +56,26 @@ def test_incremental_rerun_and_duplicate_batch(spark, tmp_path):
     r3 = run_pipeline_incremental(spark, pages, inc_dir, "b2")
     assert r3.edges.count() == n_edges
     assert _node_set(r3.nodes) == _node_set(r1.nodes)
+
+
+def test_compact_preserves_content(spark, tmp_path):
+    """Compaction rewrites N delta snapshots into one; contents unchanged."""
+    import json
+
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    pages = synthesize_pages(spark, 60)
+    inc_dir = str(tmp_path / "inc3")
+    for i, pred in enumerate([0, 1, 2]):
+        b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == pred)
+        run_pipeline_incremental(spark, b, inc_dir, f"b{i}")
+
+    io = TableIO(spark, inc_dir)
+    before = _edge_struct(io.read("edges"))
+    with open(inc_dir + "/_manifest.json") as f:
+        assert len(json.load(f)["tables"]["edges"]["paths"]) == 3
+
+    io.compact("edges", "maintenance-1")
+    with open(inc_dir + "/_manifest.json") as f:
+        assert len(json.load(f)["tables"]["edges"]["paths"]) == 1
+    assert _edge_struct(io.read("edges")) == before
