@@ -87,3 +87,47 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     run_incremental_ingest(spark, inp, out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n2 > n1
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (views ⨝ purchases on user
+    within 60 min) emits exactly the batch join's rows."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.streaming.joins import stream_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    others = ev.filter(F.col("event_type") != "view").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    vdir, odir = str(tmp_path / "v"), str(tmp_path / "o")
+    views.write.parquet(vdir)
+    others.write.parquet(odir)
+
+    batch = stream_interval_join(
+        spark.read.parquet(vdir), spark.read.parquet(odir), "user_id",
+        within_minutes=60,
+    )
+    expected = {
+        (r.user_id, r.event_id, r.r_event_id) for r in batch.collect()
+    }
+    assert expected  # non-trivial fixture
+
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    os_ = spark.readStream.schema(others.schema).parquet(odir)
+    out = str(tmp_path / "out")
+    q = (
+        stream_interval_join(vs, os_, "user_id", within_minutes=60)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
