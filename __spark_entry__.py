@@ -283,6 +283,40 @@ def g14_motif_triangle(spark, sf_dir):
     return m.select("o1_id", "o2_id", "p_id", "p_label")
 
 
+def g15_connected_components(spark, sf_dir):
+    """Connected components over the undirected FOLLOWS graph (min-label
+    propagation + pointer jumping, operators/canonicalize.py::
+    connected_components — the same CC that drives fuzzy canonicalization).
+    Component id = min node id; oracle = recursive undirected reachability
+    + min."""
+    from research_knowledge_graph_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = TG.derive_edges(spark, sf_dir).filter(F.col("edge_type") == "FOLLOWS")
+    pairs = edges.select(
+        F.col("from_node_id").alias("key_a"), F.col("to_node_id").alias("key_b")
+    )
+    return connected_components(pairs).select(
+        F.col("key").alias("node_id"), "component"
+    )
+
+
+def g16_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over FOLLOWS∪PLACED (operators/pagerank.py).
+    Verified against a numpy power-iteration reference to 1e-9 in
+    tests/test_pagerank.py; a cross-engine float hash after 10 iterated
+    sums would be rounding-flaky, so the driver check is rows-only."""
+    edges = TG.derive_edges(spark, sf_dir).filter(
+        F.col("edge_type").isin("FOLLOWS", "PLACED")
+    )
+    from research_knowledge_graph_spark.operators.pagerank import pagerank
+
+    return pagerank(edges, damping=0.85, iters=10).select(
+        "node_id", F.round("rank", 6).alias("rank6")
+    )
+
+
 def t01_normalize_labels(spark, sf_dir):
     """F3 label normalization at scale (the pinned expression)."""
     d = _t(spark, sf_dir, "documents")
@@ -336,6 +370,22 @@ def t06_simhash(spark, sf_dir):
     Uses the explode+aggregate variant: one hash per token, not per bit."""
     d = _t(spark, sf_dir, "documents")
     return D.simhash_agg(d, id_col="doc_id", text_col="text", bits=16)
+
+
+def t09_quality_quantiles(spark, sf_dir):
+    """Per-source quality-score distribution (exact interpolated
+    percentiles) — the curation primitive behind 'drop the bottom decile
+    per source'. Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the linear-interpolation definition."""
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features_cols("text")
+    scored = d.select("source", q["alpha_ratio"].alias("score"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("score", F.lit(0.1)), 6).alias("p10"),
+        F.round(F.percentile("score", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("score", F.lit(0.9)), 6).alias("p90"),
+    )
 
 
 def e01_knn_bruteforce(spark, sf_dir):
@@ -503,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_citation_network": g12_citation_network,
         "g13_papers_by_dataset": g13_papers_by_dataset,
         "g14_motif_triangle": g14_motif_triangle,
+        "g15_connected_components": g15_connected_components,
+        "g16_pagerank": g16_pagerank,
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
         "t03_langid": t03_langid,
@@ -516,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "t08_chunk_stats": t08_chunk_stats,
+        "t09_quality_quantiles": t09_quality_quantiles,
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
@@ -795,6 +848,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nodes n ON n.id = u1.to_node_id
             WHERE f.edge_type = 'FOLLOWS'
         """,
+        "g15_connected_components": f"""
+            WITH RECURSIVE {GRAPH_CTE},
+            und AS (
+                SELECT from_node_id AS u, to_node_id AS v FROM edges WHERE edge_type = 'FOLLOWS'
+                UNION
+                SELECT to_node_id, from_node_id FROM edges WHERE edge_type = 'FOLLOWS'
+            ),
+            reach AS (
+                SELECT u AS start, u AS node FROM (SELECT DISTINCT u FROM und)
+                UNION
+                SELECT r.start, und.v FROM reach r JOIN und ON und.u = r.node
+            )
+            SELECT start AS node_id, min(node) AS component FROM reach GROUP BY start
+        """,
         "t01_normalize_labels": f"SELECT doc_id, {norm50} AS norm_label FROM documents",
         "t02_quality": f"""
             SELECT doc_id,
@@ -817,6 +884,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE round(CAST(len(list_intersect({sh4a}, {sh4b})) AS DOUBLE)
                         / (len({sh4a}) + len({sh4b}) - len(list_intersect({sh4a}, {sh4b}))), 6) >= 0.5
+        """,
+        "t09_quality_quantiles": """
+            WITH scored AS (
+                SELECT source,
+                       CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                            ELSE 0.0 END AS score
+                FROM documents
+            )
+            SELECT source, count(*) AS n,
+                   round(quantile_cont(score, 0.1), 6) AS p10,
+                   round(quantile_cont(score, 0.5), 6) AS p50,
+                   round(quantile_cont(score, 0.9), 6) AS p90
+            FROM scored GROUP BY source
         """,
         "t06_simhash": _simhash_sql(16),
         "t07_minhash_lsh_pairs": _minhash_lsh_sql(k=8, shingle_k=4, bands=4),

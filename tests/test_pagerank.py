@@ -1,0 +1,53 @@
+"""PageRank: distributed power iteration equals a driver-side numpy
+reference on the same graph, and basic rank sanity holds."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.pagerank import pagerank
+from research_knowledge_graph_spark.plans.tpch_graph import derive_edges
+
+DAMPING, ITERS = 0.85, 10
+
+
+def _numpy_pagerank(edge_list, damping=DAMPING, iters=ITERS):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for u, _ in edge_list:
+        out_deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in edge_list:
+            contrib[idx[v]] += r[idx[u]] / out_deg[idx[u]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) / n + damping * dangling / n + damping * contrib
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = derive_edges(spark, "/root/testdata/sf0.001").filter(
+        F.col("edge_type").isin("FOLLOWS", "PLACED")
+    )
+    edge_list = [(r.from_node_id, r.to_node_id) for r in edges.collect()]
+    expected = _numpy_pagerank(edge_list)
+
+    got = {r.node_id: r.rank for r in pagerank(edges, DAMPING, ITERS).collect()}
+    assert set(got) == set(expected)
+    max_err = max(abs(got[u] - expected[u]) for u in got)
+    assert max_err < 1e-9, max_err
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star graph: every spoke points at the hub
+    e = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(10)], "from_node_id string, to_node_id string"
+    )
+    ranks = {r.node_id: r.rank for r in pagerank(e, iters=5).collect()}
+    assert ranks["hub"] == max(ranks.values())
+    assert ranks["hub"] > 10 * ranks["s0"]
