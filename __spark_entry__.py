@@ -152,14 +152,20 @@ def g04_influence_topk(spark, sf_dir):
 
 
 def g05_supplier_stats(spark, sf_dir):
-    """A2/q4 usage counts: distinct parts per supplier node."""
+    """A2/q4 usage counts: distinct parts per supplier node, via the
+    two-phase salted countDistinct (functions/salt.py) — a hot supplier's
+    value set never lands on one reducer; result identical to a plain
+    countDistinct (oracle-pinned)."""
+    from research_knowledge_graph_spark.functions.salt import (
+        two_phase_count_distinct,
+    )
+
     nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
     sup = nodes.filter(F.col("node_type") == "supplier")
     e = edges.filter(F.col("edge_type") == "SUPPLIES")
-    return (
-        sup.join(e, sup.id == e.from_node_id)
-        .groupBy("label")
-        .agg(F.countDistinct("to_node_id").alias("n_parts"))
+    joined = sup.join(e, sup.id == e.from_node_id).select("label", "to_node_id")
+    return two_phase_count_distinct(joined, ["label"], "to_node_id").select(
+        "label", F.col("n_distinct").alias("n_parts")
     )
 
 
