@@ -51,3 +51,57 @@ def test_pagerank_hub_ranks_highest(spark):
     ranks = {r.node_id: r.rank for r in pagerank(e, iters=5).collect()}
     assert ranks["hub"] == max(ranks.values())
     assert ranks["hub"] > 10 * ranks["s0"]
+
+
+# ---------------------------------------------------------------------------
+# Sessionization property twin (random event streams vs a pure-Python walk)
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_matches_python_twin(spark):
+    """Random gap patterns: the window-function sessionizer equals a plain
+    per-user sorted gap walk."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    eid = itertools.count()
+    base = 1_700_000_000
+    for user in range(8):
+        t = base + rng.randint(0, 3600)
+        for _ in range(rng.randint(1, 40)):
+            t += rng.choice([5, 60, 1799, 1800, 1801, 7200])  # straddle the gap
+            rows.append((user, t, next(eid), round(rng.random(), 2)))
+
+    # python twin: sorted walk per user, 30-min gap
+    twin = {}
+    for user, t, e, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        sessions = twin.setdefault(user, [])
+        if not sessions or t - sessions[-1]["last"] > 1800:
+            sessions.append({"start": t, "last": t, "n": 0, "val": 0.0})
+        s = sessions[-1]
+        s["last"] = max(s["last"], t)
+        s["n"] += 1
+        s["val"] += v
+    expected = sorted(
+        (u, i + 1, s["n"], s["last"] - s["start"], round(s["val"], 2))
+        for u, ss in twin.items()
+        for i, s in enumerate(ss)
+    )
+
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.operators.sessions import session_stats
+
+    ev = spark.createDataFrame(
+        [(u, t, e, v) for u, t, e, v in rows],
+        "user_id long, epoch long, event_id long, value double",
+    ).select(
+        "user_id", F.col("epoch").cast("timestamp").alias("ts"), "event_id", "value"
+    )
+    got = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.duration_sec, r.total_value)
+        for r in session_stats(ev, gap_minutes=30).collect()
+    )
+    assert got == expected
