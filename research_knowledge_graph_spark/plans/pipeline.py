@@ -18,6 +18,7 @@ is one partition-parallel DataFrame job; the per-paper loop disappears.
 
 from __future__ import annotations
 
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -51,6 +52,7 @@ def run_pipeline(
     canonicalize: str = "exact",
     materialize_raw: bool = False,
     checkpoint_level: str = "full",
+    timings: dict | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a pages table.
 
@@ -85,11 +87,26 @@ def run_pipeline(
       a single host, and on a real cluster it removes 4 full-table round
       trips to the object store. Tradeoff: a failure re-runs from the pages
       scan (lineage recompute), not from the last stage snapshot.
+
+    ``timings``: optional dict; each materialization boundary records its
+    wall-clock seconds under the stage name (``scaling_bench.py`` uses this
+    for the per-stage N-vs-4N efficiency table). Lazy stages FUSE into their
+    consumer's job — e.g. in minimal mode triple validation is computed
+    inside the ``edges`` write — so a fused stage's cost lands on the
+    consuming entry, and overlapped driver-thread stages (``nodes``/
+    ``edges``) each report their own wall time, which may overlap.
     """
     io = TableIO(spark, workdir)
     fp = f"{run_fingerprint}:{mode}:{canonicalize}"
     minimal = checkpoint_level == "minimal"
     _cached: list[DataFrame] = []
+
+    def _timed(name, fn, *a, **kw):
+        t0 = time.time()
+        out = fn(*a, **kw)
+        if timings is not None:
+            timings[name] = round(time.time() - t0, 2)
+        return out
 
     def _stage(df: DataFrame, name: str, eager: bool = False) -> DataFrame:
         """Checkpoint boundary: snapshot commit (full) or executor-local
@@ -105,7 +122,9 @@ def run_pipeline(
 
     # stage 1: text extraction (map-only, Arrow UDF); three downstream
     # consumers scan it → eager cache in minimal mode
-    docs = _stage(
+    docs = _timed(
+        "docs",
+        _stage,
         H.extract_text(pages).select(
             "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
         ),
@@ -129,16 +148,16 @@ def run_pipeline(
 
     if materialize_raw:
         with ThreadPoolExecutor(max_workers=3) as ex:
-            f_mentions = ex.submit(io.write_stage, mentions_df, "mentions", fp)
-            f_triples = ex.submit(io.write_stage, triples_df, "raw_triples", fp)
-            f_meta = ex.submit(io.write_stage, meta_df, "metadata", fp)
+            f_mentions = ex.submit(_timed, "mentions", io.write_stage, mentions_df, "mentions", fp)
+            f_triples = ex.submit(_timed, "raw_triples", io.write_stage, triples_df, "raw_triples", fp)
+            f_meta = ex.submit(_timed, "metadata", io.write_stage, meta_df, "metadata", fp)
             mentions, triples, meta = f_mentions.result(), f_triples.result(), f_meta.result()
     else:
         # single-consumer streams stay lazy (validation fuses with
         # extraction in one job); metadata has TWO consumers (nodes, edges)
         # so it is always materialized — lazy would recompute it per consumer
         mentions, triples = mentions_df, triples_df
-        meta = _stage(meta_df, "metadata", eager=True)
+        meta = _timed("metadata", _stage, meta_df, "metadata", eager=True)
 
     # stage 3: validation/normalization. In full mode the two independent
     # streams are committed from overlapped driver threads; in minimal mode
@@ -146,12 +165,16 @@ def run_pipeline(
     # mentions_valid is cached eagerly (nodes + edges both scan it),
     # triples_valid has one consumer (build_edges) and stays fully lazy.
     if minimal:
-        mentions_v = _stage(V.validate_mentions(mentions), "mentions_valid", eager=True)
+        mentions_v = _timed(
+            "mentions_valid", _stage, V.validate_mentions(mentions), "mentions_valid", eager=True
+        )
         triples_v = V.validate_triples(triples)
     else:
         with ThreadPoolExecutor(max_workers=2) as ex:
-            f_mv = ex.submit(io.write_stage, V.validate_mentions(mentions), "mentions_valid", fp)
-            f_tv = ex.submit(io.write_stage, V.validate_triples(triples), "triples_valid", fp)
+            f_mv = ex.submit(_timed, "mentions_valid", io.write_stage,
+                             V.validate_mentions(mentions), "mentions_valid", fp)
+            f_tv = ex.submit(_timed, "triples_valid", io.write_stage,
+                             V.validate_triples(triples), "triples_valid", fp)
             mentions_v, triples_v = f_mv.result(), f_tv.result()
 
     # stage 3b (optional): fuzzy alias clustering — mentions keep their
@@ -175,12 +198,12 @@ def run_pipeline(
     # stage cost on the 7M-row table)
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_nodes = ex.submit(
-            io.write_stage,
+            _timed, "nodes", io.write_stage,
             L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v)),
             "nodes", fp, ["node_type"],
         )
         f_edges = ex.submit(
-            io.write_stage,
+            _timed, "edges", io.write_stage,
             L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture")),
             "edges", fp, None, ["edge_type"],
         )
@@ -191,12 +214,15 @@ def run_pipeline(
     # just to co-locate the cross edges would be the pipeline's largest IO
     # cost at scale, for no query benefit.
     if cross_link:
-        io.write_stage(
+        _timed(
+            "cross_edges", io.write_stage,
             L.cross_link(nodes, edges, max_block_degree), "cross_edges", fp,
         )
-        edges_all = io.commit_union("edges_all", ["edges", "cross_edges"], fp)
+        edges_all = _timed(
+            "edges_all", io.commit_union, "edges_all", ["edges", "cross_edges"], fp
+        )
     else:
-        edges_all = io.commit_union("edges_all", ["edges"], fp)
+        edges_all = _timed("edges_all", io.commit_union, "edges_all", ["edges"], fp)
 
     io.flush_metrics()
     for df in _cached:

@@ -43,6 +43,60 @@ def test_pagerank_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_one_heavy_job_per_iteration(spark):
+    """Plan contract (round-2 verdict #1): each marginal iteration runs
+    exactly ONE data-proportional job (the fused contribution+dangling
+    aggregate checkpoint — it embeds the rank⨝degree join and the edge
+    fan-out ONCE) plus exactly one trivial job (the 1-row dangling-mass
+    broadcast: a filter+sum over the already-checkpointed aggregate, no
+    join recompute — ≤ shuffle_partitions+1 tasks). The old shape ran TWO
+    join-recomputing jobs per iteration (a standalone dangling ``.first()``
+    pass plus the rank checkpoint, each rebuilding rank⨝degree).
+
+    AQE is disabled for the measurement so actions map to jobs 1:1 (AQE
+    materializes each query stage as its own job, blurring the count)."""
+    import time
+
+    sc = spark.sparkContext
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"), ("x", "a")],
+        "from_node_id string, to_node_id string",
+    )
+
+    def job_profile(iters, tag):
+        sc.setJobGroup(tag, tag)
+        pagerank(e, iters=iters).collect()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        time.sleep(0.5)
+        st = sc.statusTracker()
+        heavy = light = 0
+        for jid in st.getJobIdsForGroup(tag):
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            tasks = sum(
+                st.getStageInfo(sid).numTasks
+                for sid in ji.stageIds
+                if st.getStageInfo(sid) is not None
+            )
+            if tasks > sp + 4:
+                heavy += 1
+            else:
+                light += 1
+        return heavy, light
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        h2, l2 = job_profile(2, "pr_prof_2")
+        h6, l6 = job_profile(6, "pr_prof_6")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert (h6 - h2) / 4 == 1.0, ("heavy jobs/iter", h2, h6)
+    assert (l6 - l2) / 4 == 1.0, ("light jobs/iter", l2, l6)
+
+
 def test_pagerank_hub_ranks_highest(spark):
     # star graph: every spoke points at the hub
     e = spark.createDataFrame(
