@@ -240,6 +240,7 @@ def run_pipeline_incremental(
     mode: str = "heuristic",
     cross_link: bool = True,
     max_block_degree: int | None = 1000,
+    compact_above: int | None = 8,
 ) -> PipelineResult:
     """Ingest ONE batch of new pages into an existing graph — the engine's
     analog of the reference's continuous per-paper ingest loop
@@ -255,7 +256,16 @@ def run_pipeline_incremental(
     - cross-linking enumerates only pairs touching a posting asserted by
       this batch's edges (``linking.cross_link_incremental``) — per batch
       O(batch × degree), not O(corpus²);
-    - re-running a committed ``batch_id`` is a no-op (idempotent resume).
+    - re-running a committed ``batch_id`` is a no-op (idempotent resume):
+      the early return gates on a ``batch_complete`` marker committed AFTER
+      the last artifact (``edges_all``) — a crash anywhere mid-batch makes
+      the re-run walk every stage, where per-stage ``append_rows`` markers
+      skip the ones that already landed (an edges-only guard would lose the
+      batch's cross_edges delta and leave edges_all stale after a crash
+      between the two);
+    - every ``compact_above`` delta snapshots, the node/edge tables are
+      compacted to one file set (``TableIO.compact``) — N batches otherwise
+      mean N-way union reads forever.
 
     Structural output (node/edge ids, types, labels) equals a one-shot
     ingest of the concatenated corpus; descriptive PROPERTIES follow
@@ -264,8 +274,10 @@ def run_pipeline_incremental(
     """
     io = TableIO(spark, workdir)
     fp = f"batch:{batch_id}:{mode}"
-    if io.is_committed(f"edges@{fp}", fp):
-        # whole batch already ingested
+    if io.is_committed(f"batch_complete@{fp}", fp):
+        # whole batch already ingested (marker is committed LAST — after
+        # cross_edges and the edges_all union — so a mid-batch crash never
+        # short-circuits the re-run)
         return PipelineResult(
             nodes=io.read("nodes"), edges=io.read("edges_all"),
             metrics=io.metrics(), lineage=io.lineage(),
@@ -290,19 +302,20 @@ def run_pipeline_incremental(
     batch_nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
     batch_edges = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
 
-    nodes_all = io.append_rows(batch_nodes, "nodes", ["id"], fp)
-    edges_base = io.append_rows(batch_edges, "edges", ["id"], fp)
+    nodes_all = io.append_rows(batch_nodes, "nodes", ["id"], fp, compact_above)
+    edges_base = io.append_rows(batch_edges, "edges", ["id"], fp, compact_above)
 
     if cross_link:
         delta = L.cross_link_incremental(
             nodes_all, edges_base, batch_edges, max_block_degree
         )
-        io.append_rows(delta, "cross_edges", ["id"], fp)
+        io.append_rows(delta, "cross_edges", ["id"], fp, compact_above)
         edges_all = io.commit_union("edges_all", ["edges", "cross_edges"], fp)
     else:
         edges_all = io.commit_union("edges_all", ["edges"], fp)
 
     io.flush_metrics()
+    io.mark(f"batch_complete@{fp}", fp)
     for df in (docs, meta, mentions_v):
         df.unpersist()
     return PipelineResult(

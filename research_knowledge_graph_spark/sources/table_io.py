@@ -45,6 +45,15 @@ class TableIO:
         # stage writes may be submitted from concurrent driver threads
         # (independent stages overlap); manifest read-modify-write is locked
         self._lock = threading.Lock()
+        # append_rows is a read-modify-write of one table's member-path list
+        # AND an anti-join against its current contents — both must see every
+        # prior append, so appends to the SAME table serialize on a per-table
+        # lock (different tables still overlap)
+        self._table_locks: dict[str, threading.Lock] = {}
+
+    def _table_lock(self, name: str) -> threading.Lock:
+        with self._lock:
+            return self._table_locks.setdefault(name, threading.Lock())
 
     # -- manifest ----------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -121,18 +130,19 @@ class TableIO:
         the pipeline; this makes it a metadata operation."""
         if self.is_committed(name, fingerprint):
             return self.read(name)
-        manifest = self._load_manifest()
-        paths = []
-        for m in members:
-            t = manifest["tables"][m]
-            paths.extend(t["paths"] if "paths" in t else [t["path"]])
-        manifest["tables"][name] = {
-            "paths": paths,
-            "fingerprint": fingerprint,
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        # members' metrics were already recorded at their own commits
-        self._commit_manifest(manifest)
+        with self._lock:
+            manifest = self._load_manifest()
+            paths = []
+            for m in members:
+                t = manifest["tables"][m]
+                paths.extend(t["paths"] if "paths" in t else [t["path"]])
+            manifest["tables"][name] = {
+                "paths": paths,
+                "fingerprint": fingerprint,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            # members' metrics were already recorded at their own commits
+            self._commit_manifest(manifest)
         return self.read(name)
 
     def read(self, name: str) -> DataFrame:
@@ -156,8 +166,43 @@ class TableIO:
             merged = df
         return self.write_stage(merged, name, fingerprint)
 
+    @staticmethod
+    def _dedup_first(df: DataFrame, key: list[str]) -> DataFrame:
+        """Deterministic intra-batch first-wins: among rows sharing a key,
+        keep the one whose ORDERABLE non-key columns form the smallest tuple
+        (``dropDuplicates`` keeps an arbitrary row — non-key columns would be
+        nondeterministic across runs). Unorderable columns (maps) ride along
+        via ``min_by``; rows tied on every orderable column are
+        indistinguishable up to those, so the pick is stable."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _ord(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _ord(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_ord(f.dataType) for f in dt.fields)
+            return True
+
+        others = [c for c in df.columns if c not in key]
+        orderable = [
+            f.name for f in df.schema.fields if f.name in others and _ord(f.dataType)
+        ]
+        if not others or not orderable:
+            return df.dropDuplicates(key)
+        row = F.min_by(F.struct(*others), F.struct(*orderable)).alias("_row")
+        return (
+            df.groupBy(*key).agg(row).select(*key, "_row.*").select(*df.columns)
+        )
+
     def append_rows(
-        self, df: DataFrame, name: str, key: list[str], fingerprint: str
+        self,
+        df: DataFrame,
+        name: str,
+        key: list[str],
+        fingerprint: str,
+        compact_above: int | None = None,
     ) -> DataFrame:
         """First-wins incremental MERGE, append-only: write ONLY the delta
         (rows of ``df`` whose key is not yet in the table — existing rows
@@ -165,39 +210,66 @@ class TableIO:
         and add it to the table's member-path list. Per batch, IO is
         O(delta), never O(table) — the Iceberg MERGE-on-read append analog.
         A batch fingerprint already committed is skipped (idempotent
-        re-runs). Returns the full table after the append."""
-        if self.is_committed(f"{name}@{fingerprint}", fingerprint):
-            return self.read(name)
-        with self._lock:
-            manifest = self._load_manifest()
-            t = manifest["tables"].get(name)
-            prior_paths = (t.get("paths") or [t["path"]]) if t else []
-        delta = df.dropDuplicates(key)
-        if prior_paths:
-            existing = self.spark.read.parquet(prior_paths[0])
-            for p in prior_paths[1:]:
-                existing = existing.unionByName(self.spark.read.parquet(p))
-            delta = delta.join(existing.select(*key), key, "left_anti")
+        re-runs). Returns the full table after the append.
 
-        snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
-        t0 = time.time()
-        delta.write.mode("overwrite").parquet(snap)
+        Appends to the same table SERIALIZE on a per-table lock: the delta
+        anti-join and the member-path list must both see every prior append,
+        or a concurrent append's path is silently dropped and its keys can
+        duplicate. Different tables still append concurrently.
+
+        ``compact_above``: auto-maintenance — when the member-path list
+        exceeds this many snapshots after the append, the table is compacted
+        to one snapshot (N batches otherwise = N delta files = read
+        amplification at every later read)."""
+        with self._table_lock(name):
+            if self.is_committed(f"{name}@{fingerprint}", fingerprint):
+                return self.read(name)
+            with self._lock:
+                manifest = self._load_manifest()
+                t = manifest["tables"].get(name)
+                prior_paths = (t.get("paths") or [t["path"]]) if t else []
+            delta = self._dedup_first(df, key)
+            if prior_paths:
+                existing = self.spark.read.parquet(prior_paths[0])
+                for p in prior_paths[1:]:
+                    existing = existing.unionByName(self.spark.read.parquet(p))
+                delta = delta.join(existing.select(*key), key, "left_anti")
+
+            snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
+            t0 = time.time()
+            delta.write.mode("overwrite").parquet(snap)
+            with self._lock:
+                manifest = self._load_manifest()
+                manifest["tables"][name] = {
+                    "paths": prior_paths + [snap],
+                    "fingerprint": fingerprint,
+                    "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+                # marker entry records that this batch's delta is committed
+                manifest["tables"][f"{name}@{fingerprint}"] = {
+                    "path": snap,
+                    "fingerprint": fingerprint,
+                    "committed_at": manifest["tables"][name]["committed_at"],
+                }
+                self._commit_manifest(manifest)
+                self._pending.append((name, fingerprint, snap, time.time() - t0))
+            if compact_above is not None and len(prior_paths) + 1 > compact_above:
+                return self.compact(name, fingerprint)
+            return self.read(name)
+
+    def mark(self, name: str, fingerprint: str) -> None:
+        """Commit a zero-data sentinel entry — e.g. a batch-complete marker
+        written as the LAST step of a multi-table commit so resume logic can
+        gate on 'everything in this batch landed', not on an intermediate
+        artifact. Never ``read()``; check with :meth:`is_committed`."""
         with self._lock:
             manifest = self._load_manifest()
             manifest["tables"][name] = {
-                "paths": prior_paths + [snap],
+                "path": None,
                 "fingerprint": fingerprint,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            # marker entry records that this batch's delta is committed
-            manifest["tables"][f"{name}@{fingerprint}"] = {
-                "path": snap,
-                "fingerprint": fingerprint,
-                "committed_at": manifest["tables"][name]["committed_at"],
-            }
             self._commit_manifest(manifest)
-            self._pending.append((name, fingerprint, snap, time.time() - t0))
-        return self.read(name)
 
     def compact(self, name: str, fingerprint: str) -> DataFrame:
         """Rewrite a multi-snapshot (delta-appended) table into ONE snapshot

@@ -58,6 +58,101 @@ def test_incremental_rerun_and_duplicate_batch(spark, tmp_path):
     assert _node_set(r3.nodes) == _node_set(r1.nodes)
 
 
+def test_incremental_resume_after_mid_batch_crash(spark, tmp_path, monkeypatch):
+    """ADVICE round-2 (medium): a crash BETWEEN the edges append and the
+    cross_edges/edges_all commits must NOT make the batch re-run a no-op —
+    the resume guard gates on the batch-complete marker (committed last),
+    so the re-run walks the stages (already-landed appends skip via their
+    own markers) and the batch's cross_edges delta is recovered."""
+    import pytest
+
+    import research_knowledge_graph_spark.plans.pipeline as P
+
+    pages = synthesize_pages(spark, 40)
+    b1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    inc_dir = str(tmp_path / "crash")
+    run_pipeline_incremental(spark, b1, inc_dir, "b1")
+
+    orig = P.L.cross_link_incremental
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash after edges append")
+
+    monkeypatch.setattr(P.L, "cross_link_incremental", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline_incremental(spark, b2, inc_dir, "b2")
+    monkeypatch.setattr(P.L, "cross_link_incremental", orig)
+
+    r = run_pipeline_incremental(spark, b2, inc_dir, "b2")
+    oneshot = run_pipeline(spark, pages, str(tmp_path / "full"), mode="heuristic")
+    assert _edge_struct(r.edges) == _edge_struct(oneshot.edges)
+
+
+def test_append_rows_deterministic_intra_batch_dedup(spark, tmp_path):
+    """ADVICE round-2 (low): among intra-batch key duplicates the kept row
+    is the MIN over orderable non-key columns (not dropDuplicates'
+    arbitrary pick); map columns ride along with the winning row."""
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "det"))
+    df = spark.createDataFrame(
+        [
+            (1, "zzz", {"src": "zzz"}),
+            (1, "aaa", {"src": "aaa"}),
+            (2, "mmm", {"src": "mmm"}),
+        ],
+        "id int, val string, props map<string,string>",
+    )
+    io.append_rows(df, "t", ["id"], "b1")
+    got = {(r.id, r.val, r.props["src"]) for r in io.read("t").collect()}
+    assert got == {(1, "aaa", "aaa"), (2, "mmm", "mmm")}
+
+
+def test_append_rows_concurrent_same_table(spark, tmp_path):
+    """ADVICE round-2 (low): concurrent appends to ONE table serialize on a
+    per-table lock — no snapshot path is dropped from the member list and
+    first-wins holds across the racing batches (exactly one row per key)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "conc"))
+
+    def append(i):
+        df = spark.range(10).select(
+            F.col("id").cast("int").alias("id"), F.lit(i).alias("src")
+        )
+        return io.append_rows(df, "t", ["id"], f"b{i}")
+
+    with ThreadPoolExecutor(4) as ex:
+        list(ex.map(append, range(4)))
+
+    t = io.read("t")
+    assert t.count() == 10  # every key exactly once across 4 racing batches
+    assert t.select("id").distinct().count() == 10
+
+
+def test_append_rows_auto_compaction(spark, tmp_path):
+    """Verdict round-2 #7: the snapshot-count threshold keeps the
+    member-path list bounded across many batches; content identical to the
+    union of all appends."""
+    import json
+
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "ac"))
+    for i in range(20):
+        df = spark.createDataFrame([(i, i * 10)], "id int, val int")
+        io.append_rows(df, "t", ["id"], f"b{i}", compact_above=5)
+
+    with open(str(tmp_path / "ac") + "/_manifest.json") as f:
+        n_paths = len(json.load(f)["tables"]["t"]["paths"])
+    assert n_paths <= 5, n_paths
+    got = sorted((r.id, r.val) for r in io.read("t").collect())
+    assert got == [(i, i * 10) for i in range(20)]
+
+
 def test_compact_preserves_content(spark, tmp_path):
     """Compaction rewrites N delta snapshots into one; contents unchanged."""
     import json
