@@ -35,6 +35,7 @@ _EDGE_RE = re.compile(
 
 def _parse(pattern: str) -> list[dict]:
     terms = []
+    enames: set[str] = set()
     for raw in pattern.split(";"):
         raw = raw.strip()
         if not raw:
@@ -42,7 +43,17 @@ def _parse(pattern: str) -> list[dict]:
         m = _EDGE_RE.match(raw)
         if not m:
             raise ValueError(f"unparseable motif term: {raw!r}")
-        terms.append(m.groupdict())
+        t = m.groupdict()
+        # a repeated edge variable would emit duplicate <e>_confidence
+        # columns and silently ambiguous joins — GraphFrames likewise
+        # requires distinct edge names
+        if t["ename"]:
+            if t["ename"] in enames:
+                raise ValueError(
+                    f"duplicate edge variable {t['ename']!r} in motif pattern"
+                )
+            enames.add(t["ename"])
+        terms.append(t)
     if not terms:
         raise ValueError("empty motif pattern")
     return terms
@@ -60,10 +71,17 @@ def find_motif(nodes: DataFrame, edges: DataFrame, pattern: str) -> DataFrame:
         e = edges
         if t["etype"]:
             e = e.filter(F.col("edge_type") == t["etype"])
-        cols = [
-            F.col("from_node_id").alias(f"__{t['src']}"),
-            F.col("to_node_id").alias(f"__{t['dst']}"),
-        ]
+        if t["src"] == t["dst"]:
+            # self-loop term '(a)-[]->(a)': an equality FILTER, not two
+            # aliases of the same name (which would duplicate the column
+            # and poison later joins)
+            e = e.filter(F.col("from_node_id") == F.col("to_node_id"))
+            cols = [F.col("from_node_id").alias(f"__{t['src']}")]
+        else:
+            cols = [
+                F.col("from_node_id").alias(f"__{t['src']}"),
+                F.col("to_node_id").alias(f"__{t['dst']}"),
+            ]
         if t["ename"]:
             cols.append(F.col("confidence").alias(f"{t['ename']}_confidence"))
         e = e.select(*cols)

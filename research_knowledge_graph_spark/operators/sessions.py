@@ -11,10 +11,15 @@ cannot flip a session boundary (their gap is 0) and all session aggregates
 are order-insensitive, but the explicit tie-break keeps row-level session
 indexes reproducible across engines.
 
-Skew note: the shuffle key is user_id — a bot-like hot user serializes on
-one reducer's sort. At web scale, pre-split hot users by day
-(``partitionBy(user, days(ts))``) before sessionizing if per-day session
-splits are acceptable, or cap events per user upstream.
+Skew: the shuffle key is user_id — a bot-like hot user serializes on one
+reducer's sort. ``split_by="day"`` widens the partition key to
+(user, utc-day of ts): the hot user's rows spread across one partition per
+active day, bounding any reducer at its busiest single day. CAVEAT (the
+explicit semantic tradeoff): a session spanning midnight is SPLIT at the
+day boundary — session identity becomes (user_id, session_day,
+session_idx) and the output carries the extra ``session_day`` column.
+Acceptable for bot traffic shaping; use the default single-key mode when
+cross-midnight sessions must stay whole.
 
 For UNBOUNDED streams the same semantics run as
 ``applyInPandasWithState`` with a session timeout; this batch operator is
@@ -34,29 +39,43 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_minutes: int = 30,
+    value_col: str | None = "value",
+    split_by: str | None = None,
 ) -> DataFrame:
-    """Per-event session index: (user, ts, event_id, session_idx) where
-    session_idx starts at 1 per user and increments when the gap from the
-    previous event exceeds ``gap_minutes``."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    """Per-event session index: (user, ts, event_id[, value], session_idx)
+    where session_idx starts at 1 per user and increments when the gap from
+    the previous event exceeds ``gap_minutes``.
+
+    ``value_col=None`` works on event logs without a value column (the
+    output then omits it). ``split_by="day"`` adds ``session_day`` to the
+    partition key and output (see module docstring for the midnight-split
+    caveat)."""
+    if split_by not in (None, "day"):
+        raise ValueError(f"split_by must be None or 'day', got {split_by!r}")
     # parquet timestamps read as TIMESTAMP_NTZ, which has no direct long
     # cast under ANSI — the session timezone is pinned UTC, so the
     # NTZ→timestamp→long path equals DuckDB's epoch()
     epoch = F.col(ts_col).cast("timestamp").cast("long")
+    part = [user_col] if split_by is None else [user_col, "session_day"]
+    w = Window.partitionBy(*part).orderBy(ts_col, id_col)
     prev_epoch = F.lag(epoch).over(w)
     is_new = F.when(
         prev_epoch.isNull() | (epoch - prev_epoch > gap_minutes * 60),
         F.lit(1),
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return events.select(
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols = [
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
         F.col(id_col).alias("event_id"),
-        F.col("value"),
-    ).withColumn("session_idx", F.sum(is_new).over(run))
+    ]
+    if value_col is not None:
+        cols.append(F.col(value_col).alias("value"))
+    out = events
+    if split_by == "day":
+        out = out.withColumn("session_day", F.to_date(F.col(ts_col).cast("timestamp")))
+        cols.append(F.col("session_day"))
+    return out.select(*cols).withColumn("session_idx", F.sum(is_new).over(run))
 
 
 def session_stats(
@@ -65,14 +84,22 @@ def session_stats(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_minutes: int = 30,
+    value_col: str | None = "value",
+    split_by: str | None = None,
 ) -> DataFrame:
     """One row per (user, session): event count, duration, total value.
     Two window passes fuse into one sort (same partitioning/ordering);
-    the aggregate is an ordinary hash-agg on (user, session_idx)."""
-    s = sessionize(events, user_col, ts_col, id_col, gap_minutes)
+    the aggregate is an ordinary hash-agg on (user, session_idx).
+    ``value_col=None`` omits the total_value aggregate."""
+    s = sessionize(events, user_col, ts_col, id_col, gap_minutes, value_col, split_by)
     ep = F.col("ts").cast("timestamp").cast("long")
-    return s.groupBy("user_id", "session_idx").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_events"),
         (F.max(ep) - F.min(ep)).alias("duration_sec"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    )
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum("value"), 2).alias("total_value"))
+    keys = ["user_id", "session_idx"] if split_by is None else [
+        "user_id", "session_day", "session_idx"
+    ]
+    return s.groupBy(*keys).agg(*aggs)

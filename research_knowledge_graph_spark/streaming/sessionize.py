@@ -15,12 +15,19 @@ Batch/stream equivalence (pinned by test): the multiset of emitted
 sessions equals ``operators.sessions.session_stats`` over the same events
 once every session has been closed by a later event or by watermark
 advance.
+
+The gap walk is VECTORIZED within each Arrow batch (numpy boundary mask →
+segment starts → ``add.reduceat`` aggregates); only the carried-in open
+session is handled scalar. For a bot-like user delivering 10⁶ events in
+one trigger the per-event cost is a few numpy passes, not a Python loop
+(round-2 verdict finding #2).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,47 +73,92 @@ def _make_session_fn(gap_minutes: int):
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
-        open_s = list(state.get) if state.exists else None
-        closed = []
-        for ts, val in zip(
-            (rows["ts"].astype("int64") // 1_000_000_000).tolist(),
-            rows["value"].tolist(),
-        ):
-            if open_s is None:
-                open_s = [ts, ts, 1, float(val)]
-            elif ts - open_s[1] > gap:
-                closed.append(
-                    (user, open_s[0], open_s[2], open_s[1] - open_s[0], round(open_s[3], 2))
-                )
-                open_s = [ts, ts, 1, float(val)]
-            else:
-                open_s[1] = max(open_s[1], ts)
-                open_s[2] += 1
-                open_s[3] += float(val)
-        state.update(tuple(open_s))
+        ts = rows["ts"].astype("int64").to_numpy() // 1_000_000_000
+        vals = rows["value"].to_numpy(dtype="float64")
+        if len(ts) == 0:
+            if state.exists:  # keep the open session + its timeout armed
+                last = state.get[1]
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max((last + gap) * 1000, wm + 1))
+            return
+
+        # Vectorized gap walk (round-2 verdict finding #2: the old per-row
+        # Python loop was the bottleneck for bot-like users with 10^6 events
+        # per trigger). Sorted within the batch, a session's running-max
+        # last-seen time is just the previous element — only the carried-in
+        # open session's ``last`` can exceed it, and once the first gap
+        # boundary fires every later ts is > last0 + gap, so taking
+        # max(prev_ts, last0) everywhere is exact, not an approximation.
+        carry = list(state.get) if state.exists else None
+        if carry is not None:
+            prev = np.maximum(np.concatenate(([carry[1]], ts[:-1])), carry[1])
+        else:
+            prev = np.concatenate((ts[:1], ts[:-1]))  # no boundary at row 0
+        boundary = (ts - prev) > gap
+        starts = np.flatnonzero(np.concatenate(([True], boundary[1:])))
+        ends = np.concatenate((starts[1:], [len(ts)]))
+        seg_start = ts[starts].copy()
+        seg_last = ts[ends - 1].copy()  # sorted ⇒ max of segment
+        seg_n = (ends - starts).astype("int64")
+        seg_val = np.add.reduceat(vals, starts)
+
+        closed_carry = None
+        if carry is not None:
+            start0, last0, n0, val0 = carry
+            if boundary[0]:
+                closed_carry = (user, start0, n0, last0 - start0, round(val0, 2))
+            else:  # batch segment 0 continues the open session
+                seg_start[0] = start0
+                seg_last[0] = max(last0, seg_last[0])
+                seg_n[0] += n0
+                seg_val[0] = val0 + seg_val[0]
+
+        open_s = (int(seg_start[-1]), int(seg_last[-1]), int(seg_n[-1]), float(seg_val[-1]))
+        state.update(open_s)
         # close by watermark: fire when event time passes last + gap
         timeout_ms = (open_s[1] + gap) * 1000
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "n_events", "duration_sec", "total_value"],
+
+        k = len(starts)
+        if closed_carry is not None or k > 1:
+            out = pd.DataFrame(
+                {
+                    "user_id": np.full(k - 1, user, dtype="int64"),
+                    "session_start": seg_start[: k - 1],
+                    "n_events": seg_n[: k - 1],
+                    "duration_sec": (seg_last - seg_start)[: k - 1],
+                    "total_value": np.round(seg_val[: k - 1], 2),
+                }
             )
+            if closed_carry is not None:
+                out = pd.concat(
+                    [pd.DataFrame([closed_carry], columns=list(out.columns)), out],
+                    ignore_index=True,
+                )
+            yield out
 
     return fn
 
 
 def sessionize_stream(
-    stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """events stream (user_id, ts, event_id, value, …) → closed-session
-    rows, emitted when a successor event or the watermark closes them."""
+    """events stream (user_id, ts, event_id[, value], …) → closed-session
+    rows, emitted when a successor event or the watermark closes them.
+    ``value_col=None`` works on event logs without a value column
+    (total_value is then 0.0)."""
     s = stream.select(
-        "user_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "event_id",
-        "value",
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(id_col).alias("event_id"),
+        (F.lit(0.0) if value_col is None else F.col(value_col).cast("double")).alias("value"),
     ).withWatermark("ts", watermark)
     return s.groupBy("user_id").applyInPandasWithState(
         _make_session_fn(gap_minutes),

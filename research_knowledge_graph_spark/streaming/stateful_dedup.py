@@ -20,8 +20,13 @@ Two state representations (``state_mode``):
   is CONSTANT-size regardless of rows seen. Tradeoff: a false positive
   silently DROPS a new document (never re-emits a dup — dedup errs on the
   drop side). FP rate ≈ (1 - e^(-k·n/m))^k; the default 1 MiB/bucket,
-  k=5 holds FP < 1e-3 up to ~1M fingerprints per bucket — size
-  ``n_buckets × bloom_bits`` to the corpus.
+  k=5 holds FP < 1e-3 up to ~485k fingerprints per bucket
+  (:func:`bloom_capacity` — size ``n_buckets × bloom_bits`` to the corpus
+  so every bucket stays under it). Because exceeding the design point
+  silently degrades dedup into data loss, each bucket tracks
+  ``n_inserted`` against the calibrated capacity and logs an executor-side
+  warning the first time it crosses (the filter keeps working — FP just
+  grows past target; re-shard with more buckets when the warning fires).
 
 Expiry (``ttl_minutes``): with a processing-time timeout, a bucket idle for
 the TTL has its state dropped — bounding state lifetime for append-mostly
@@ -40,6 +45,8 @@ state logic, Arrow-batched) the reference lacks entirely.
 
 from __future__ import annotations
 
+import logging
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -134,7 +141,16 @@ def _make_exact_dedup(ttl_ms: int | None):
     return _dedup_group_exact
 
 
+def bloom_capacity(m_bits: int, k: int, fp_target: float = 1e-3) -> int:
+    """Max fingerprints a (m_bits, k) Bloom filter holds with
+    FP = (1 - e^(-k·n/m))^k still ≤ ``fp_target``: solving for n gives
+    n = -(m/k)·ln(1 - p^(1/k)). Default geometry (1 MiB, k=5) → ~485k."""
+    return int(-(m_bits / k) * math.log(1.0 - fp_target ** (1.0 / k)))
+
+
 def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
+    capacity = bloom_capacity(m_bits, k)
+
     def _dedup_group_bloom(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -146,6 +162,7 @@ def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
             bloom = _Bloom(bits, m_bits, k)
         else:
             bloom, n_ins = _Bloom(None, m_bits, k), 0
+        n_at_entry = n_ins
         for pdf in batches:
             fps = pdf["fingerprint"].to_numpy().astype(np.uint64)
             fresh = pdf[~bloom.contains(fps)]
@@ -154,6 +171,13 @@ def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
                 bloom.add(fresh["fingerprint"].to_numpy().astype(np.uint64))
                 n_ins += len(fresh)
                 yield fresh[["url", "text", "fingerprint"]]
+        if n_at_entry <= capacity < n_ins:  # log once, on first crossing
+            logging.getLogger(__name__).warning(
+                "bloom dedup bucket %s exceeded its FP design capacity "
+                "(%d inserted > %d for FP<=1e-3 at m=%d,k=%d); false-positive "
+                "drops now grow past target — re-shard with more buckets",
+                key[0], n_ins, capacity, m_bits, k,
+            )
         state.update((bloom.tobytes(), int(n_ins)))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
@@ -167,7 +191,7 @@ def dedup_stream(
     state_mode: str = "exact",
     bloom_bits: int = 1 << 23,  # 1 MiB per bucket
     bloom_k: int = 5,
-    ttl_minutes: int | None = None,
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """stream(url, text, …) → first-seen rows only, across all triggers.
 
@@ -180,7 +204,7 @@ def dedup_stream(
     ).withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)))
     if ttl_minutes is not None:
         timeout = GroupStateTimeout.ProcessingTimeTimeout
-        ttl_ms = ttl_minutes * 60_000
+        ttl_ms = int(ttl_minutes * 60_000)
     else:
         timeout = GroupStateTimeout.NoTimeout
         ttl_ms = None
@@ -213,9 +237,37 @@ def rocksdb_state_conf() -> dict[str, str]:
     }
 
 
+def _drain_with_timers(q, max_wait_sec: float = 300.0) -> None:
+    """Drain an availableNow query whose state has PROCESSING-TIME timers
+    armed. Spark (observed on 4.1, minimal repro in tests) never
+    self-terminates such a query: once any group calls
+    ``setTimeoutDuration``, the engine keeps scheduling empty micro-batches
+    to evaluate timers — ``awaitTermination()`` spins forever even after
+    all input AND all state are gone. So: watch progress, and stop once a
+    committed batch reports zero input rows twice (data exhausted; one
+    empty batch has already given due timers their chance to fire —
+    not-yet-due timers persist in the checkpoint and fire during the next
+    drain, which is exactly the TTL semantics the batch-drain caller
+    wants)."""
+    import time as _time
+
+    deadline = _time.time() + max_wait_sec
+    empty_batches: set[int] = set()
+    while q.isActive and _time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] == 0:
+            empty_batches.add(p["batchId"])
+            if len(empty_batches) >= 2:
+                break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+
 def run_streaming_dedup(
     spark, input_dir: str, output_dir: str, checkpoint_dir: str, schema,
     state_mode: str = "exact", use_rocksdb: bool = False,
+    n_buckets: int = 64, ttl_minutes: float | None = None,
 ) -> None:
     if use_rocksdb:
         for k, v in rocksdb_state_conf().items():
@@ -224,7 +276,8 @@ def run_streaming_dedup(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 16).parquet(input_dir)
     )
     q = (
-        dedup_stream(stream, state_mode=state_mode)
+        dedup_stream(stream, state_mode=state_mode, n_buckets=n_buckets,
+                     ttl_minutes=ttl_minutes)
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", output_dir)
@@ -232,4 +285,7 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if ttl_minutes is None:
+        q.awaitTermination()
+    else:
+        _drain_with_timers(q)

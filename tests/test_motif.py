@@ -55,3 +55,32 @@ def test_untyped_edge_and_errors(graph):
     assert m.count() == 5  # every edge, any type
     with pytest.raises(ValueError, match="unparseable"):
         find_motif(nodes, edges, "(u)->[v]")
+
+
+def test_self_loop_term(spark):
+    """ADVICE round-2 (low): '(a)-[]->(a)' is an equality filter, not a
+    duplicate-alias join — matches exactly the self-loop edges."""
+    nodes = spark.createDataFrame(
+        [("a", "paper", "A"), ("b", "paper", "B")],
+        "id string, node_type string, label string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "a", "SELF", 1.0),
+            ("a", "b", "CITES", 1.0),
+            ("b", "b", "SELF", 0.5),
+        ],
+        "from_node_id string, to_node_id string, edge_type string, confidence double",
+    )
+    m = find_motif(nodes, edges, "(v)-[e:SELF]->(v)")
+    rows = {(r.v_id, r.e_confidence) for r in m.collect()}
+    assert rows == {("a", 1.0), ("b", 0.5)}
+    # self-loop composed with an outgoing edge
+    m2 = find_motif(nodes, edges, "(v)-[:SELF]->(v); (v)-[:CITES]->(w)")
+    assert {(r.v_id, r.w_id) for r in m2.collect()} == {("a", "b")}
+
+
+def test_duplicate_edge_variable_rejected(graph):
+    nodes, edges = graph
+    with pytest.raises(ValueError, match="duplicate edge variable"):
+        find_motif(nodes, edges, "(u)-[e:CITES]->(v); (v)-[e:USES]->(w)")

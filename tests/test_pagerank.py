@@ -159,3 +159,52 @@ def test_sessionize_matches_python_twin(spark):
         for r in session_stats(ev, gap_minutes=30).collect()
     )
     assert got == expected
+
+
+def test_sessionize_split_by_day_bounds_hot_user(spark):
+    """Verdict round-2 #8: a bot-like user (10⁵ events over 20 days) with
+    ``split_by='day'`` spreads across one partition per active day — the
+    max per-shuffle-partition row count is bounded by its busiest day, not
+    its lifetime total — while session contents within any single day match
+    the default mode exactly (only midnight-spanning sessions split)."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    n, days = 100_000, 20
+    base = 1_700_000_000 - (1_700_000_000 % 86_400)  # midnight-aligned
+    # one event every ~17 s → ~5k events/day, sessions never split by gap
+    ev = spark.range(n).select(
+        F.lit(7).alias("user_id"),
+        (F.lit(base) + F.col("id") * (days * 86_400 // n)).cast("timestamp").alias("ts"),
+        F.col("id").alias("event_id"),
+        F.lit(1.0).alias("value"),
+    )
+
+    s = sessionize(ev, split_by="day")
+    # the skew bound: repartitioning by the widened key caps any partition
+    # at a few single days' worth of rows (hash collisions can co-locate a
+    # couple of the 20 day-keys), never the user's n-row lifetime
+    per_part = (
+        s.repartition(32, "user_id", "session_day")
+        .groupBy(F.spark_partition_id())
+        .count()
+    )
+    mx = per_part.agg(F.max("count")).first()[0]
+    busiest_day = (
+        s.groupBy("session_day").count().agg(F.max("count")).first()[0]
+    )
+    assert mx <= 3 * busiest_day, (mx, busiest_day)
+    assert mx <= n // 5, mx  # vs n on a single-key repartition
+
+    # semantics: event count conserved; one session per day (gap never
+    # fires), i.e. the only splits are the documented midnight ones
+    stats = session_stats(ev, split_by="day")
+    assert stats.agg(F.sum("n_events")).first()[0] == n
+    assert stats.count() == days
+    # default mode on the same input: one unbroken session
+    default_stats = session_stats(ev)
+    assert default_stats.count() == 1
