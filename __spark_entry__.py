@@ -308,6 +308,18 @@ def g15_connected_components(spark, sf_dir):
     )
 
 
+def g17_shortest_paths(spark, sf_dir):
+    """Multi-landmark directed shortest paths (GraphFrames shortestPaths
+    surface, operators/graph_queries.py::shortest_paths): hop distance to
+    parts p1/p2 over FOLLOWS∪USES_PART — an order using the part directly
+    is at dist 1, its successor orders (FOLLOWS points newer→older) at
+    2, 3, … Oracle: recursive CTE with min(dist)."""
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.shortest_paths(
+        edges, ["p1", "p2"], max_depth=6, edge_types=["FOLLOWS", "USES_PART"]
+    )
+
+
 def g16_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over FOLLOWS∪PLACED (operators/pagerank.py).
     Verified against a numpy power-iteration reference to 1e-9 in
@@ -431,6 +443,59 @@ def t07_minhash_lsh_pairs(spark, sf_dir):
     return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
+def t10_dedup_cluster_survivors(spark, sf_dir):
+    """Near-dup CLUSTER collapse — the step after pair finding in a real
+    dedup pipeline: MinHash-LSH pairs (t07) → connected components →
+    per-cluster survivor (min doc_id). One row per clustered doc:
+    (doc_id, survivor_id, n_docs); the drop list is rows where
+    doc_id != survivor_id. Oracle: recursive undirected reachability over
+    the identical pair set."""
+    from research_knowledge_graph_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b"))
+    )
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("key").alias("doc_id"),
+        F.col("component").alias("survivor_id"),
+        F.count(F.lit(1)).over(w).alias("n_docs"),
+    )
+
+
+def t11_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (training-data mixing):
+    even-numbered sources kept at 20%, odd at 5%. Map-only plan — rate dim
+    broadcast, survival decided per-row by the portable hash; re-runs and
+    rate top-ups are reproducible by construction."""
+    from research_knowledge_graph_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {f"src{i}": (0.20 if i % 2 == 0 else 0.05) for i in range(20)}
+    return stratified_sample(d, rates, "source", "doc_id", seed=7).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def t12_quota_sample(spark, sf_dir):
+    """Exact per-source quota (10 docs/source) drawn by hash order — a
+    deterministic uniform draw without replacement; ``pick`` is the
+    1-based rank within the stratum."""
+    from research_knowledge_graph_spark.operators.sampling import quota_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return quota_sample(d, 10, "source", "doc_id", seed=7).select(
+        "doc_id", "source", F.col("pick").cast("int").alias("pick")
+    )
+
+
 def e03_knn_lsh(spark, sf_dir):
     """SRP-LSH bucketed ANN: same-bucket rerank for 5 query vectors."""
     e = _t(spark, sf_dir, "embeddings")
@@ -452,6 +517,33 @@ def e05_knn_lsh_multiprobe(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.knn_lsh(e, q, dim=64, k=10, planes=6, probe_bits=1).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def e06_knn_ivf_indexed(spark, sf_dir):
+    """Persisted IVF index end-to-end (the 10⁹-vector serving shape): build
+    the cell-partitioned inverted file, then answer the e01 query set
+    THROUGH it. ``nprobe == k_cells`` (full probe) makes the result EXACTLY
+    brute force — the oracle is e01's SQL — while the read path exercises
+    the real index: routed cells hit the parquet scan as a partition filter
+    on ``cell`` (dynamic partition pruning, plan pinned in
+    tests/test_ann_ivf.py). Partial-probe recall is measured separately
+    (BASELINE.md §ANN)."""
+    import tempfile
+
+    from research_knowledge_graph_spark.operators.ann_ivf import (
+        build_ivf_index,
+        knn_ivf_indexed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_e06_")
+    build_ivf_index(e, path, k_cells=8)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_ivf_indexed(spark, path, q, nprobe=8, k=10).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -573,8 +665,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e02_embedding_near_dups": e02_embedding_near_dups,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
+        "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
         "t08_chunk_stats": t08_chunk_stats,
         "t09_quality_quantiles": t09_quality_quantiles,
+        "g17_shortest_paths": g17_shortest_paths,
+        "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
+        "t11_stratified_sample": t11_stratified_sample,
+        "t12_quota_sample": t12_quota_sample,
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
@@ -725,7 +822,7 @@ def oracle_sql() -> dict[str, str]:
     cos_ab = _cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
     cos_qd = _cosine_sql("qv", "dv")
 
-    return {
+    sql = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -907,6 +1004,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t06_simhash": _simhash_sql(16),
         "t07_minhash_lsh_pairs": _minhash_lsh_sql(k=8, shingle_k=4, bands=4),
+        "g17_shortest_paths": f"""
+            WITH RECURSIVE {GRAPH_CTE},
+            g AS (
+                SELECT from_node_id, to_node_id FROM edges
+                WHERE edge_type IN ('FOLLOWS', 'USES_PART')
+            ),
+            sp AS (
+                SELECT landmark, landmark AS node_id, 0 AS dist
+                FROM (VALUES ('p1'), ('p2')) L(landmark)
+                UNION
+                SELECT sp.landmark, g.from_node_id, sp.dist + 1
+                FROM sp JOIN g ON g.to_node_id = sp.node_id
+                WHERE sp.dist < 6
+            )
+            SELECT landmark, node_id, min(dist) AS dist
+            FROM sp GROUP BY landmark, node_id
+        """,
+        "t10_dedup_cluster_survivors": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT * FROM ({_minhash_lsh_sql(k=8, shingle_k=4, bands=4)})
+            ),
+            und AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                SELECT u AS start, u AS node FROM (SELECT DISTINCT u FROM und)
+                UNION
+                SELECT r.start, und.v FROM reach r JOIN und ON und.u = r.node
+            ),
+            comp AS (
+                SELECT start AS doc_id, min(node) AS survivor_id
+                FROM reach GROUP BY start
+            )
+            SELECT doc_id, survivor_id,
+                   count(*) OVER (PARTITION BY survivor_id) AS n_docs
+            FROM comp
+        """,
+        "t11_stratified_sample": f"""
+            WITH rates(source, rate_ppm) AS (
+                VALUES {", ".join(f"('src{i}', {200000 if i % 2 == 0 else 50000})" for i in range(20))}
+            )
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN rates r USING (source)
+            WHERE {portable_hash64_sql("d.doc_id", seed=7)} % 1000000 < r.rate_ppm
+        """,
+        "t12_quota_sample": f"""
+            WITH h AS (
+                SELECT doc_id, source,
+                       {portable_hash64_sql("doc_id", seed=7)} % 1000000 AS b
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS INT) AS pick
+                FROM h
+            )
+            SELECT doc_id, source, pick FROM r WHERE pick <= 10
+        """,
         "e03_knn_lsh": _knn_lsh_sql(dim=64, planes=6, k=10),
         "e05_knn_lsh_multiprobe": _knn_lsh_sql(dim=64, planes=6, k=10, hamming=1),
         "g11_undirected_degree": f"""
@@ -970,3 +1127,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_idx
         """,
     }
+    # e06 answers the e01 query set THROUGH the persisted IVF index with
+    # nprobe == k_cells (full probe == exact search), so its oracle is
+    # e01's brute-force SQL verbatim
+    sql["e06_knn_ivf_indexed"] = sql["e01_knn_bruteforce"]
+    return sql

@@ -237,3 +237,54 @@ def bfs_subgraph(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    landmarks: list[str],
+    max_depth: int = 6,
+    edge_types: list[str] | None = None,
+) -> DataFrame:
+    """Directed single-source shortest paths to a set of LANDMARK nodes
+    (the GraphFrames ``shortestPaths`` surface): for every node that can
+    reach a landmark within ``max_depth`` hops following edge direction,
+    the minimal hop count. Returns (landmark, node_id, dist), including
+    (l, l, 0).
+
+    All landmarks expand in ONE frontier (the landmark id is part of the
+    frontier key), so k landmarks cost the same number of join rounds as
+    one — each round is a single equi-join frontier⨝edges plus an anti-join
+    against the visited set. First visit = minimal distance (BFS
+    invariant), so no min-aggregation is ever needed; ``localCheckpoint``
+    per level cuts the iterative-join lineage. Frontier/visited stay
+    partitioned on node_id across rounds — the join key never changes."""
+    spark = edges.sparkSession
+    e = edges
+    if edge_types is not None:
+        e = e.filter(F.col("edge_type").isin(edge_types))
+    # reach TO the landmark: u→v means dist(u) ≤ dist(v)+1
+    rev = e.select(
+        F.col("to_node_id").alias("u"), F.col("from_node_id").alias("v")
+    ).distinct()
+
+    visited = spark.createDataFrame(
+        [(l, l, 0) for l in landmarks], "landmark string, node_id string, dist int"
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(rev, frontier.node_id == rev.u)
+            .select("landmark", F.col("v").alias("node_id"), F.lit(d).alias("dist"))
+            .distinct()
+            .join(
+                visited.select("landmark", "node_id"),
+                ["landmark", "node_id"],
+                "left_anti",
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

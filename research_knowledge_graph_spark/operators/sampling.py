@@ -1,0 +1,93 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100-TB corpus is never trained on wholesale: curation pipelines mix
+sources at explicit rates ("2 epochs of wiki, 0.3 of common-crawl") and
+cap head sources. Random sampling (``df.sample``) is wrong for that job —
+it is irreproducible across retries/re-runs, and per-task RNG makes
+lineage meaningless. Both operators here are **pure functions of the row
+key** via the engine-portable 60-bit hash
+(:func:`..functions.hashing.portable_hash64`), so:
+
+- a re-run (or a retried task) selects the *same* rows — sampling is
+  idempotent, resumable, and oracle-checkable in DuckDB bit-for-bit;
+- changing the rate from 5% to 10% *grows* the sample monotonically
+  (hash < 0.05·M ⊂ hash < 0.10·M) — incremental top-ups don't reshuffle
+  the previously-selected set;
+- the ``seed`` decorrelates independent sampling decisions over the same
+  keys (train/validation splits, repeated trials).
+
+Scale shapes:
+- :func:`stratified_sample` is a broadcast-join + filter — **map-only, no
+  shuffle**: the rate table is tiny (#strata rows), the hash is computed
+  per-row and the filter is pushed into the scan's codegen stage.
+- :func:`quota_sample` needs exact per-stratum counts, so it is one
+  window over (stratum, hash) — a single shuffle whose key is the
+  stratum. Head-stratum skew is bounded: rank() stops mattering past k,
+  and for pathological strata the stratified (rate) variant is the
+  escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.functions.hashing import portable_hash64
+
+# denominator for rate arithmetic: rates are exact multiples of 1e-6
+_M = 1_000_000
+
+
+def sample_bucket_col(id_col, seed: int = 0):
+    """The row's sampling bucket in [0, 1e6): ``portable_hash64(id) % 1e6``.
+    Deterministic, engine-portable (same bits in DuckDB — see
+    ``portable_hash64_sql``)."""
+    return F.pmod(portable_hash64(id_col, seed=seed), F.lit(_M))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with per-stratum probability ``rates[stratum]``,
+    deterministically: row survives iff ``hash(id) % 1e6 < rate·1e6``.
+
+    ``rates`` maps stratum value → rate in [0, 1]; strata absent from the
+    map get ``default_rate`` (0.0 = drop unknown sources, the safe
+    curation default). The rate table is broadcast (#strata rows);
+    the plan is scan → broadcast-hash-join → filter, no shuffle."""
+    rate_rows = [(k, int(round(v * _M))) for k, v in rates.items()]
+    rate_df = df.sparkSession.createDataFrame(
+        rate_rows, f"{strata_col} string, _rate_ppm bigint"
+    )
+    joined = df.join(F.broadcast(rate_df), strata_col, "left").withColumn(
+        "_rate_ppm",
+        F.coalesce(F.col("_rate_ppm"), F.lit(int(round(default_rate * _M)))),
+    )
+    return joined.filter(
+        sample_bucket_col(id_col, seed) < F.col("_rate_ppm")
+    ).drop("_rate_ppm")
+
+
+def quota_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
+    order — a deterministic uniform draw without replacement (hash order
+    is independent of the data's physical or logical order). Adds ``pick``
+    (1-based rank within the stratum). One shuffle keyed by the stratum."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket_col(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= n_per_stratum)
+    )

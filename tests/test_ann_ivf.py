@@ -79,3 +79,19 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     plan = knn_ivf_indexed(spark, path, q, nprobe=3, k=10)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # the probed cells reach the scan as a PARTITION filter (directory
+    # pruning), not a post-scan row filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell" in ln for ln in pf), plan[:2000]
+
+
+def test_e06_entry_matches_bruteforce(spark):
+    """The e06 query-surface entry (full-probe indexed IVF) equals the e01
+    brute-force entry row-for-row — the same contract its DuckDB oracle
+    checks at sf0.01."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    bf = {tuple(r) for r in entry.e01_knn_bruteforce(spark, sf).collect()}
+    ivf = {tuple(r) for r in entry.e06_knn_ivf_indexed(spark, sf).collect()}
+    assert ivf == bf

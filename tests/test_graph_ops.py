@@ -1,0 +1,55 @@
+"""Unit pins for iterative graph operators on hand-built graphs where the
+expected answer is checkable by eye (the sf-scale oracle twin is
+tests/test_entry_oracle.py::g17)."""
+
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.graph_queries import shortest_paths
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        [(a, b, t, 1.0) for a, b, t in rows],
+        "from_node_id string, to_node_id string, edge_type string, confidence double",
+    )
+
+
+def test_shortest_paths_min_dist_and_direction(spark):
+    # a→b→c→L plus shortcut a→c; direction matters: L reaches nothing.
+    e = _edges(
+        spark,
+        [("a", "b", "E"), ("b", "c", "E"), ("c", "L", "E"), ("a", "c", "E")],
+    )
+    got = {
+        (r.landmark, r.node_id, r.dist)
+        for r in shortest_paths(e, ["L"], max_depth=5).collect()
+    }
+    assert got == {("L", "L", 0), ("L", "c", 1), ("L", "b", 2), ("L", "a", 2)}
+
+
+def test_shortest_paths_multi_landmark_and_cycle(spark):
+    # cycle x→y→x must terminate; both landmarks expand in one frontier
+    e = _edges(
+        spark,
+        [("x", "y", "E"), ("y", "x", "E"), ("x", "L1", "E"), ("y", "L2", "E")],
+    )
+    sp = shortest_paths(e, ["L1", "L2"], max_depth=4)
+    got = {(r.landmark, r.node_id, r.dist) for r in sp.collect()}
+    assert ("L1", "x", 1) in got and ("L1", "y", 2) in got
+    assert ("L2", "y", 1) in got and ("L2", "x", 2) in got
+    # one row per (landmark, node): first visit IS the minimum
+    assert sp.groupBy("landmark", "node_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_shortest_paths_depth_cap_and_type_filter(spark):
+    e = _edges(
+        spark,
+        [("a", "b", "E"), ("b", "L", "E"), ("z", "L", "OTHER")],
+    )
+    got = {
+        (r.node_id, r.dist)
+        for r in shortest_paths(e, ["L"], max_depth=1, edge_types=["E"]).collect()
+    }
+    assert got == {("L", 0), ("b", 1)}  # a is 2 hops → capped out; z wrong type

@@ -1,0 +1,84 @@
+"""Deterministic sampling operators (training-data curation surface).
+
+Contract pins:
+- reproducibility: same input + seed → identical sample (it's a pure
+  function of the key, so this also covers task-retry safety);
+- monotonicity: raising a stratum's rate GROWS the sample (supersets) —
+  the property that makes incremental top-ups shuffle-free;
+- quota exactness and hash-order uniformity for quota_sample;
+- plan shape: stratified_sample is broadcast-join + filter, no exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.sampling import (
+    quota_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def test_stratified_deterministic_and_rate(spark, docs):
+    rates = {"src0": 0.5, "src1": 0.1, "src2": 0.0, "src3": 1.0}
+    s1 = {r.doc_id for r in stratified_sample(docs, rates, seed=3).collect()}
+    s2 = {r.doc_id for r in stratified_sample(docs, rates, seed=3).collect()}
+    assert s1 == s2  # pure function of the key
+    by_src = dict(
+        stratified_sample(docs, rates, seed=3)
+        .groupBy("source").count().rdd.map(lambda r: (r.source, r["count"])).collect()
+    )
+    assert "src2" not in by_src  # rate 0 drops everything
+    assert by_src["src3"] == 500  # rate 1 keeps everything
+    assert 150 <= by_src["src0"] <= 350  # ~250 ± binomial noise
+    assert 20 <= by_src["src1"] <= 90  # ~50
+
+
+def test_stratified_monotone_topup(spark, docs):
+    lo = {r.doc_id for r in stratified_sample(docs, {"src0": 0.1}, seed=3).collect()}
+    hi = {r.doc_id for r in stratified_sample(docs, {"src0": 0.4}, seed=3).collect()}
+    assert lo < hi  # raising the rate only ADDS rows
+
+
+def test_stratified_default_rate_and_seed(spark, docs):
+    # unknown strata: dropped by default, kept with default_rate=1
+    assert stratified_sample(docs, {"src0": 1.0}).count() == 500
+    assert (
+        stratified_sample(docs, {"src0": 1.0}, default_rate=1.0).count() == 2000
+    )
+    # different seeds decorrelate the draw
+    a = {r.doc_id for r in stratified_sample(docs, {"src0": 0.3}, seed=1).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, {"src0": 0.3}, seed=2).collect()}
+    assert a != b and len(a & b) < len(a)
+
+
+def test_stratified_plan_no_exchange(spark, docs):
+    plan = (
+        stratified_sample(docs, {"src0": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+
+
+def test_quota_exact_and_deterministic(spark, docs):
+    q = quota_sample(docs, 25, seed=9)
+    counts = {r.source: r["count"] for r in q.groupBy("source").count().collect()}
+    assert counts == {f"src{i}": 25 for i in range(4)}
+    assert q.filter(F.col("pick") > 25).count() == 0
+    # small stratum: returns the whole stratum, picks stay 1..n
+    tiny = docs.filter(F.col("doc_id") < 3)
+    qt = quota_sample(tiny, 25, seed=9)
+    assert qt.count() == 3
+    assert {r.pick for r in qt.select("pick").collect()} <= {1, 2, 3}
+    # deterministic across runs
+    a = sorted((r.doc_id, r.pick) for r in quota_sample(docs, 5, seed=9).collect())
+    b = sorted((r.doc_id, r.pick) for r in quota_sample(docs, 5, seed=9).collect())
+    assert a == b
