@@ -53,3 +53,52 @@ def run_incremental_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_graph_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    graph_dir: str,
+    checkpoint_dir: str,
+    mode: str = "heuristic",
+) -> None:
+    """Continuous crawl → KNOWLEDGE GRAPH, end to end: each micro-batch of
+    newly-landed page files runs the FULL incremental graph pipeline
+    (extraction → validation → node/edge materialization → delta
+    cross-linking) via ``foreachBatch``.
+
+    Exactly-once composition, the two halves covering each other's failure
+    mode:
+
+    - the stream checkpoint guarantees each FILE is delivered to exactly
+      one micro-batch — a restart never re-delivers a processed file;
+    - ``run_pipeline_incremental`` keys the batch on the deterministic
+      ``epoch_id``, so a crash AFTER the batch's graph commit but BEFORE
+      the stream checkpoint advances (the classic foreachBatch double-fire
+      window) makes the re-delivered batch a no-op (its ``batch_complete``
+      marker is already committed), and a crash mid-batch resumes at the
+      per-stage markers.
+
+    Re-run whenever new files arrive; the graph under ``graph_dir``
+    converges to the one-shot ingest of everything delivered (pinned by
+    ``tests/test_streaming_graph_ingest.py``)."""
+    from research_knowledge_graph_spark.plans.pipeline import (
+        run_pipeline_incremental,
+    )
+
+    def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_pipeline_incremental(
+            batch_df.sparkSession, batch_df, graph_dir,
+            batch_id=f"epoch{epoch_id}", mode=mode,
+        )
+
+    q = (
+        stream_pages(spark, input_dir)
+        .writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
