@@ -496,6 +496,23 @@ def t12_quota_sample(spark, sf_dir):
     )
 
 
+def t13_token_budget_sample(spark, sf_dir):
+    """Token-budget sampling (training mixtures are specified in tokens,
+    not rows): walk each source in hash order, keep documents while the
+    running token total stays ≤ 700. Deterministic and monotone in the
+    budget."""
+    from research_knowledge_graph_spark.functions.textops import tokens_col
+    from research_knowledge_graph_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        d, 700, F.size(tokens_col("text")).cast("bigint"), "source", "doc_id",
+        seed=7,
+    ).select("doc_id", "source", "cum_tokens")
+
+
 def e03_knn_lsh(spark, sf_dir):
     """SRP-LSH bucketed ANN: same-bucket rerank for 5 query vectors."""
     e = _t(spark, sf_dir, "embeddings")
@@ -672,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "t11_stratified_sample": t11_stratified_sample,
         "t12_quota_sample": t12_quota_sample,
+        "t13_token_budget_sample": t13_token_budget_sample,
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
@@ -1063,6 +1081,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM h
             )
             SELECT doc_id, source, pick FROM r WHERE pick <= 10
+        """,
+        "t13_token_budget_sample": f"""
+            WITH h AS (
+                SELECT doc_id, source,
+                       {portable_hash64_sql("doc_id", seed=7)} % 1000000 AS b,
+                       CAST(len({toks}) AS BIGINT) AS n_tok
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source,
+                       CAST(sum(n_tok) OVER (
+                           PARTITION BY source ORDER BY b, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS cum_tokens
+                FROM h
+            )
+            SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 700
         """,
         "e03_knn_lsh": _knn_lsh_sql(dim=64, planes=6, k=10),
         "e05_knn_lsh_multiprobe": _knn_lsh_sql(dim=64, planes=6, k=10, hamming=1),

@@ -91,3 +91,34 @@ def quota_sample(
         df.withColumn("pick", F.row_number().over(w))
         .filter(F.col("pick") <= n_per_stratum)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    weight_col,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum sampling against a TOKEN budget rather than a row
+    count — the unit training-data mixtures are actually specified in
+    ("50B tokens of web, 5B of code"). Walk each stratum in hash order and
+    keep rows while the running total of ``weight_col`` (a Column, e.g.
+    ``F.size(tokens_col("text"))``) stays ≤ ``budget_tokens``; the first
+    row that would cross the budget, and everything after it, is dropped.
+
+    Deterministic for the same reasons as the other samplers (pure
+    function of the key), and monotone in the budget: raising it only
+    appends rows to the sample. Adds ``cum_tokens`` (running total
+    including the row). One shuffle keyed by the stratum; the running sum
+    is a single window pass over (stratum, hash)."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(sample_bucket_col(id_col, seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(weight_col).over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from research_knowledge_graph_spark.operators.sampling import (
     quota_sample,
     stratified_sample,
+    token_budget_sample,
 )
 
 
@@ -82,3 +83,21 @@ def test_quota_exact_and_deterministic(spark, docs):
     a = sorted((r.doc_id, r.pick) for r in quota_sample(docs, 5, seed=9).collect())
     b = sorted((r.doc_id, r.pick) for r in quota_sample(docs, 5, seed=9).collect())
     assert a == b
+
+
+def test_token_budget_sample(spark, docs):
+    # weight 1 + doc_id % 7 tokens per row; budget binds per stratum
+    weighted = docs.withColumn("n_tok", (F.col("doc_id") % 7 + 1).cast("bigint"))
+    s = token_budget_sample(weighted, 100, F.col("n_tok"), seed=5)
+    per_src = s.groupBy("source").agg(
+        F.max("cum_tokens").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    rows = {r.source: (r.mx, r.n) for r in per_src.collect()}
+    assert set(rows) == {f"src{i}" for i in range(4)}
+    for mx, n in rows.values():
+        assert mx <= 100  # budget respected (inclusive running total)
+        assert n < 500  # and it actually binds (500 rows/stratum available)
+    # monotone: a bigger budget yields a superset
+    lo = {r.doc_id for r in s.collect()}
+    hi = {r.doc_id for r in token_budget_sample(weighted, 200, F.col("n_tok"), seed=5).collect()}
+    assert lo < hi
