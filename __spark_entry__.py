@@ -547,7 +547,10 @@ def e06_knn_ivf_indexed(spark, sf_dir):
     on ``cell`` (dynamic partition pruning, plan pinned in
     tests/test_ann_ivf.py). Partial-probe recall is measured separately
     (BASELINE.md §ANN)."""
+    import hashlib
+    import shutil
     import tempfile
+    import uuid as _uuid
 
     from research_knowledge_graph_spark.operators.ann_ivf import (
         build_ivf_index,
@@ -555,8 +558,20 @@ def e06_knn_ivf_indexed(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_e06_")
-    build_ivf_index(e, path, k_cells=8)
+    # the index is a pure function of the input table — cache it per
+    # sf_dir and reuse (a fresh mkdtemp per call leaked a full copy of the
+    # embeddings table every invocation and rebuilt the index each time);
+    # build into a scratch dir, then atomic-rename into the cache slot so
+    # concurrent callers can't observe a half-built index
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_e06_{key}")
+    if not os.path.isdir(path):
+        scratch = f"{path}.build.{_uuid.uuid4().hex[:8]}"
+        build_ivf_index(e, scratch, k_cells=8)
+        try:
+            os.rename(scratch, path)
+        except OSError:  # another caller won the race; use theirs
+            shutil.rmtree(scratch, ignore_errors=True)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -276,12 +276,22 @@ class TableIO:
         — the Iceberg rewrite_data_files maintenance analog. Run when the
         member-path list grows enough that per-read union planning and
         small-file overhead matter (e.g. every N ingest batches); contents
-        are unchanged (content equality is test-pinned)."""
+        are unchanged (content equality is test-pinned).
+
+        Superseded snapshot directories are DELETED after the manifest
+        commit (the expire-snapshots half of the maintenance op) — without
+        it, auto-compaction in a long-running ingest accumulates a full
+        extra copy of the table every ``compact_above`` batches. Like
+        Iceberg's expire, this invalidates DataFrames handed out from
+        *earlier* reads of the pre-compaction snapshot list; re-read after
+        compacting. Paths referenced by OTHER manifest entries (e.g. an
+        ``edges_all`` union commit listing member snapshots) are kept."""
         t = self._load_manifest()["tables"].get(name)
         if not t:
             raise FileNotFoundError(f"table {name!r} not committed under {self.root}")
         if "paths" not in t or len(t["paths"]) <= 1:
             return self.read(name)
+        old_paths = list(t["paths"])
         df = self.read(name)
         snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(snap)
@@ -293,6 +303,21 @@ class TableIO:
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             self._commit_manifest(manifest)
+            # expire: drop superseded snapshot dirs not referenced by any
+            # other TABLE entry (union commits hold member paths by
+            # reference and must keep them readable until they re-commit).
+            # '@'-keyed entries are resume MARKERS — their path field is
+            # informational, never read — so they do not pin a snapshot.
+            still_referenced = set()
+            for ename, e in manifest["tables"].items():
+                if ename == name or "@" in ename:
+                    continue
+                still_referenced.update(e.get("paths") or ([e["path"]] if e.get("path") else []))
+        import shutil
+
+        for p in old_paths:
+            if p not in still_referenced and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
         return self.read(name)
 
     # -- lineage + metrics ---------------------------------------------------

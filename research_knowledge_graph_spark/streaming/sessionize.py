@@ -124,7 +124,9 @@ def _make_session_fn(gap_minutes: int):
         if closed_carry is not None or k > 1:
             out = pd.DataFrame(
                 {
-                    "user_id": np.full(k - 1, user, dtype="int64"),
+                    # plain list, not np.full(..., dtype=int64): the group
+                    # key can be NULL (user is None) and must flow through
+                    "user_id": [user] * (k - 1),
                     "session_start": seg_start[: k - 1],
                     "n_events": seg_n[: k - 1],
                     "duration_sec": (seg_last - seg_start)[: k - 1],

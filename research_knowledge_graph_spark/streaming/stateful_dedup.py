@@ -253,15 +253,26 @@ def _drain_with_timers(q, max_wait_sec: float = 300.0) -> None:
 
     deadline = _time.time() + max_wait_sec
     empty_batches: set[int] = set()
+    drained = False
     while q.isActive and _time.time() < deadline:
         p = q.lastProgress
         if p is not None and p["numInputRows"] == 0:
             empty_batches.add(p["batchId"])
             if len(empty_batches) >= 2:
+                drained = True
                 break
         _time.sleep(0.2)
+    drained = drained or not q.isActive
     q.stop()
     q.awaitTermination()
+    if not drained:
+        # fail LOUD: stopping mid-data would silently skip a suffix of the
+        # input (the caller believes the drain completed)
+        raise RuntimeError(
+            f"streaming drain did not exhaust its input within {max_wait_sec}s "
+            "(no two empty micro-batches observed); raise max_wait_sec or "
+            "reduce the backlog per drain"
+        )
 
 
 def run_streaming_dedup(

@@ -172,10 +172,14 @@ def main() -> None:
     stage_table = {}
     for name in small.get("stages", {}):
         tn, t4 = small["stages"].get(name), big.get("stages", {}).get(name)
-        if tn and t4:
-            stage_table[name] = {
-                "n_sec": tn, "4n_sec": t4, "efficiency": round(tn / t4 / 4, 3),
-            }
+        # truthiness would DROP a 0.0-rounded stage — exactly the anomaly
+        # (fast at one size, slow at the other) the table exists to show
+        if tn is None or t4 is None:
+            continue
+        stage_table[name] = {
+            "n_sec": tn, "4n_sec": t4,
+            "efficiency": round(tn / t4 / 4, 3) if t4 > 0 else None,
+        }
     result = {
         "metric": "pipeline_scaling_efficiency",
         "mode": (

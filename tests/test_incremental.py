@@ -151,6 +151,14 @@ def test_append_rows_auto_compaction(spark, tmp_path):
     assert n_paths <= 5, n_paths
     got = sorted((r.id, r.val) for r in io.read("t").collect())
     assert got == [(i, i * 10) for i in range(20)]
+    # expire half: superseded snapshot DIRS are deleted, not just dropped
+    # from the manifest — disk usage stays bounded across many batches
+    import os
+
+    snap_dirs = [
+        d for d in os.listdir(str(tmp_path / "ac" / "t")) if d.startswith("snap-")
+    ]
+    assert len(snap_dirs) <= 5, snap_dirs
 
 
 def test_compact_preserves_content(spark, tmp_path):

@@ -62,3 +62,38 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
         if r.user_id >= 0
     )
     assert got == expected
+
+
+def test_streaming_sessions_null_user_group(spark, tmp_path):
+    """A NULL group key forms its own group and must flow through session
+    emission (regression: the vectorized path once built the user column
+    with np.full(..., dtype=int64), which raises on None)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # two sessions for the null user, split by a > 30 min gap — the
+        # second session's arrival CLOSES the first within a data batch
+        (None, base, 1, 1.0),
+        (None, base + datetime.timedelta(minutes=5), 2, 2.0),
+        (None, base + datetime.timedelta(hours=2), 3, 4.0),
+        (7, base, 4, 8.0),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    ev = spark.createDataFrame(rows, schema)
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ["in_n", "out_n", "ck_n"])
+    ev.write.mode("append").parquet(inp)
+    run_streaming_sessionize(spark, inp, out, ckpt, ev.schema)
+    sentinel = spark.createDataFrame(
+        [(99, base + datetime.timedelta(days=30), 100, 0.0)], schema
+    )
+    sentinel.write.mode("append").parquet(inp)
+    run_streaming_sessionize(spark, inp, out, ckpt, ev.schema)
+
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != 99
+    }
+    assert (None, 2, 3.0) in got  # null user's first (closed-in-batch) session
+    assert (None, 1, 4.0) in got  # and the watermark-closed one
+    assert (7, 1, 8.0) in got
