@@ -538,6 +538,52 @@ def e05_knn_lsh_multiprobe(spark, sf_dir):
     )
 
 
+def t14_quality_floor(spark, sf_dir):
+    """Per-source quality-floor filter (operators/curation.py): drop every
+    document at or below its source's 10th-percentile alpha-ratio score.
+    Exact interpolated threshold per source, broadcast back; comparisons in
+    rounded 6-decimal space for a reproducible boundary."""
+    from research_knowledge_graph_spark.operators.curation import (
+        quality_floor_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features_cols("text")
+    return quality_floor_filter(
+        d.select("doc_id", "source", "text"), q["alpha_ratio"], 0.1, "source"
+    ).select("doc_id", "source", "score6")
+
+
+def t15_pii_redaction(spark, sf_dir):
+    """PII scrubbing audit (operators/curation.py): emails, phones, IPv4s
+    replaced by typed tokens, with per-class counts. The synthetic corpus
+    has no PII, so each doc gets a deterministic constructed contact line
+    (same construction in the oracle) — the regex chain does real work and
+    the redacted text round-trips through the value hash."""
+    from research_knowledge_graph_spark.operators.curation import (
+        redact_pii_col,
+        redaction_counts_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-867-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".1"),
+    )
+    counts = redaction_counts_col(pii_text)
+    return d.select(
+        "doc_id",
+        counts["n_email"].cast("bigint").alias("n_email"),
+        counts["n_phone"].cast("bigint").alias("n_phone"),
+        counts["n_ip"].cast("bigint").alias("n_ip"),
+        redact_pii_col(pii_text).alias("redacted"),
+    )
+
+
 def e06_knn_ivf_indexed(spark, sf_dir):
     """Persisted IVF index end-to-end (the 10⁹-vector serving shape): build
     the cell-partitioned inverted file, then answer the e01 query set
@@ -705,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_stratified_sample": t11_stratified_sample,
         "t12_quota_sample": t12_quota_sample,
         "t13_token_budget_sample": t13_token_budget_sample,
+        "t14_quality_floor": t14_quality_floor,
+        "t15_pii_redaction": t15_pii_redaction,
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
@@ -1113,6 +1161,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM h
             )
             SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 700
+        """,
+        "t14_quality_floor": """
+            WITH scored AS (
+                SELECT doc_id, source,
+                       round(CASE WHEN length(text) > 0
+                             THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                             ELSE 0.0 END, 6) AS score6
+                FROM documents
+            ),
+            thr AS (
+                SELECT source, round(quantile_cont(score6, 0.1), 6) AS floor6
+                FROM scored GROUP BY source
+            )
+            SELECT doc_id, source, score6
+            FROM scored JOIN thr USING (source)
+            WHERE score6 > floor6
+        """,
+        "t15_pii_redaction": """
+            WITH pii AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com ph 555-867-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                           AS s
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                       regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS s1
+                FROM pii
+            ),
+            p AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(s1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+                       regexp_replace(s1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g') AS s2
+                FROM e
+            )
+            SELECT doc_id, n_email, n_phone,
+                   CAST(len(regexp_extract_all(s2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+                   regexp_replace(s2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted
+            FROM p
         """,
         "e03_knn_lsh": _knn_lsh_sql(dim=64, planes=6, k=10),
         "e05_knn_lsh_multiprobe": _knn_lsh_sql(dim=64, planes=6, k=10, hamming=1),

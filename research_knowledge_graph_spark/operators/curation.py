@@ -1,0 +1,78 @@
+"""Corpus-curation operators: quality-floor filtering and PII redaction.
+
+Two standard steps of a web-scale training-data pipeline that compose the
+engine's existing primitives:
+
+- :func:`quality_floor_filter` — "drop the bottom decile per source": an
+  exact per-stratum percentile threshold (tiny aggregate, one row per
+  source) broadcast back against the corpus. The threshold table is
+  #sources rows, so the plan is scan → hash-agg (small) → broadcast-join →
+  filter; the corpus is scanned twice but never shuffled. Comparisons run
+  in 6-decimal space (both the score and the threshold are rounded) so the
+  keep/drop decision is reproducible across engines — an unrounded float
+  boundary would flip rows between runs of different engines.
+- :func:`redact_pii_col` — scrub emails / North-American-style phone
+  numbers / IPv4s into typed placeholder tokens. Pure ``regexp_replace``
+  chain (map-only, whole-stage codegen); the patterns avoid lookaround so
+  the same regex text runs identically under Java regex (Spark) and RE2
+  (DuckDB), which is what makes the op oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Patterns shared verbatim with the DuckDB oracle (no lookaround — RE2).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii_col(col: Column | str) -> Column:
+    """Text with emails/phones/IPv4s replaced by placeholder tokens.
+    Order matters: emails first (an email never survives to be half-eaten
+    by the IP rule), then phones, then IPs."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redaction_counts_col(col: Column | str) -> dict[str, Column]:
+    """Per-document count of each PII class (how many tokens the redaction
+    would replace) — the audit metric curation pipelines track per batch."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    applied = c
+    for pat, token in PII_PATTERNS:
+        name = token.strip("[]").lower()
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(applied, F.lit(pat), F.lit(0)))
+        # later classes count on the already-redacted text, mirroring the
+        # sequential replacement in redact_pii_col
+        applied = F.regexp_replace(applied, pat, token)
+    return out
+
+
+def quality_floor_filter(
+    df: DataFrame,
+    score: Column,
+    quantile: float = 0.1,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Keep rows strictly above their stratum's ``quantile`` score — the
+    'drop the bottom decile per source' primitive. ``score`` is any
+    numeric Column over ``df``'s columns; both it and the exact
+    interpolated threshold are rounded to 6 decimals before comparing
+    (reproducible boundary). Adds ``score6``."""
+    scored = df.withColumn("score6", F.round(score, 6))
+    thresholds = scored.groupBy(strata_col).agg(
+        F.round(F.percentile("score6", quantile), 6).alias("_floor6")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), strata_col)
+        .filter(F.col("score6") > F.col("_floor6"))
+        .drop("_floor6")
+    )

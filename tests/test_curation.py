@@ -1,0 +1,53 @@
+"""Curation operators: PII redaction vectors and the quality-floor filter
+(the sf-scale oracle twins are t14/t15 in tests/test_entry_oracle.py)."""
+
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.curation import (
+    quality_floor_filter,
+    redact_pii_col,
+    redaction_counts_col,
+)
+
+
+def test_redact_pii_vectors(spark):
+    rows = [
+        (1, "mail a.b-c_d@sub.example.org now"),
+        (2, "call 555-867-5309 or 555.123.4567"),
+        (3, "host 192.168.0.1 and 10.0.255.7"),
+        (4, "mix bob@x.io at 10.1.2.3 tel 555-000-1111"),
+        (5, "clean text, no pii at all"),
+        (6, "not-a-phone 12-345-6789 not-an-ip 1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    out = {r.id: r.red for r in df.select("id", redact_pii_col("s").alias("red")).collect()}
+    assert out[1] == "mail [EMAIL] now"
+    assert out[2] == "call [PHONE] or [PHONE]"
+    assert out[3] == "host [IP] and [IP]"
+    assert out[4] == "mix [EMAIL] at [IP] tel [PHONE]"
+    assert out[5] == rows[4][1]  # untouched
+    assert out[6] == rows[5][1]  # near-misses survive
+
+    counts = redaction_counts_col("s")
+    got = {
+        r.id: (r.n_email, r.n_phone, r.n_ip)
+        for r in df.select(
+            "id", counts["n_email"].alias("n_email"),
+            counts["n_phone"].alias("n_phone"), counts["n_ip"].alias("n_ip"),
+        ).collect()
+    }
+    assert got[4] == (1, 1, 1) and got[5] == (0, 0, 0) and got[2] == (0, 2, 0)
+
+
+def test_quality_floor_filter(spark):
+    # scores 0..9 per stratum; p10 of 0..9 = 0.9 → strictly-above keeps 1..9
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("source"),
+        (F.col("id") / 2).cast("int").cast("double").alias("sc"),
+    )
+    kept = quality_floor_filter(df, F.col("sc"), 0.1, "source")
+    per_src = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert per_src == {"0": 9, "1": 9}  # exactly the floor row dropped
+    assert kept.filter(F.col("score6") <= 0.9).count() == 0
+    assert "score6" in kept.columns and "_floor6" not in kept.columns
