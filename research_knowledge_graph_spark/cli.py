@@ -36,6 +36,16 @@ def main(argv: list[str] | None = None) -> int:
     p_inc.add_argument("--mode", default="heuristic", choices=["heuristic", "fixture"])
     p_inc.add_argument("--no-cross-link", action="store_true")
 
+    p_str = sub.add_parser(
+        "ingest-stream",
+        help="drain newly-landed page files through the incremental pipeline "
+        "(foreachBatch; exactly-once per file; re-run whenever files arrive)",
+    )
+    p_str.add_argument("--input-dir", required=True, help="directory page parquet files land in")
+    p_str.add_argument("--workdir", required=True, help="graph directory (TableIO root)")
+    p_str.add_argument("--checkpoint-dir", required=True, help="stream checkpoint location")
+    p_str.add_argument("--mode", default="heuristic", choices=["heuristic", "fixture"])
+
     p_q = sub.add_parser("query", help="query the materialized graph")
     p_q.add_argument("--workdir", required=True)
     p_q.add_argument(
@@ -103,6 +113,20 @@ def main(argv: list[str] | None = None) -> int:
             cross_link=not args.no_cross_link,
         )
         print(f"nodes={res.nodes.count()} edges={res.edges.count()}")
+        return 0
+
+    if args.cmd == "ingest-stream":
+        from research_knowledge_graph_spark.streaming.ingest import (
+            run_streaming_graph_ingest,
+        )
+
+        run_streaming_graph_ingest(
+            spark, args.input_dir, args.workdir, args.checkpoint_dir, mode=args.mode
+        )
+        io = TableIO(spark, args.workdir)
+        print(
+            f"nodes={io.read('nodes').count()} edges={io.read('edges_all').count()}"
+        )
         return 0
 
     io = TableIO(spark, args.workdir)
