@@ -711,6 +711,58 @@ def v03_sessionize(spark, sf_dir):
     )
 
 
+def v04_asof_attribution(spark, sf_dir):
+    """AS-OF join (operators/temporal.py): for each purchase event, the
+    same user's latest click at or before it — classic last-touch
+    attribution. One shuffle + one sort, zero joins (union-and-carry
+    plan); oracle is DuckDB's native ASOF JOIN. Timestamps compare and
+    emit at microsecond precision (engine-exact, no float epoch)."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+    )
+    return asof_join(
+        purchases, clicks, ["user_id"], "purchase_us", "click_us",
+        ["click_id", "click_us"], prefix="",
+    ).select("user_id", "purchase_id", "purchase_us", "click_id", "click_us")
+
+
+def v05_range_join_errors(spark, sf_dir):
+    """Banded RANGE join (operators/temporal.py): error events within ±10
+    minutes of each purchase by the same user. Time-band equi-join (the
+    inequality never reaches a θ-join); oracle is the plain BETWEEN
+    join."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.temporal import (
+        range_join_banded,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    out = range_join_banded(
+        purchases, errors, ["user_id"], "ts", "err_ts", -600, 600
+    )
+    return out.select(
+        "user_id", "purchase_id",
+        F.col("r_error_id").alias("error_id"),
+        (F.unix_micros(F.col("r_err_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))).alias("delta_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -758,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v01_hourly_rollup": v01_hourly_rollup,
         "v02_user_value_topk": v02_user_value_topk,
         "v03_sessionize": v03_sessionize,
+        "v04_asof_attribution": v04_asof_attribution,
+        "v05_range_join_errors": v05_range_join_errors,
     }
 
 
@@ -1245,6 +1299,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "v04_asof_attribution": """
+            WITH p AS (
+                SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+        """,
+        "v05_range_join_errors": """
+            WITH p AS (
+                SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+                FROM events WHERE event_type = 'purchase'
+            ),
+            e AS (
+                SELECT user_id, event_id AS error_id, epoch_us(ts) AS eus
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT p.user_id, p.purchase_id, e.error_id, e.eus - p.pus AS delta_us
+            FROM p JOIN e ON p.user_id = e.user_id
+             AND e.eus BETWEEN p.pus - 600 * 1000000 AND p.pus + 600 * 1000000
         """,
         "v03_sessionize": """
             WITH flagged AS (

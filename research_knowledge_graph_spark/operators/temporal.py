@@ -1,0 +1,130 @@
+"""Temporal join operators Spark lacks as built-ins: AS-OF join and
+banded RANGE join.
+
+Both are staples of event/feature pipelines (attribution, point-in-time
+feature lookup, nearby-event correlation) and both have naive forms that
+do not survive scale — an inequality θ-join degenerates to a per-key cross
+product. The implementations here are compositions of exchange + sort +
+window / equi-join only (no UDFs, no per-row Python), so Catalyst and AQE
+treat them like any other shuffle stage.
+
+AS-OF join (``asof_join``): for each left row, the single latest right row
+with ``right_ts <= left_ts`` on the same key. Implementation is the
+classic union trick: tag both sides, sort each key's timeline once
+(right rows ordered before left rows at equal timestamps, making the
+match inclusive), and carry the most recent right payload forward with
+``last(..., ignorenulls=True)`` over the running window. ONE shuffle on
+the key, one sort, zero joins — at 10¹² rows this is the plan you want:
+cost is the same as any windowed aggregation over (key, ts).
+
+Banded RANGE join (``range_join_banded``): all (left, right) pairs on the
+same key with ``right_ts`` within ``[left_ts + lower, left_ts + upper]``.
+A raw key-equi-join + filter pays |L_k|×|R_k| per key — quadratic on hot
+keys. Banding quantizes time into buckets of the window width: each right
+row lands in exactly one (key, band); each left row probes only the
+band(s) its window can overlap (≤2 when the band width equals the window
+span). The join becomes a plain equi-join on (key, band) — per-key cost
+falls from |L||R| to Σ_band |L_b|×|R_b|, and AQE's skew splitting applies
+to the banded key like any other. Same idea as the stream-stream interval
+join's state bound (``streaming/joins.py``), applied to batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (inclusive) on the same ``on`` key; left rows
+    with no prior right row are dropped (inner as-of, matching DuckDB's
+    ``ASOF JOIN``). ``right_cols`` are the right-side columns to carry,
+    emitted as ``{prefix}{col}``."""
+    lcols = [c for c in left.columns if c not in on]
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        payload.alias("_rp"),
+        F.lit(1).alias("_isr"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
+        F.lit(0).alias("_isr"),
+        *lcols,
+    )
+    # right before left at equal _ts ⇒ an exact-tie right row IS visible
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_isr").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r).withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    out = u.filter((F.col("_isr") == 0) & F.col("_m").isNotNull())
+    return out.select(
+        *on,
+        *lcols,
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def range_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+) -> DataFrame:
+    """All (left, right) pairs sharing ``on`` with
+    ``left_ts + lower_sec <= right_ts <= left_ts + upper_sec``. Bands of
+    width (upper-lower) turn the inequality into an equi-join on
+    (key, band): the right row has one band, the left row probes the ≤2
+    bands its window overlaps, and the exact range predicate filters
+    within the banded candidates. Right columns are prefixed ``r_``.
+
+    Timestamps compare at microsecond precision (engine-exact)."""
+    if upper_sec <= lower_sec:
+        raise ValueError("upper_sec must be > lower_sec")
+    width_us = (upper_sec - lower_sec) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    r = right.select(
+        *on,
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in on],
+        F.floor(r_us / width_us).alias("_band"),
+        r_us.alias("_rus"),
+    )
+    lo = l_us + lower_sec * 1_000_000
+    hi = l_us + upper_sec * 1_000_000
+    l = left.withColumns(
+        {
+            "_bands": F.sequence(
+                F.floor(lo / width_us), F.floor(hi / width_us)
+            ),
+            "_lus": l_us,
+        }
+    )
+    l = l.withColumn("_band", F.explode("_bands")).drop("_bands")
+    return (
+        l.join(r, [*on, "_band"])
+        .filter(
+            (F.col("_rus") >= F.col("_lus") + lower_sec * 1_000_000)
+            & (F.col("_rus") <= F.col("_lus") + upper_sec * 1_000_000)
+        )
+        .drop("_band", "_lus", "_rus")
+    )

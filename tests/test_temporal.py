@@ -1,0 +1,92 @@
+"""AS-OF and banded range join unit pins (sf-scale oracle twins: v04/v05
+in tests/test_entry_oracle.py — DuckDB ASOF JOIN and BETWEEN join)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.temporal import (
+    asof_join,
+    range_join_banded,
+)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k long, lts long, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "r90"), (1, 100, "r100"), (1, 200, "r200"), (2, 60, "r60")],
+        "k long, rts long, rval string",
+    )
+    got = {
+        (r.k, r.lts, r.r_rval)
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["rval"]).collect()
+    }
+    assert got == {
+        (1, 100, "r100"),  # exact tie is INCLUSIVE (matches DuckDB ASOF >=)
+        (1, 205, "r200"),  # latest at-or-before, not just any earlier
+        # k=2 lts=50: right is at 60 (after) → dropped (inner as-of)
+        # k=3: no right rows at all → dropped
+    }
+
+
+def test_asof_join_carries_left_columns(spark):
+    left = spark.createDataFrame([(1, 10, 3.5)], "k long, lts long, score double")
+    right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, payload long")
+    row = asof_join(left, right, ["k"], "lts", "rts", ["payload", "rts"]).first()
+    assert (row.k, row.lts, row.score, row.r_payload, row.r_rts) == (1, 10, 3.5, 7, 5)
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_range_join_banded_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (1, 2, _ts(40)), (2, 3, _ts(10))],
+        "k long, lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, _ts(5)),   # -5 min from lid=1 → in [-10,+10]
+            (1, 11, _ts(20, 1)),  # +10m01s from lid=1 → OUT (boundary exclusive side)
+            (1, 12, _ts(50)),  # +10 min from lid=2 → in (inclusive upper)
+            (2, 13, _ts(21)),  # +11 min from lid=3 → out
+            (3, 14, _ts(10)),  # wrong key
+        ],
+        "k long, rid long, rts timestamp",
+    )
+    got = {
+        (r.lid, r.r_rid)
+        for r in range_join_banded(left, right, ["k"], "ts", "rts", -600, 600).collect()
+    }
+    assert got == {(1, 10), (2, 12)}
+
+    # cross-check vs the naive θ-join on denser data
+    import random
+
+    rnd = random.Random(5)
+    l2 = spark.createDataFrame(
+        [(rnd.randrange(3), i, _ts(rnd.randrange(60), rnd.randrange(60)))
+         for i in range(120)],
+        "k long, lid long, ts timestamp",
+    )
+    r2 = spark.createDataFrame(
+        [(rnd.randrange(3), i, _ts(rnd.randrange(60), rnd.randrange(60)))
+         for i in range(120)],
+        "k long, rid long, rts timestamp",
+    )
+    banded = {
+        (r.lid, r.r_rid)
+        for r in range_join_banded(l2, r2, ["k"], "ts", "rts", -180, 240).collect()
+    }
+    lus, rus = F.unix_micros("ts"), F.unix_micros("rts")
+    naive = {
+        (r.lid, r.rid)
+        for r in l2.join(r2, "k")
+        .filter((rus >= lus - 180 * 1_000_000) & (rus <= lus + 240 * 1_000_000))
+        .collect()
+    }
+    assert banded == naive and len(naive) > 50
