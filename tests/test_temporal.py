@@ -90,3 +90,64 @@ def test_range_join_banded_matches_naive(spark):
         .collect()
     }
     assert banded == naive and len(naive) > 50
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    import random
+
+    rnd = random.Random(17)
+    lrows = [(rnd.randrange(5), i, rnd.randrange(1000)) for i in range(200)]
+    # (k, rts) unique by construction: with duplicate right timestamps the
+    # engine's pick among tied rows is legitimately arbitrary
+    seen = set()
+    rrows = []
+    for i in range(200):
+        k, rts = rnd.randrange(5), rnd.randrange(1000)
+        while (k, rts) in seen:
+            rts = rnd.randrange(1000)
+        seen.add((k, rts))
+        rrows.append((k, 1000 + i, rts))
+    left = spark.createDataFrame(lrows, "k long, lid long, lts long")
+    right = spark.createDataFrame(rrows, "k long, rid long, rts long")
+
+    got = {
+        (r.lid, r.r_rid)
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["rid"]).collect()
+    }
+    # python twin: per left row, the right row with max rts <= lts
+    by_key = {}
+    for k, rid, rts in rrows:
+        by_key.setdefault(k, []).append((rts, rid))
+    expected = set()
+    for k, lid, lts in lrows:
+        cands = [(rts, rid) for rts, rid in by_key.get(k, []) if rts <= lts]
+        if cands:
+            expected.add((lid, max(cands)[1]))
+    assert got == expected and len(expected) > 100
+
+
+def test_temporal_plan_contracts(spark):
+    """Scale-shape pins: asof_join compiles to window-over-union (NO join
+    operator at all); range_join_banded compiles to an equi-join (sort-merge
+    or hash), never a broadcast nested loop / cartesian."""
+    left = spark.createDataFrame([(1, 10, "x")], "k long, lts long, v string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, rts long, w string")
+    asof_plan = (
+        asof_join(left, right, ["k"], "lts", "rts", ["w"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in asof_plan, asof_plan[:1500]
+    assert "Window" in asof_plan
+
+    lt = spark.createDataFrame([(1, _ts(0))], "k long, ts timestamp")
+    rt = spark.createDataFrame([(1, _ts(1))], "k long, rts timestamp")
+    range_plan = (
+        range_join_banded(lt, rt, ["k"], "ts", "rts", -600, 600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in range_plan and "Cartesian" not in range_plan, (
+        range_plan[:1500]
+    )
+    assert ("SortMergeJoin" in range_plan) or ("HashJoin" in range_plan), (
+        range_plan[:1500]
+    )
