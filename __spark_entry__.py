@@ -308,6 +308,20 @@ def g15_connected_components(spark, sf_dir):
     )
 
 
+def g18_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (GraphFrames triangleCount surface,
+    operators/graph_queries.py::triangle_count) over the order co-usage
+    graph (g06's pairs sharing ≥2 parts). Degree-oriented wedge
+    enumeration — each triangle found once, hot-node wedge blowup capped;
+    the oracle counts the same (orientation-invariant) triangle set with
+    a plain id-ordered triple join."""
+    edges = TG.derive_edges(spark, sf_dir)
+    pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
+        F.col("shared_count") >= 2
+    )
+    return G.triangle_count(pairs.select("node_a", "node_b"))
+
+
 def g17_shortest_paths(spark, sf_dir):
     """Multi-landmark directed shortest paths (GraphFrames shortestPaths
     surface, operators/graph_queries.py::shortest_paths): hop distance to
@@ -799,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_chunk_stats": t08_chunk_stats,
         "t09_quality_quantiles": t09_quality_quantiles,
         "g17_shortest_paths": g17_shortest_paths,
+        "g18_triangle_count": g18_triangle_count,
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "t11_stratified_sample": t11_stratified_sample,
         "t12_quota_sample": t12_quota_sample,
@@ -1139,6 +1154,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t06_simhash": _simhash_sql(16),
         "t07_minhash_lsh_pairs": _minhash_lsh_sql(k=8, shingle_k=4, bands=4),
+        "g18_triangle_count": f"""
+            WITH {GRAPH_CTE},
+            pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART'),
+            co AS (
+                SELECT a.src AS u, b.src AS v
+                FROM pe a JOIN pe b ON a.tgt = b.tgt AND a.src < b.src
+                GROUP BY a.src, b.src HAVING count(*) >= 2
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM co e1
+                JOIN co e2 ON e2.u = e1.v
+                JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            pern AS (
+                SELECT node_id, count(*) AS n_triangles FROM (
+                    SELECT a AS node_id FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node_id
+            ),
+            nodes_in AS (
+                SELECT DISTINCT u AS node_id FROM co
+                UNION SELECT v FROM co
+            )
+            SELECT n.node_id, COALESCE(p.n_triangles, 0) AS n_triangles
+            FROM nodes_in n LEFT JOIN pern p USING (node_id)
+        """,
         "g17_shortest_paths": f"""
             WITH RECURSIVE {GRAPH_CTE},
             g AS (

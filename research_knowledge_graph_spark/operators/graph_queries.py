@@ -239,6 +239,81 @@ def bfs_subgraph(
     return visited
 
 
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph (the
+    GraphFrames ``triangleCount`` surface). ``pairs``: canonical edges
+    (node_a, node_b); returns (node_id, n_triangles) for every endpoint,
+    zero-filled.
+
+    Enumeration is DEGREE-ORIENTED (each edge directed from its
+    lower-(degree, id) endpoint): every triangle then has exactly one
+    'apex' node with two out-edges, so one wedge self-join on the apex
+    plus one closing equi-join finds each triangle exactly once — and a
+    hot node of degree d contributes wedges only through edges where it
+    is the LOW end, capping the classic d² wedge blowup at high-degree
+    nodes (the standard compact-forward mitigation). The triangle SET is
+    orientation-invariant, so a plain id-ordered triple join is a valid
+    oracle."""
+    e0 = (
+        pairs.select(
+            F.least("node_a", "node_b").alias("u"),
+            F.greatest("node_a", "node_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("n"))
+        .unionByName(e0.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e0.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lo_is_u = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = with_deg.select(
+        F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1, w2, cl = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("cl")
+    tris = (
+        w1.join(
+            w2,
+            (F.col("w1.src") == F.col("w2.src"))
+            & (F.col("w1.dst") < F.col("w2.dst")),
+        )
+        .join(
+            cl,
+            # the closing edge between the two wedge tips exists in exactly
+            # one orientation — match either
+            (
+                (F.col("cl.src") == F.col("w1.dst"))
+                & (F.col("cl.dst") == F.col("w2.dst"))
+            )
+            | (
+                (F.col("cl.src") == F.col("w2.dst"))
+                & (F.col("cl.dst") == F.col("w1.dst"))
+            ),
+        )
+        .select(
+            F.col("w1.src").alias("a"),
+            F.col("w1.dst").alias("b"),
+            F.col("w2.dst").alias("c"),
+        )
+    )
+    per = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    all_nodes = deg.select(F.col("n").alias("node_id"))
+    return all_nodes.join(per, "node_id", "left").select(
+        "node_id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     landmarks: list[str],

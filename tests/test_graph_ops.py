@@ -4,7 +4,10 @@ tests/test_entry_oracle.py::g17)."""
 
 from pyspark.sql import functions as F
 
-from research_knowledge_graph_spark.operators.graph_queries import shortest_paths
+from research_knowledge_graph_spark.operators.graph_queries import (
+    shortest_paths,
+    triangle_count,
+)
 
 
 def _edges(spark, rows):
@@ -53,3 +56,27 @@ def test_shortest_paths_depth_cap_and_type_filter(spark):
         for r in shortest_paths(e, ["L"], max_depth=1, edge_types=["E"]).collect()
     }
     assert got == {("L", 0), ("b", 1)}  # a is 2 hops → capped out; z wrong type
+
+
+def test_triangle_count(spark):
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant edge
+    # d-e (e: zero triangles) and a disconnected pair f-g
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("f", "g"),
+    ]
+    pairs = spark.createDataFrame(edges, "node_a string, node_b string")
+    got = {(r.node_id, r.n_triangles) for r in triangle_count(pairs).collect()}
+    assert got == {
+        ("a", 3), ("b", 3), ("c", 3), ("d", 3),
+        ("e", 0), ("f", 0), ("g", 0),
+    }
+    # duplicate / reversed input edges change nothing
+    noisy = pairs.unionByName(
+        spark.createDataFrame(
+            [("b", "a"), ("c", "a"), ("a", "b")], "node_a string, node_b string"
+        )
+    )
+    got2 = {(r.node_id, r.n_triangles) for r in triangle_count(noisy).collect()}
+    assert got2 == got
