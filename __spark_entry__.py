@@ -322,6 +322,17 @@ def g18_triangle_count(spark, sf_dir):
     return G.triangle_count(pairs.select("node_a", "node_b"))
 
 
+def g19_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient 2T/(d·(d-1)) per node of the co-usage
+    graph — triangle counts joined with degrees
+    (operators/graph_queries.py::clustering_coefficient)."""
+    edges = TG.derive_edges(spark, sf_dir)
+    pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
+        F.col("shared_count") >= 2
+    )
+    return G.clustering_coefficient(pairs.select("node_a", "node_b"))
+
+
 def g17_shortest_paths(spark, sf_dir):
     """Multi-landmark directed shortest paths (GraphFrames shortestPaths
     surface, operators/graph_queries.py::shortest_paths): hop distance to
@@ -814,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t09_quality_quantiles": t09_quality_quantiles,
         "g17_shortest_paths": g17_shortest_paths,
         "g18_triangle_count": g18_triangle_count,
+        "g19_clustering_coefficient": g19_clustering_coefficient,
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "t11_stratified_sample": t11_stratified_sample,
         "t12_quota_sample": t12_quota_sample,
@@ -1181,6 +1193,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n.node_id, COALESCE(p.n_triangles, 0) AS n_triangles
             FROM nodes_in n LEFT JOIN pern p USING (node_id)
+        """,
+        "g19_clustering_coefficient": f"""
+            WITH {GRAPH_CTE},
+            pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART'),
+            co AS (
+                SELECT a.src AS u, b.src AS v
+                FROM pe a JOIN pe b ON a.tgt = b.tgt AND a.src < b.src
+                GROUP BY a.src, b.src HAVING count(*) >= 2
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM co e1
+                JOIN co e2 ON e2.u = e1.v
+                JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            pern AS (
+                SELECT node_id, count(*) AS n_triangles FROM (
+                    SELECT a AS node_id FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node_id
+            ),
+            degs AS (
+                SELECT node_id, count(*) AS degree FROM (
+                    SELECT u AS node_id FROM co
+                    UNION ALL SELECT v FROM co
+                ) GROUP BY node_id
+            )
+            SELECT d.node_id, d.degree,
+                   COALESCE(p.n_triangles, 0) AS n_triangles,
+                   round(CASE WHEN d.degree >= 2
+                         THEN 2.0 * COALESCE(p.n_triangles, 0) / (d.degree * (d.degree - 1))
+                         ELSE 0.0 END, 6) AS coefficient
+            FROM degs d LEFT JOIN pern p USING (node_id)
         """,
         "g17_shortest_paths": f"""
             WITH RECURSIVE {GRAPH_CTE},

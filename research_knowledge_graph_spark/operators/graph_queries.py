@@ -314,6 +314,41 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: 2T / (d·(d-1)) — how close a
+    node's neighborhood is to a clique (0.0 for degree-1 nodes). Reuses
+    :func:`triangle_count`'s enumeration plus one degree aggregate;
+    rounded to 6 decimals for engine parity. Returns
+    (node_id, degree, n_triangles, coefficient)."""
+    e0 = (
+        pairs.select(
+            F.least("node_a", "node_b").alias("u"),
+            F.greatest("node_a", "node_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node_id"))
+        .unionByName(e0.select(F.col("v").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = triangle_count(pairs)
+    return t.join(deg, "node_id").select(
+        "node_id",
+        "degree",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("coefficient"),
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     landmarks: list[str],

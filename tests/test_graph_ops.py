@@ -80,3 +80,17 @@ def test_triangle_count(spark):
     )
     got2 = {(r.node_id, r.n_triangles) for r in triangle_count(noisy).collect()}
     assert got2 == got
+
+    # clustering coefficient: K4 members are fully clustered except d,
+    # whose pendant edge to e dilutes its neighborhood
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        clustering_coefficient,
+    )
+
+    cc = {
+        r.node_id: (r.degree, r.coefficient)
+        for r in clustering_coefficient(pairs).collect()
+    }
+    assert cc["a"] == (3, 1.0) and cc["b"] == (3, 1.0) and cc["c"] == (3, 1.0)
+    assert cc["d"] == (4, 0.5)  # 3 triangles of 6 possible neighbor pairs
+    assert cc["e"] == (1, 0.0) and cc["f"] == (1, 0.0)
