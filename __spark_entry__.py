@@ -629,12 +629,19 @@ def e06_knn_ivf_indexed(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    # the index is a pure function of the input table — cache it per
-    # sf_dir and reuse (a fresh mkdtemp per call leaked a full copy of the
-    # embeddings table every invocation and rebuilt the index each time);
-    # build into a scratch dir, then atomic-rename into the cache slot so
-    # concurrent callers can't observe a half-built index
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # the index is a pure function of the input table — cache it and reuse
+    # (a fresh mkdtemp per call leaked a full copy of the embeddings table
+    # every invocation and rebuilt the index each time). The cache key
+    # fingerprints the input CONTENT (path + parquet mtime + size), not
+    # the path alone: testdata regenerated at the same path must miss the
+    # cache, not silently serve a stale index. Build into a scratch dir,
+    # then atomic-rename into the slot so concurrent callers can't observe
+    # a half-built index.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"ivf_e06_{key}")
     if not os.path.isdir(path):
         scratch = f"{path}.build.{_uuid.uuid4().hex[:8]}"

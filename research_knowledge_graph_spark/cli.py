@@ -124,9 +124,14 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input_dir, args.workdir, args.checkpoint_dir, mode=args.mode
         )
         io = TableIO(spark, args.workdir)
-        print(
-            f"nodes={io.read('nodes').count()} edges={io.read('edges_all').count()}"
-        )
+        try:
+            print(
+                f"nodes={io.read('nodes').count()} edges={io.read('edges_all').count()}"
+            )
+        except FileNotFoundError:
+            # nothing landed yet (and no prior batch ever committed) —
+            # a clean zero summary, not a traceback
+            print("nodes=0 edges=0 (no input files processed yet)")
         return 0
 
     io = TableIO(spark, args.workdir)

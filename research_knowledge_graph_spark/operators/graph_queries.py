@@ -239,22 +239,10 @@ def bfs_subgraph(
     return visited
 
 
-def triangle_count(pairs: DataFrame) -> DataFrame:
-    """Per-node triangle counts over an undirected simple graph (the
-    GraphFrames ``triangleCount`` surface). ``pairs``: canonical edges
-    (node_a, node_b); returns (node_id, n_triangles) for every endpoint,
-    zero-filled.
-
-    Enumeration is DEGREE-ORIENTED (each edge directed from its
-    lower-(degree, id) endpoint): every triangle then has exactly one
-    'apex' node with two out-edges, so one wedge self-join on the apex
-    plus one closing equi-join finds each triangle exactly once — and a
-    hot node of degree d contributes wedges only through edges where it
-    is the LOW end, capping the classic d² wedge blowup at high-degree
-    nodes (the standard compact-forward mitigation). The triangle SET is
-    orientation-invariant, so a plain id-ordered triple join is a valid
-    oracle."""
-    e0 = (
+def _canonical_undirected(pairs: DataFrame) -> DataFrame:
+    """(node_a, node_b) in any order/multiplicity → id-canonical distinct
+    undirected edges (u < v), self-loops dropped."""
+    return (
         pairs.select(
             F.least("node_a", "node_b").alias("u"),
             F.greatest("node_a", "node_b").alias("v"),
@@ -262,40 +250,62 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _triangle_internals(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared core for triangle_count / clustering_coefficient: returns
+    (per-node zero-filled triangle counts, per-node degrees) computed from
+    ONE canonicalization + one degree aggregate.
+
+    Enumeration is DEGREE-ORIENTED (each edge directed from its
+    lower-(degree, id) endpoint): every triangle then has exactly one
+    'apex' node with two out-edges, so one wedge self-join on the apex
+    plus one closing equi-join finds each triangle exactly once — and a
+    hot node of degree d contributes wedges only through edges where it
+    is the LOW end, capping the classic d² wedge blowup at high-degree
+    nodes (the standard compact-forward mitigation). The wedge tips are
+    kept in id order, so the closing edge is matched against the
+    id-CANONICAL edge set with a plain two-column equi-join — an OR over
+    both orientations would defeat Catalyst's equi-key extraction and
+    compile to a CartesianProduct. The triangle SET is
+    orientation-invariant, so a plain id-ordered triple join is a valid
+    oracle."""
+    e0 = _canonical_undirected(pairs)
     deg = (
-        e0.select(F.col("u").alias("n"))
-        .unionByName(e0.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
+        e0.select(F.col("u").alias("node_id"))
+        .unionByName(e0.select(F.col("v").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
     with_deg = (
-        e0.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        e0.join(
+            deg.select(F.col("node_id").alias("u"), F.col("degree").alias("du")),
+            "u",
+        ).join(
+            deg.select(F.col("node_id").alias("v"), F.col("degree").alias("dv")),
+            "v",
+        )
     )
     lo_is_u = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
     oriented = with_deg.select(
         F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    w1, w2, cl = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("cl")
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    cl = e0.alias("cl")
     tris = (
         w1.join(
             w2,
             (F.col("w1.src") == F.col("w2.src"))
             & (F.col("w1.dst") < F.col("w2.dst")),
         )
+        # tips are id-ordered (w1.dst < w2.dst) and e0 is id-canonical, so
+        # the closing undirected edge IS the row (u=w1.dst, v=w2.dst):
+        # hash-joinable equi-keys, each triangle matched exactly once
         .join(
             cl,
-            # the closing edge between the two wedge tips exists in exactly
-            # one orientation — match either
-            (
-                (F.col("cl.src") == F.col("w1.dst"))
-                & (F.col("cl.dst") == F.col("w2.dst"))
-            )
-            | (
-                (F.col("cl.src") == F.col("w2.dst"))
-                & (F.col("cl.dst") == F.col("w1.dst"))
-            ),
+            (F.col("cl.u") == F.col("w1.dst"))
+            & (F.col("cl.v") == F.col("w2.dst")),
         )
         .select(
             F.col("w1.src").alias("a"),
@@ -308,34 +318,30 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    all_nodes = deg.select(F.col("n").alias("node_id"))
-    return all_nodes.join(per, "node_id", "left").select(
+    counts = deg.select("node_id").join(per, "node_id", "left").select(
         "node_id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+    return counts, deg
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph (the
+    GraphFrames ``triangleCount`` surface). ``pairs``: (node_a, node_b)
+    edges in any order/multiplicity; returns (node_id, n_triangles) for
+    every endpoint, zero-filled. See :func:`_triangle_internals` for the
+    degree-oriented enumeration and its scale rationale."""
+    counts, _ = _triangle_internals(pairs)
+    return counts
 
 
 def clustering_coefficient(pairs: DataFrame) -> DataFrame:
     """Local clustering coefficient per node: 2T / (d·(d-1)) — how close a
-    node's neighborhood is to a clique (0.0 for degree-1 nodes). Reuses
-    :func:`triangle_count`'s enumeration plus one degree aggregate;
-    rounded to 6 decimals for engine parity. Returns
+    node's neighborhood is to a clique (0.0 for degree-1 nodes). One
+    canonicalization + one degree aggregate shared with the triangle
+    enumeration; rounded to 6 decimals for engine parity. Returns
     (node_id, degree, n_triangles, coefficient)."""
-    e0 = (
-        pairs.select(
-            F.least("node_a", "node_b").alias("u"),
-            F.greatest("node_a", "node_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    deg = (
-        e0.select(F.col("u").alias("node_id"))
-        .unionByName(e0.select(F.col("v").alias("node_id")))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    t = triangle_count(pairs)
-    return t.join(deg, "node_id").select(
+    counts, deg = _triangle_internals(pairs)
+    return counts.join(deg, "node_id").select(
         "node_id",
         "degree",
         "n_triangles",

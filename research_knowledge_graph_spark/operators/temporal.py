@@ -35,6 +35,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _guard_columns(df: DataFrame, reserved: set[str], where: str) -> None:
+    """Public operators use internal scratch columns; an input that already
+    carries one of those names would produce ambiguous references deep in
+    the plan — fail fast with the real cause instead."""
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"{where}: column name(s) {sorted(clash)} are reserved by this "
+            "operator — rename them before calling"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,7 +60,13 @@ def asof_join(
     ``right_ts <= left_ts`` (inclusive) on the same ``on`` key; left rows
     with no prior right row are dropped (inner as-of, matching DuckDB's
     ``ASOF JOIN``). ``right_cols`` are the right-side columns to carry,
-    emitted as ``{prefix}{col}``."""
+    emitted as ``{prefix}{col}``. NULL join keys never match (standard
+    equi-join semantics — a window partition would otherwise group NULL
+    keys together), so null-keyed rows are filtered from both sides."""
+    _guard_columns(left, {"_ts", "_rp", "_isr", "_m"}, "asof_join left input")
+    for k in on:
+        left = left.filter(F.col(k).isNotNull())
+        right = right.filter(F.col(k).isNotNull())
     lcols = [c for c in left.columns if c not in on]
     payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
     r = right.select(
@@ -99,6 +117,12 @@ def range_join_banded(
     Timestamps compare at microsecond precision (engine-exact)."""
     if upper_sec <= lower_sec:
         raise ValueError("upper_sec must be > lower_sec")
+    _guard_columns(left, {"_band", "_bands", "_lus", "_rus"}, "range_join_banded left input")
+    _guard_columns(
+        left,
+        {f"r_{c}" for c in right.columns if c not in on},
+        "range_join_banded left input (collides with prefixed right columns)",
+    )
     width_us = (upper_sec - lower_sec) * 1_000_000
     l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
     r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))

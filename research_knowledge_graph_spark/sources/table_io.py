@@ -291,10 +291,14 @@ class TableIO:
             raise FileNotFoundError(f"table {name!r} not committed under {self.root}")
         if "paths" not in t or len(t["paths"]) <= 1:
             return self.read(name)
-        old_paths = list(t["paths"])
         df = self.read(name)
         snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(snap)
+        # deferred per-partition metrics read their snapshot paths at flush
+        # time — record them NOW so expiring a superseded snapshot can never
+        # orphan a queued metrics read (compaction is already a heavyweight
+        # maintenance boundary; one extra metrics job is in budget)
+        self.flush_metrics()
         with self._lock:
             manifest = self._load_manifest()
             manifest["tables"][name] = {
@@ -303,19 +307,34 @@ class TableIO:
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             self._commit_manifest(manifest)
-            # expire: drop superseded snapshot dirs not referenced by any
-            # other TABLE entry (union commits hold member paths by
-            # reference and must keep them readable until they re-commit).
-            # '@'-keyed entries are resume MARKERS — their path field is
-            # informational, never read — so they do not pin a snapshot.
-            still_referenced = set()
+            # expire: sweep the table's directory for snapshot dirs no
+            # longer referenced by any TABLE entry. Sweeping the whole dir
+            # (not just this compaction's superseded list) also collects
+            # snapshots a stale union commit pinned LAST time — they become
+            # unreferenced once that union re-commits, and the next
+            # compaction picks them up, so disk stays bounded for every
+            # table in the long-running ingest. Pins: any non-marker
+            # entry's path list (union commits reference member snapshots
+            # and must stay readable until re-commit) plus anything still
+            # queued in _pending; '@'-keyed MARKER entries never pin
+            # (their path field is informational, never read).
+            still_referenced = {snap}
             for ename, e in manifest["tables"].items():
-                if ename == name or "@" in ename:
+                if "@" in ename:
                     continue
-                still_referenced.update(e.get("paths") or ([e["path"]] if e.get("path") else []))
+                still_referenced.update(
+                    e.get("paths") or ([e["path"]] if e.get("path") else [])
+                )
+            still_referenced.update(pth for _, _, pth, _ in self._pending)
+            table_dir = os.path.join(self.root, name)
+            sweep = [
+                os.path.join(table_dir, d)
+                for d in os.listdir(table_dir)
+                if d.startswith("snap-")
+            ]
         import shutil
 
-        for p in old_paths:
+        for p in sweep:
             if p not in still_referenced and os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
         return self.read(name)
@@ -323,11 +342,14 @@ class TableIO:
     # -- lineage + metrics ---------------------------------------------------
     def flush_metrics(self) -> None:
         """Emit all deferred per-partition metrics in ONE job + one lineage
-        append. No-op when nothing is pending."""
-        if not self._pending:
+        append. No-op when nothing is pending. The pending list is taken
+        atomically so concurrent stage threads can keep appending."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+        if not pending:
             return
         per_stage = None
-        for name, fp, snap, _ in self._pending:
+        for name, fp, snap, _ in pending:
             df = (
                 self.spark.read.parquet(snap)
                 .groupBy(F.spark_partition_id().alias("partition_id"))
@@ -339,11 +361,10 @@ class TableIO:
         per_stage.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
 
         lineage = self.spark.createDataFrame(
-            [(n, fp, float(sec)) for n, fp, _, sec in self._pending],
+            [(n, fp, float(sec)) for n, fp, _, sec in pending],
             "stage string, fingerprint string, elapsed_sec double",
         ).withColumn("committed_at", F.current_timestamp())
         lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
-        self._pending = []
 
     def _append_metrics(
         self, name: str, fingerprint: str, committed: DataFrame, elapsed: float

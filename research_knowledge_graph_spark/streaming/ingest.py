@@ -82,9 +82,14 @@ def run_streaming_graph_ingest(
     Re-run whenever new files arrive; the graph under ``graph_dir``
     converges to the one-shot ingest of everything delivered (pinned by
     ``tests/test_streaming_graph_ingest.py``)."""
+    import os
+
     from research_knowledge_graph_spark.plans.pipeline import (
         run_pipeline_incremental,
     )
+
+    # landing-directory pattern: the first run may precede the first drop
+    os.makedirs(input_dir, exist_ok=True)
 
     def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

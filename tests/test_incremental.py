@@ -159,6 +159,11 @@ def test_append_rows_auto_compaction(spark, tmp_path):
         d for d in os.listdir(str(tmp_path / "ac" / "t")) if d.startswith("snap-")
     ]
     assert len(snap_dirs) <= 5, snap_dirs
+    # the expire must NOT break deferred metrics: every appended delta's
+    # per-partition counts are still readable at flush (regression: the
+    # sweep once deleted paths queued in _pending → PATH_NOT_FOUND here)
+    io.flush_metrics()
+    assert io.metrics().count() > 0
 
 
 def test_compact_preserves_content(spark, tmp_path):

@@ -126,6 +126,28 @@ def test_asof_join_matches_naive_on_random_data(spark):
     assert got == expected and len(expected) > 100
 
 
+def test_asof_null_keys_and_reserved_names(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(None, 10, "x"), (1, 10, "y")], "k long, lts long, v string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "rn"), (1, 5, "r1")], "k long, rts long, w string"
+    )
+    # NULL keys never match (equi-join semantics, matching the SQL oracle)
+    got = {(r.k, r.r_w) for r in asof_join(left, right, ["k"], "lts", "rts", ["w"]).collect()}
+    assert got == {(1, "r1")}
+    # reserved scratch names fail fast with a real message
+    bad = left.withColumnRenamed("v", "_ts2").withColumn("_rp", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(bad, right, ["k"], "lts", "rts", ["w"])
+    badl = spark.createDataFrame([(1, _ts(0), 9)], "k long, ts timestamp, r_rts long")
+    rt = spark.createDataFrame([(1, _ts(1))], "k long, rts timestamp")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join_banded(badl, rt, ["k"], "ts", "rts", -60, 60)
+
+
 def test_temporal_plan_contracts(spark):
     """Scale-shape pins: asof_join compiles to window-over-union (NO join
     operator at all); range_join_banded compiles to an equi-join (sort-merge
