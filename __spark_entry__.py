@@ -333,6 +333,24 @@ def g19_clustering_coefficient(spark, sf_dir):
     return G.clustering_coefficient(pairs.select("node_a", "node_b"))
 
 
+def g20_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the order
+    co-usage graph (operators/communities.py). Deterministic tie-breaks
+    make the result a pure function of the graph — pinned against a
+    pure-Python twin in tests/test_communities.py; a k-iteration arg-max
+    cascade is not reasonably SQL-expressible, so the driver check is
+    rows-only (the same class as g16 PageRank)."""
+    from research_knowledge_graph_spark.operators.communities import (
+        label_propagation,
+    )
+
+    edges = TG.derive_edges(spark, sf_dir)
+    pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
+        F.col("shared_count") >= 2
+    )
+    return label_propagation(pairs.select("node_a", "node_b"), max_iter=5)
+
+
 def g17_shortest_paths(spark, sf_dir):
     """Multi-landmark directed shortest paths (GraphFrames shortestPaths
     surface, operators/graph_queries.py::shortest_paths): hop distance to
@@ -833,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g17_shortest_paths": g17_shortest_paths,
         "g18_triangle_count": g18_triangle_count,
         "g19_clustering_coefficient": g19_clustering_coefficient,
+        "g20_label_propagation": g20_label_propagation,
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "t11_stratified_sample": t11_stratified_sample,
         "t12_quota_sample": t12_quota_sample,

@@ -1,0 +1,70 @@
+"""Community detection by synchronous label propagation (LPA).
+
+The GraphFrames ``labelPropagation`` surface: every node starts in its own
+community and repeatedly adopts the most frequent community among its
+neighbors. LPA is the standard cheap community detector at web scale — no
+modularity matrix, no global state, just k rounds of (join → count →
+arg-max), each one shuffle on the node id.
+
+Determinism: textbook LPA breaks count ties randomly; this implementation
+breaks them by (count DESC, label ASC) and updates SYNCHRONOUSLY, so the
+result is a pure function of the graph — reproducible across runs,
+engines, and partitionings (pinned against a pure-Python twin in
+tests/test_communities.py). Rows-only on the driver surface: a k-iteration
+arg-max cascade is not reasonably ANSI-SQL-expressible, the same class as
+PageRank (g16).
+
+Scale shape per iteration: edges⨝labels is an equi-join on the node id;
+the (node, neighbor_label) count is a partial-aggregatable hash-agg; the
+per-node arg-max is ``max_by`` over a struct — one shuffle stage, no
+windows, no sorts. ``localCheckpoint`` each round cuts the iterative-join
+lineage (same pattern as connected components / PageRank)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    pairs: DataFrame, max_iter: int = 5
+) -> DataFrame:
+    """(node_a, node_b) undirected edges → (node_id, community) after
+    ``max_iter`` synchronous rounds; community ids are node ids (each
+    node's initial label). Isolated nodes don't appear (no edges = no
+    neighbors = label never changes)."""
+    e = (
+        pairs.select(F.col("node_a").alias("u"), F.col("node_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = e.select(F.col("u").alias("node_id")).distinct().withColumn(
+        "community", F.col("node_id")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            e.join(
+                labels.select(
+                    F.col("node_id").alias("v"), F.col("community").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node_id"), F.col("nl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # arg-max with deterministic tie-break: most frequent neighbor
+        # label, ties to the SMALLEST label. max_by picks the max of
+        # (cnt, negated-order label); labels are strings, so invert the
+        # comparison by max_by over struct(cnt, label) with label order
+        # flipped via a second aggregation instead: min_by over
+        # struct(-cnt, label) — one hash-agg, no window.
+        new_labels = neigh.groupBy("node_id").agg(
+            F.min_by(
+                F.col("nl"), F.struct((-F.col("cnt")).alias("neg"), F.col("nl"))
+            ).alias("community")
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+    return labels

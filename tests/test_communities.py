@@ -1,0 +1,62 @@
+"""Deterministic synchronous LPA pinned against a pure-Python twin."""
+
+import random
+
+from research_knowledge_graph_spark.operators.communities import (
+    label_propagation,
+)
+
+
+def _python_lpa(edges, max_iter):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(max_iter):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            # most frequent, ties to smallest label; synchronous update
+            new[n] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
+        labels = new
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two K4 cliques joined by one bridge edge: LPA converges to one
+    # community per clique (the bridge can't outvote 3 clique neighbors)
+    cliq1 = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"),
+             ("a2", "a3"), ("a2", "a4"), ("a3", "a4")]
+    cliq2 = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"),
+             ("b2", "b3"), ("b2", "b4"), ("b3", "b4")]
+    edges = cliq1 + cliq2 + [("a4", "b1")]
+    df = spark.createDataFrame(edges, "node_a string, node_b string")
+    got = {r.node_id: r.community for r in label_propagation(df, 5).collect()}
+    a_comms = {got[n] for n in ["a1", "a2", "a3", "a4"]}
+    b_comms = {got[n] for n in ["b1", "b2", "b3", "b4"]}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms
+
+
+def test_lpa_matches_python_twin_random(spark):
+    rnd = random.Random(23)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list(
+        {
+            tuple(sorted((rnd.choice(nodes), rnd.choice(nodes))))
+            for _ in range(120)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    for iters in (1, 3, 5):
+        df = spark.createDataFrame(edges, "node_a string, node_b string")
+        got = {
+            r.node_id: r.community
+            for r in label_propagation(df, iters).collect()
+        }
+        assert got == _python_lpa(edges, iters), f"iters={iters}"
