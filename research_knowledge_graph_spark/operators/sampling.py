@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from research_knowledge_graph_spark.functions.hashing import portable_hash64
+from research_knowledge_graph_spark.operators.temporal import _guard_columns
 
 # denominator for rate arithmetic: rates are exact multiples of 1e-6
 _M = 1_000_000
@@ -60,9 +61,20 @@ def stratified_sample(
     map get ``default_rate`` (0.0 = drop unknown sources, the safe
     curation default). The rate table is broadcast (#strata rows);
     the plan is scan → broadcast-hash-join → filter, no shuffle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _guard_columns(df, {"_rate_ppm"}, "stratified_sample input")
     rate_rows = [(k, int(round(v * _M))) for k, v in rates.items()]
+    # the strata column keeps the input's dtype (an int source id must not
+    # rely on implicit string casts in the join — ANSI mode would reject it)
     rate_df = df.sparkSession.createDataFrame(
-        rate_rows, f"{strata_col} string, _rate_ppm bigint"
+        rate_rows,
+        StructType(
+            [
+                StructField(strata_col, df.schema[strata_col].dataType),
+                StructField("_rate_ppm", LongType()),
+            ]
+        ),
     )
     joined = df.join(F.broadcast(rate_df), strata_col, "left").withColumn(
         "_rate_ppm",
@@ -83,7 +95,13 @@ def quota_sample(
     """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
     order — a deterministic uniform draw without replacement (hash order
     is independent of the data's physical or logical order). Adds ``pick``
-    (1-based rank within the stratum). One shuffle keyed by the stratum."""
+    (1-based rank within the stratum). One shuffle keyed by the stratum.
+
+    Skew note: ``row_number`` still sorts each stratum on one reducer; a
+    head stratum bounds that task at its full size even though only ``n``
+    rows survive. For pathological strata use :func:`stratified_sample`
+    (rate ≈ n/|stratum|, map-only) as the escape hatch."""
+    _guard_columns(df, {"pick"}, "quota_sample input")
     w = Window.partitionBy(strata_col).orderBy(
         sample_bucket_col(id_col, seed), F.col(id_col)
     )
@@ -112,7 +130,10 @@ def token_budget_sample(
     function of the key), and monotone in the budget: raising it only
     appends rows to the sample. Adds ``cum_tokens`` (running total
     including the row). One shuffle keyed by the stratum; the running sum
-    is a single window pass over (stratum, hash)."""
+    is a single window pass over (stratum, hash) — a head stratum
+    serializes on one reducer (same bound and same rate-variant escape
+    hatch as :func:`quota_sample`)."""
+    _guard_columns(df, {"cum_tokens"}, "token_budget_sample input")
     w = (
         Window.partitionBy(strata_col)
         .orderBy(sample_bucket_col(id_col, seed), F.col(id_col))

@@ -47,6 +47,20 @@ def _guard_columns(df: DataFrame, reserved: set[str], where: str) -> None:
         )
 
 
+def _orderable(dt) -> bool:
+    """True when the type participates in Spark's total ordering (maps do
+    not; arrays/structs are orderable iff their elements are)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,6 +69,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     prefix: str = "r_",
+    split_by: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` (inclusive) on the same ``on`` key; left rows
@@ -62,8 +77,36 @@ def asof_join(
     ``ASOF JOIN``). ``right_cols`` are the right-side columns to carry,
     emitted as ``{prefix}{col}``. NULL join keys never match (standard
     equi-join semantics — a window partition would otherwise group NULL
-    keys together), so null-keyed rows are filtered from both sides."""
-    _guard_columns(left, {"_ts", "_rp", "_isr", "_m"}, "asof_join left input")
+    keys together), so null-keyed rows are filtered from both sides.
+
+    Tie-break: when several right rows share (key, right_ts), the one with
+    the LARGEST payload struct wins, deterministically across runs and
+    partitionings (the payload rides in the window ordering). If a payload
+    column is unorderable (a map), ties fall back to engine order — pass an
+    id column in ``right_cols`` to restore determinism.
+
+    Skew note: the window serializes each key's full merged timeline on one
+    reducer — inherent to windowed as-of. A bot/celebrity key with millions
+    of rows bounds that reducer; ``split_by="day"`` coarse time-splits the
+    timeline into per-(key, calendar-day) windows (the sessionizer's
+    identical defense): each day's window sees a synthetic carry-in row
+    holding the last right payload of the nearest earlier day, computed on
+    a tiny (key, day)-grained table, so matches are IDENTICAL to the
+    unsplit form — an as-of match never looks past the most recent prior
+    right row. Requires timestamp(-castable) ``_ts`` columns; costs one
+    extra aggregate + one tiny window over the (key, day) spine."""
+    scratch = {"_ts", "_rp", "_isr", "_m"}
+    if split_by is not None:
+        if split_by != "day":
+            raise ValueError(f"split_by must be None or 'day', got {split_by!r}")
+        scratch |= {"_day", "_syn", "_lastrp", "_carry"}
+    _guard_columns(left, scratch, "asof_join left input")
+    _guard_columns(right, scratch, "asof_join right input")
+    _guard_columns(
+        left,
+        {f"{prefix}{c}" for c in right_cols},
+        "asof_join left input (collides with prefixed right output columns)",
+    )
     for k in on:
         left = left.filter(F.col(k).isNotNull())
         right = right.filter(F.col(k).isNotNull())
@@ -83,13 +126,60 @@ def asof_join(
         F.lit(0).alias("_isr"),
         *lcols,
     )
-    # right before left at equal _ts ⇒ an exact-tie right row IS visible
+    u = l.unionByName(r)
+    rp_orderable = _orderable(r.schema["_rp"].dataType)
+    # right before left at equal _ts ⇒ an exact-tie right row IS visible;
+    # tied right rows break by the payload struct (largest wins) so the
+    # match is a pure function of the data, not of partitioning — maps are
+    # unorderable, so such payloads keep engine order (see docstring)
+    order_cols = [F.col("_ts").asc(), F.col("_isr").desc()]
+    if split_by is None:
+        part_cols = list(on)
+    else:
+        ts_type = r.schema["_ts"].dataType
+        day = F.date_trunc("day", F.col("_ts").cast("timestamp"))
+        u = u.withColumn("_day", day).withColumn("_syn", F.lit(1))
+        # per-(key, day) last right payload, forward-filled along the tiny
+        # (key, day) spine: the carry-in each day's window needs
+        rd = u.filter(F.col("_isr") == 1).groupBy(*on, "_day").agg(
+            F.max_by(
+                "_rp",
+                F.struct("_ts", "_rp") if rp_orderable else F.col("_ts"),
+            ).alias("_lastrp")
+        )
+        spine = u.select(*on, "_day").distinct()
+        wd = (
+            Window.partitionBy(*on)
+            .orderBy("_day")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carried = (
+            spine.join(rd, [*on, "_day"], "left")
+            .withColumn("_carry", F.last("_lastrp", ignorenulls=True).over(wd))
+            .filter(F.col("_carry").isNotNull())
+        )
+        synth = carried.select(
+            *on,
+            F.col("_day").cast(ts_type).alias("_ts"),
+            F.col("_carry").alias("_rp"),
+            F.lit(1).alias("_isr"),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+            F.col("_day").alias("_day"),
+            F.lit(0).alias("_syn"),
+        )
+        u = u.unionByName(synth)
+        # a real right row exactly at day start outranks the carry-in
+        # (it is the more recent observation at that instant)
+        order_cols.append(F.col("_syn").asc())
+        part_cols = [*on, "_day"]
+    if rp_orderable:
+        order_cols.append(F.col("_rp").asc_nulls_first())
     w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_isr").desc())
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = l.unionByName(r).withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    u = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
     out = u.filter((F.col("_isr") == 0) & F.col("_m").isNotNull())
     return out.select(
         *on,

@@ -48,12 +48,19 @@ class TableIO:
         # append_rows is a read-modify-write of one table's member-path list
         # AND an anti-join against its current contents — both must see every
         # prior append, so appends to the SAME table serialize on a per-table
-        # lock (different tables still overlap)
-        self._table_locks: dict[str, threading.Lock] = {}
+        # lock (different tables still overlap). compact() takes the same
+        # lock (its expiry sweep must not race a concurrent append's
+        # yet-unrecorded snapshot); RLock because append_rows auto-compacts
+        # while already holding it.
+        self._table_locks: dict[str, threading.RLock] = {}
+        # snapshot dirs written but not yet recorded in the manifest —
+        # write_stage doesn't take the table lock (stage names are unique),
+        # so compact's sweep must see these to never delete a mid-commit dir
+        self._inflight: set[str] = set()
 
-    def _table_lock(self, name: str) -> threading.Lock:
+    def _table_lock(self, name: str) -> threading.RLock:
         with self._lock:
-            return self._table_locks.setdefault(name, threading.Lock())
+            return self._table_locks.setdefault(name, threading.RLock())
 
     # -- manifest ----------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -97,29 +104,35 @@ class TableIO:
             return self.read(name)
 
         snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
-        if sort_by:
-            df = df.sortWithinPartitions(*sort_by)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        t0 = time.time()
-        writer.parquet(snap)
-
-        committed = self.spark.read.parquet(snap)
-        if self.defer_metrics:
-            with self._lock:
-                self._pending.append((name, fingerprint, snap, time.time() - t0))
-        else:
-            self._append_metrics(name, fingerprint, committed, time.time() - t0)
-
         with self._lock:
-            manifest = self._load_manifest()
-            manifest["tables"][name] = {
-                "path": snap,
-                "fingerprint": fingerprint,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            self._commit_manifest(manifest)
+            self._inflight.add(snap)
+        try:
+            if sort_by:
+                df = df.sortWithinPartitions(*sort_by)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            t0 = time.time()
+            writer.parquet(snap)
+
+            committed = self.spark.read.parquet(snap)
+            if self.defer_metrics:
+                with self._lock:
+                    self._pending.append((name, fingerprint, snap, time.time() - t0))
+            else:
+                self._append_metrics(name, fingerprint, committed, time.time() - t0)
+
+            with self._lock:
+                manifest = self._load_manifest()
+                manifest["tables"][name] = {
+                    "path": snap,
+                    "fingerprint": fingerprint,
+                    "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+                self._commit_manifest(manifest)
+        finally:
+            with self._lock:
+                self._inflight.discard(snap)
         return committed
 
     def commit_union(self, name: str, members: list[str], fingerprint: str) -> DataFrame:
@@ -285,59 +298,72 @@ class TableIO:
         Iceberg's expire, this invalidates DataFrames handed out from
         *earlier* reads of the pre-compaction snapshot list; re-read after
         compacting. Paths referenced by OTHER manifest entries (e.g. an
-        ``edges_all`` union commit listing member snapshots) are kept."""
-        t = self._load_manifest()["tables"].get(name)
-        if not t:
-            raise FileNotFoundError(f"table {name!r} not committed under {self.root}")
-        if "paths" not in t or len(t["paths"]) <= 1:
-            return self.read(name)
-        df = self.read(name)
-        snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
-        df.write.mode("overwrite").parquet(snap)
-        # deferred per-partition metrics read their snapshot paths at flush
-        # time — record them NOW so expiring a superseded snapshot can never
-        # orphan a queued metrics read (compaction is already a heavyweight
-        # maintenance boundary; one extra metrics job is in budget)
-        self.flush_metrics()
-        with self._lock:
-            manifest = self._load_manifest()
-            manifest["tables"][name] = {
-                "paths": [snap],
-                "fingerprint": fingerprint,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            self._commit_manifest(manifest)
-            # expire: sweep the table's directory for snapshot dirs no
-            # longer referenced by any TABLE entry. Sweeping the whole dir
-            # (not just this compaction's superseded list) also collects
-            # snapshots a stale union commit pinned LAST time — they become
-            # unreferenced once that union re-commits, and the next
-            # compaction picks them up, so disk stays bounded for every
-            # table in the long-running ingest. Pins: any non-marker
-            # entry's path list (union commits reference member snapshots
-            # and must stay readable until re-commit) plus anything still
-            # queued in _pending; '@'-keyed MARKER entries never pin
-            # (their path field is informational, never read).
-            still_referenced = {snap}
-            for ename, e in manifest["tables"].items():
-                if "@" in ename:
-                    continue
-                still_referenced.update(
-                    e.get("paths") or ([e["path"]] if e.get("path") else [])
-                )
-            still_referenced.update(pth for _, _, pth, _ in self._pending)
-            table_dir = os.path.join(self.root, name)
-            sweep = [
-                os.path.join(table_dir, d)
-                for d in os.listdir(table_dir)
-                if d.startswith("snap-")
-            ]
-        import shutil
+        ``edges_all`` union commit listing member snapshots) are kept.
 
-        for p in sweep:
-            if p not in still_referenced and os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
-        return self.read(name)
+        Serialization: holds the table's append lock for the whole rewrite
+        + sweep, so a direct ``compact()`` call cannot race a concurrent
+        ``append_rows`` to the same table (the sweep would otherwise delete
+        a delta written but not yet recorded); ``write_stage`` snapshots
+        mid-commit are pinned via the in-flight set instead (stage writes
+        don't take the table lock)."""
+        with self._table_lock(name):
+            t = self._load_manifest()["tables"].get(name)
+            if not t:
+                raise FileNotFoundError(
+                    f"table {name!r} not committed under {self.root}"
+                )
+            if "paths" not in t or len(t["paths"]) <= 1:
+                return self.read(name)
+            df = self.read(name)
+            snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
+            df.write.mode("overwrite").parquet(snap)
+            # deferred per-partition metrics read their snapshot paths at
+            # flush time — record them NOW so expiring a superseded snapshot
+            # can never orphan a queued metrics read (compaction is already a
+            # heavyweight maintenance boundary; one extra metrics job is in
+            # budget)
+            self.flush_metrics()
+            with self._lock:
+                manifest = self._load_manifest()
+                manifest["tables"][name] = {
+                    "paths": [snap],
+                    "fingerprint": fingerprint,
+                    "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+                self._commit_manifest(manifest)
+                # expire: sweep the table's directory for snapshot dirs no
+                # longer referenced by any TABLE entry. Sweeping the whole dir
+                # (not just this compaction's superseded list) also collects
+                # snapshots a stale union commit pinned LAST time — they become
+                # unreferenced once that union re-commits, and the next
+                # compaction picks them up, so disk stays bounded for every
+                # table in the long-running ingest. Pins: any non-marker
+                # entry's path list (union commits reference member snapshots
+                # and must stay readable until re-commit), anything still
+                # queued in _pending, and in-flight stage writes not yet in
+                # the manifest; '@'-keyed MARKER entries never pin
+                # (their path field is informational, never read).
+                still_referenced = {snap}
+                for ename, e in manifest["tables"].items():
+                    if "@" in ename:
+                        continue
+                    still_referenced.update(
+                        e.get("paths") or ([e["path"]] if e.get("path") else [])
+                    )
+                still_referenced.update(pth for _, _, pth, _ in self._pending)
+                still_referenced.update(self._inflight)
+                table_dir = os.path.join(self.root, name)
+                sweep = [
+                    os.path.join(table_dir, d)
+                    for d in os.listdir(table_dir)
+                    if d.startswith("snap-")
+                ]
+            import shutil
+
+            for p in sweep:
+                if p not in still_referenced and os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+            return self.read(name)
 
     # -- lineage + metrics ---------------------------------------------------
     def flush_metrics(self) -> None:

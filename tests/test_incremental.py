@@ -187,3 +187,49 @@ def test_compact_preserves_content(spark, tmp_path):
     with open(inc_dir + "/_manifest.json") as f:
         assert len(json.load(f)["tables"]["edges"]["paths"]) == 1
     assert _edge_struct(io.read("edges")) == before
+
+
+def test_compact_spares_inflight_and_serializes_with_appends(spark, tmp_path):
+    """ADVICE round-3 (medium): compact()'s expiry sweep must never delete a
+    snapshot a concurrent writer has put on disk but not yet recorded in the
+    manifest. (a) an in-flight write_stage dir is pinned by the in-flight
+    set; (b) direct compact() calls racing append_rows on the same table
+    serialize on the (reentrant) table lock — no append is lost."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "race"))
+    for i in range(3):
+        io.append_rows(
+            spark.createDataFrame([(i, i)], "id int, val int"), "t", ["id"], f"b{i}"
+        )
+    # (a) simulate a stage write mid-commit: dir on disk, manifest not yet
+    inflight = str(tmp_path / "race" / "t" / "snap-deadbeef0000")
+    os.makedirs(inflight)
+    io._inflight.add(inflight)
+    io.compact("t", "m1")
+    assert os.path.isdir(inflight), "sweep deleted an in-flight snapshot"
+    io._inflight.discard(inflight)
+    os.rmdir(inflight)
+
+    # (b) appends interleaved with compacts: final content = union of appends
+    def append(i):
+        io.append_rows(
+            spark.createDataFrame([(100 + i, i)], "id int, val int"),
+            "t",
+            ["id"],
+            f"c{i}",
+        )
+
+    def compact(i):
+        io.compact("t", f"m2-{i}")
+
+    with ThreadPoolExecutor(6) as ex:
+        futs = [ex.submit(append, i) for i in range(4)]
+        futs += [ex.submit(compact, i) for i in range(2)]
+        for f in futs:
+            f.result()
+    got = sorted(r.id for r in io.read("t").collect())
+    assert got == [0, 1, 2, 100, 101, 102, 103], got

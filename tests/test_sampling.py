@@ -101,3 +101,32 @@ def test_token_budget_sample(spark, docs):
     lo = {r.doc_id for r in s.collect()}
     hi = {r.doc_id for r in token_budget_sample(weighted, 200, F.col("n_tok"), seed=5).collect()}
     assert lo < hi
+
+
+def test_stratified_non_string_strata_dtype(spark):
+    """ADVICE round-3: the rate dim takes the input strata column's dtype —
+    an int source id joins without implicit casts (ANSI-safe)."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "doc_id long, src int"
+    )
+    out = stratified_sample(df, {0: 1.0, 1: 0.0}, "src", "doc_id", seed=3)
+    srcs = {r.src for r in out.select("src").distinct().collect()}
+    assert srcs == {0}  # rate 1.0 keeps all of src=0, others dropped
+
+
+def test_sampling_reserved_output_columns_fail_fast(spark):
+    """ADVICE round-3: pre-existing 'pick'/'cum_tokens'/'_rate_ppm' columns
+    raise instead of being silently overwritten."""
+    df = spark.createDataFrame([(1, "a", 2)], "doc_id long, source string, pick int")
+    with pytest.raises(ValueError, match="reserved"):
+        quota_sample(df, 1, "source", "doc_id")
+    df2 = spark.createDataFrame(
+        [(1, "a", 2)], "doc_id long, source string, cum_tokens int"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        token_budget_sample(df2, 10, F.lit(1), "source", "doc_id")
+    df3 = spark.createDataFrame(
+        [(1, "a", 2)], "doc_id long, source string, _rate_ppm int"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        stratified_sample(df3, {"a": 0.5}, "source", "doc_id")

@@ -173,3 +173,67 @@ def test_temporal_plan_contracts(spark):
     assert ("SortMergeJoin" in range_plan) or ("HashJoin" in range_plan), (
         range_plan[:1500]
     )
+
+
+def test_asof_tied_right_rows_deterministic(spark):
+    """ADVICE round-3: several right rows tying on (key, right_ts) must
+    yield the SAME match regardless of partitioning — the payload struct
+    rides in the window ordering, so the largest payload wins."""
+    left = spark.createDataFrame([(1, 100, "x")], "k long, lts long, v string")
+    rrows = [(1, 50, f"r{i:02d}") for i in range(8)]
+    for parts in (1, 3, 13):
+        right = spark.createDataFrame(
+            rrows, "k long, rts long, w string"
+        ).repartition(parts)
+        got = [
+            r.r_w for r in asof_join(left, right, ["k"], "lts", "rts", ["w"]).collect()
+        ]
+        assert got == ["r07"], (parts, got)
+
+
+def test_asof_prefixed_collision_guard(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, lts long, r_w string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, rts long, w string")
+    with pytest.raises(ValueError, match="prefixed"):
+        asof_join(left, right, ["k"], "lts", "rts", ["w"])
+    # right-side reserved scratch names also fail fast
+    badr = right.withColumnRenamed("w", "_rp")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.drop("r_w"), badr, ["k"], "lts", "rts", ["_rp"])
+
+
+def test_asof_split_by_day_parity_and_plan(spark):
+    """VERDICT round-3 #6: the hot-key escape hatch. split_by='day' must
+    return the IDENTICAL match set (the carry-in row preserves cross-day
+    matches), while the window partitions by (key, day) so a bot key's
+    timeline is bounded at its busiest day, not its full history."""
+    import random
+
+    rnd = random.Random(23)
+    base = 1_700_000_000  # epoch seconds; spans ~6 days
+    lrows = [
+        ("bot" if i % 4 else f"u{i % 7}", i, base + rnd.randrange(6 * 86400))
+        for i in range(400)
+    ]
+    rrows = [
+        ("bot" if i % 3 else f"u{i % 7}", 1000 + i, base + rnd.randrange(6 * 86400))
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(lrows, "k string, lid long, lts long")
+    right = spark.createDataFrame(rrows, "k string, rid long, rts long")
+
+    plain = {
+        (r.lid, r.r_rid)
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["rid"]).collect()
+    }
+    split_df = asof_join(
+        left, right, ["k"], "lts", "rts", ["rid"], split_by="day"
+    )
+    split = {(r.lid, r.r_rid) for r in split_df.collect()}
+    assert split == plain and len(plain) > 300
+
+    # plan contract: the big window partitions by (k, _day)
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    assert "_day" in plan, plan[:2000]
