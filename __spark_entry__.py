@@ -492,23 +492,13 @@ def t10_dedup_cluster_survivors(spark, sf_dir):
     per-cluster survivor (min doc_id). One row per clustered doc:
     (doc_id, survivor_id, n_docs); the drop list is rows where
     doc_id != survivor_id. Oracle: recursive undirected reachability over
-    the identical pair set."""
-    from research_knowledge_graph_spark.operators.canonicalize import (
-        connected_components,
-    )
-
+    the identical pair set. Cluster sizes via groupBy + broadcast join, not
+    a per-component window (operators/dedup.py::cluster_survivors — the
+    all-dups degenerate case is pinned in tests/test_canonicalize.py)."""
     d = _t(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    cc = connected_components(
-        pairs.select(F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b"))
-    )
-    w = Window.partitionBy("component")
-    return cc.select(
-        F.col("key").alias("doc_id"),
-        F.col("component").alias("survivor_id"),
-        F.count(F.lit(1)).over(w).alias("n_docs"),
-    )
+    return D.cluster_survivors(pairs)
 
 
 def t11_stratified_sample(spark, sf_dir):

@@ -285,3 +285,30 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cluster_survivors(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Near-dup CLUSTER collapse — the step after pair finding in a real
+    dedup pipeline: candidate pairs → connected components → per-cluster
+    survivor (min id). Returns one row per clustered doc:
+    (doc_id, survivor_id, n_docs); the drop list is rows where
+    doc_id != survivor_id.
+
+    Cluster sizes come from a groupBy + broadcast join back, NOT a window
+    partitioned by component: a degenerate corpus where most docs collapse
+    into ONE cluster would otherwise land that component on a single
+    reducer. The hash-agg partial-aggregates map-side; the size dim is
+    tiny (≤ #components rows)."""
+    from research_knowledge_graph_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    cc = connected_components(
+        pairs.select(F.col(id_a).alias("key_a"), F.col(id_b).alias("key_b"))
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    return cc.join(F.broadcast(sizes), "component").select(
+        F.col("key").alias("doc_id"),
+        F.col("component").alias("survivor_id"),
+        F.col("n_docs"),
+    )

@@ -51,3 +51,25 @@ def test_canonicalize_fuzzy_no_pairs(spark):
     m = spark.createDataFrame(rows, MENTION_SCHEMA)
     out = canonicalize_fuzzy(m, threshold=0.9)
     assert {r.canonical_label for r in out.collect()} == {"Alpha", "Zeta Omega Prime"}
+
+
+def test_cluster_survivors_all_dups_no_window(spark):
+    """VERDICT round-3 #3: the survivor-cluster size path must survive the
+    degenerate corpus where EVERYTHING collapses into one near-dup cluster
+    — sizes come from a partial-aggregating groupBy + broadcast join, never
+    a window partitioned by component (single-reducer blowup)."""
+    from research_knowledge_graph_spark.operators.dedup import cluster_survivors
+
+    n = 400
+    pairs = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    out = cluster_survivors(pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.survivor_id for r in rows} == {"d0000"}
+    assert {r.n_docs for r in rows} == {n}
