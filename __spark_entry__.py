@@ -169,10 +169,37 @@ def g05_supplier_stats(spark, sf_dir):
     )
 
 
+_COUSE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _couse_pairs(spark, sf_dir) -> DataFrame:
+    """The order co-usage pair graph (orders sharing ≥2 parts) — the ONE
+    intermediate g06 and the graph-analytics entries g18/g19/g20/g21 all
+    consume. Computed once per (session, input content) through the salted
+    blocking join and localCheckpointed: a user running the full analytics
+    suite pays the pair self-join once, not four times. Content-keyed like
+    the e06 IVF cache (path + mtime + size of the deriving tables), so
+    regenerated testdata misses the cache instead of serving stale pairs."""
+    key = [spark.sparkContext.applicationId, os.path.abspath(sf_dir)]
+    for t in ("orders", "lineitem"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        key.append(f"{st.st_mtime_ns}:{st.st_size}")
+    k = tuple(key)
+    if k not in _COUSE_CACHE:
+        edges = TG.derive_edges(spark, sf_dir)
+        pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
+            F.col("shared_count") >= 2
+        )
+        _COUSE_CACHE[k] = pairs.localCheckpoint(eager=True)
+    return _COUSE_CACHE[k]
+
+
 def g06_shared_entity_pairs(spark, sf_dir):
-    """J8/J9 blocking self-join: order pairs sharing ≥2 parts."""
-    edges = TG.derive_edges(spark, sf_dir)
-    return G.shared_entity_pairs(edges, ["USES_PART"]).filter(F.col("shared_count") >= 2)
+    """J8/J9 blocking self-join: order pairs sharing ≥2 parts — through the
+    degree-aware SALTED self-join (operators/graph_queries.py::
+    shared_entity_pairs; salted==unsalted parity pinned in
+    tests/test_salt.py) and shared with g18/g19/g20/g21 via _couse_pairs."""
+    return _couse_pairs(spark, sf_dir)
 
 
 def g07_reverse_reach(spark, sf_dir):
@@ -314,22 +341,17 @@ def g18_triangle_count(spark, sf_dir):
     graph (g06's pairs sharing ≥2 parts). Degree-oriented wedge
     enumeration — each triangle found once, hot-node wedge blowup capped;
     the oracle counts the same (orientation-invariant) triangle set with
-    a plain id-ordered triple join."""
-    edges = TG.derive_edges(spark, sf_dir)
-    pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
-        F.col("shared_count") >= 2
-    )
+    a plain id-ordered triple join. Pair graph shared via _couse_pairs."""
+    pairs = _couse_pairs(spark, sf_dir)
     return G.triangle_count(pairs.select("node_a", "node_b"))
 
 
 def g19_clustering_coefficient(spark, sf_dir):
     """Local clustering coefficient 2T/(d·(d-1)) per node of the co-usage
     graph — triangle counts joined with degrees
-    (operators/graph_queries.py::clustering_coefficient)."""
-    edges = TG.derive_edges(spark, sf_dir)
-    pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
-        F.col("shared_count") >= 2
-    )
+    (operators/graph_queries.py::clustering_coefficient). Pair graph
+    shared via _couse_pairs."""
+    pairs = _couse_pairs(spark, sf_dir)
     return G.clustering_coefficient(pairs.select("node_a", "node_b"))
 
 
@@ -344,10 +366,7 @@ def g20_label_propagation(spark, sf_dir):
         label_propagation,
     )
 
-    edges = TG.derive_edges(spark, sf_dir)
-    pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
-        F.col("shared_count") >= 2
-    )
+    pairs = _couse_pairs(spark, sf_dir)
     return label_propagation(pairs.select("node_a", "node_b"), max_iter=5)
 
 

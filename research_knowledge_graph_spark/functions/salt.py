@@ -100,3 +100,34 @@ def two_phase_collect_set(
         .groupBy(*key_cols)
         .agg(F.array_sort(F.flatten(F.collect_list("_vals"))).alias("values"))
     )
+
+
+def salted_self_join_sides(
+    pe: DataFrame, id_col: str, salt_above: int, max_salts: int
+) -> tuple[DataFrame, DataFrame]:
+    """Degree-aware salting of a blocking self-join (the generic form of the
+    cross-link pipeline's defense). ``pe`` must carry a ``deg`` column (the
+    blocking key's degree); each key gets
+    ``n_salts = min(max_salts, ceil(deg / salt_above))`` salt slots:
+
+    - left side: each row lands in ONE slot (hash of its ``id_col``);
+    - right side: each row is replicated into ALL of its key's slots.
+
+    The caller joins on (key, _salt, id<id): a key of degree d spreads its
+    d²/2 comparisons over n_salts reducers instead of one, and every
+    unordered pair still meets in EXACTLY one slot (the left row's), so
+    pair multiplicity — and any count aggregated from it — is preserved.
+    Cold keys (deg ≤ salt_above) have n_salts = 1: zero replication,
+    identical plan to the unsalted join."""
+    nsalt = F.greatest(
+        F.least(F.lit(max_salts), F.ceil(F.col("deg") / F.lit(salt_above))).cast("int"),
+        F.lit(1),
+    )
+    with_n = pe.withColumn("_nsalt", nsalt)
+    a = with_n.withColumn(
+        "_salt", F.pmod(F.xxhash64(id_col), F.col("_nsalt")).cast("int")
+    )
+    b = with_n.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1))
+    )
+    return a, b

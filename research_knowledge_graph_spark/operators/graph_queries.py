@@ -90,17 +90,45 @@ def connected_docs(nodes: DataFrame, edges: DataFrame, entity_id: str) -> DataFr
     )
 
 
-def shared_entity_pairs(edges: DataFrame, entity_edge_types: list[str] | None = None) -> DataFrame:
+def shared_entity_pairs(
+    edges: DataFrame,
+    entity_edge_types: list[str] | None = None,
+    salt_above: int | None = 256,
+    max_salts: int = 16,
+) -> DataFrame:
     """Unordered pairs of source nodes sharing ≥1 target node (J8/J9 shape).
-    Returns (node_a, node_b, shared_count). Skew note: hot targets quadratic
-    — callers cap degree upstream; AQE skew-join splits the rest."""
+    Returns (node_a, node_b, shared_count).
+
+    Skew: a hot target of degree d contributes d²/2 pairs; degree-aware
+    salting (on by default, same defense as the cross-link pipeline's
+    ``candidate_pairs``) splits any target hotter than ``salt_above`` across
+    ``min(max_salts, ceil(deg/salt_above))`` salt slots so no single reducer
+    owns a head key's quadratic blowup. Every pair still meets in exactly
+    ONE slot, so shared_count is preserved bit-for-bit (parity pinned in
+    tests/test_salt.py); cold targets compile to the identical unsalted
+    plan. ``salt_above=None`` disables. Callers should still cap truly
+    pathological degrees upstream — salting spreads the work, it does not
+    shrink the quadratic pair count itself."""
+    from research_knowledge_graph_spark.functions.salt import salted_self_join_sides
+
     e = edges
     if entity_edge_types:
         e = e.filter(F.col("edge_type").isin(*entity_edge_types))
     pe = e.select(F.col("from_node_id").alias("src"), F.col("to_node_id").alias("tgt")).distinct()
-    a, b = pe.alias("a"), pe.alias("b")
+    if salt_above is not None:
+        deg = pe.groupBy("tgt").agg(F.count(F.lit(1)).alias("deg"))
+        sa, sb = salted_self_join_sides(pe.join(deg, "tgt"), "src", salt_above, max_salts)
+        a, b = sa.alias("a"), sb.alias("b")
+        cond = (
+            (F.col("a.tgt") == F.col("b.tgt"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.src") < F.col("b.src"))
+        )
+    else:
+        a, b = pe.alias("a"), pe.alias("b")
+        cond = (F.col("a.tgt") == F.col("b.tgt")) & (F.col("a.src") < F.col("b.src"))
     return (
-        a.join(b, (F.col("a.tgt") == F.col("b.tgt")) & (F.col("a.src") < F.col("b.src")))
+        a.join(b, cond)
         .groupBy(F.col("a.src").alias("node_a"), F.col("b.src").alias("node_b"))
         .agg(F.count(F.lit(1)).alias("shared_count"))
     )

@@ -239,18 +239,9 @@ def _salted_pair_sides(
     its d²/2 comparisons over n_salts reducers instead of one. Cold keys
     (deg ≤ salt_above) have n_salts = 1 — zero replication, identical plan
     to the unsalted join. Requires ``pe`` to carry a ``deg`` column."""
-    nsalt = F.greatest(
-        F.least(F.lit(max_salts), F.ceil(F.col("deg") / F.lit(salt_above))).cast("int"),
-        F.lit(1),
-    )
-    with_n = pe.withColumn("_nsalt", nsalt)
-    a = with_n.withColumn(
-        "_salt", F.pmod(F.xxhash64("paper_id"), F.col("_nsalt")).cast("int")
-    )
-    b = with_n.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1))
-    )
-    return a, b
+    from research_knowledge_graph_spark.functions.salt import salted_self_join_sides
+
+    return salted_self_join_sides(pe, "paper_id", salt_above, max_salts)
 
 
 def candidate_pairs(

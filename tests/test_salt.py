@@ -214,3 +214,81 @@ def test_two_phase_aggs_match_direct(spark):
     }
     got_s = {r.key: list(r.values) for r in two_phase_collect_set(df, ["key"], "val").collect()}
     assert got_s == direct_s
+
+
+# ---------------------------------------------------------------------------
+# Query-surface pair graph (shared_entity_pairs) — VERDICT round-3 #1
+# ---------------------------------------------------------------------------
+
+
+def test_shared_entity_pairs_salted_parity_and_balance(spark):
+    """The query-surface co-usage self-join routes through the same
+    degree-aware salting as the pipeline: (a) salted == unsalted including
+    shared_count (every pair meets in exactly one slot); (b) on a Zipf
+    graph the per-shuffle-partition comparison load stays within 2x of
+    ideal, while the unsalted key layout does not."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.functions.salt import salted_self_join_sides
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        shared_entity_pairs,
+    )
+
+    # Zipf edge table: target e_j is used by ~1200/(j+1) sources; sources
+    # overlap so shared_counts > 1 exist
+    rows = []
+    for j in range(30):
+        deg = max(1200 // (j + 1), 2)
+        rows.extend(
+            (f"s{(i * 7 + j) % 900}", f"e{j}", "USES_PART") for i in range(deg)
+        )
+    edges = spark.createDataFrame(
+        rows, "from_node_id string, to_node_id string, edge_type string"
+    )
+
+    plain = {
+        (r.node_a, r.node_b, r.shared_count)
+        for r in shared_entity_pairs(edges, ["USES_PART"], salt_above=None).collect()
+    }
+    salted = {
+        (r.node_a, r.node_b, r.shared_count)
+        for r in shared_entity_pairs(
+            edges, ["USES_PART"], salt_above=16, max_salts=64
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 100
+    assert max(c for _, _, c in plain) >= 2  # counts exercised, not all 1
+
+    # (b) load balance of the salted (tgt, _salt) key vs the raw tgt key
+    pe = (
+        edges.select(
+            F.col("from_node_id").alias("src"), F.col("to_node_id").alias("tgt")
+        )
+        .distinct()
+    )
+    deg = pe.groupBy("tgt").agg(F.count(F.lit(1)).alias("deg"))
+    sa, sb = salted_self_join_sides(pe.join(deg, "tgt"), "src", 16, 64)
+    n_part = 32
+    na = sa.groupBy("tgt", "_salt").agg(F.count("*").alias("n_a"))
+    nb = sb.groupBy("tgt", "_salt").agg(F.count("*").alias("n_b"))
+    load = (
+        na.join(nb, ["tgt", "_salt"])
+        .withColumn("part", F.pmod(F.xxhash64("tgt", "_salt"), F.lit(n_part)))
+        .groupBy("part")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("load"))
+    )
+    stats = load.agg(F.max("load").alias("mx"), F.sum("load").alias("tot")).first()
+    # pigeonhole caveat (ROUND_NOTES): ~60 hot slots into 32 partitions
+    # co-locate a couple of them, so bound loosely vs ideal and strictly
+    # vs the unsalted layout's head-key monolith
+    assert stats.mx / (stats.tot / n_part) < 3.0, (stats.mx, stats.tot)
+
+    un = (
+        pe.groupBy("tgt").agg(F.count("*").alias("n"))
+        .withColumn("part", F.pmod(F.xxhash64("tgt"), F.lit(n_part)))
+        .groupBy("part")
+        .agg(F.sum(F.col("n") * F.col("n")).alias("load"))
+    )
+    ustats = un.agg(F.max("load").alias("mx"), F.sum("load").alias("tot")).first()
+    assert ustats.mx / (ustats.tot / n_part) > 2.0
+    assert stats.mx < ustats.mx / 4, (stats.mx, ustats.mx)
