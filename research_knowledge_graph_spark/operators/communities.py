@@ -10,9 +10,14 @@ Determinism: textbook LPA breaks count ties randomly; this implementation
 breaks them by (count DESC, label ASC) and updates SYNCHRONOUSLY, so the
 result is a pure function of the graph — reproducible across runs,
 engines, and partitionings (pinned against a pure-Python twin in
-tests/test_communities.py). Rows-only on the driver surface: a k-iteration
-arg-max cascade is not reasonably ANSI-SQL-expressible, the same class as
-PageRank (g16).
+tests/test_communities.py). Unlike PageRank (float accumulation order),
+the votes are integer counts / sums and the arg-max is exact, so a fixed
+iteration count IS cross-engine reproducible — the driver oracle unrolls
+the rounds as a CTE cascade in DuckDB (g20/g21).
+
+``weight_col`` (optional) votes each neighbor by an integer edge weight
+instead of 1 — e.g. the co-usage graph's ``shared_count`` — a weighted-
+modularity-flavored refinement: tightly-coupled nodes pull harder.
 
 Scale shape per iteration: edges⨝labels is an equi-join on the node id;
 the (node, neighbor_label) count is a partial-aggregatable hash-agg; the
@@ -27,16 +32,20 @@ from pyspark.sql import functions as F
 
 
 def label_propagation(
-    pairs: DataFrame, max_iter: int = 5
+    pairs: DataFrame, max_iter: int = 5, weight_col: str | None = None
 ) -> DataFrame:
-    """(node_a, node_b) undirected edges → (node_id, community) after
-    ``max_iter`` synchronous rounds; community ids are node ids (each
+    """(node_a, node_b[, weight]) undirected edges → (node_id, community)
+    after ``max_iter`` synchronous rounds; community ids are node ids (each
     node's initial label). Isolated nodes don't appear (no edges = no
-    neighbors = label never changes)."""
+    neighbors = label never changes). With ``weight_col``, each neighbor's
+    vote counts its (integer) edge weight."""
+    wsel = [F.col(weight_col).alias("w")] if weight_col else []
     e = (
-        pairs.select(F.col("node_a").alias("u"), F.col("node_b").alias("v"))
+        pairs.select(F.col("node_a").alias("u"), F.col("node_b").alias("v"), *wsel)
         .unionByName(
-            pairs.select(F.col("node_b").alias("u"), F.col("node_a").alias("v"))
+            pairs.select(
+                F.col("node_b").alias("u"), F.col("node_a").alias("v"), *wsel
+            )
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -44,6 +53,7 @@ def label_propagation(
     labels = e.select(F.col("u").alias("node_id")).distinct().withColumn(
         "community", F.col("node_id")
     )
+    vote = F.sum("w") if weight_col else F.count(F.lit(1))
     for _ in range(max_iter):
         neigh = (
             e.join(
@@ -53,7 +63,7 @@ def label_propagation(
                 "v",
             )
             .groupBy(F.col("u").alias("node_id"), F.col("nl"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(vote.alias("cnt"))
         )
         # arg-max with deterministic tie-break: most frequent neighbor
         # label, ties to the SMALLEST label. max_by picks the max of

@@ -60,3 +60,65 @@ def test_lpa_matches_python_twin_random(spark):
             for r in label_propagation(df, iters).collect()
         }
         assert got == _python_lpa(edges, iters), f"iters={iters}"
+
+
+def _python_lpa_weighted(edges, max_iter):
+    """edges: (a, b, w) undirected; vote = sum of edge weights."""
+    adj = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    labels = {n: n for n in adj}
+    for _ in range(max_iter):
+        new = {}
+        for n, nbrs in adj.items():
+            votes = {}
+            for m, w in nbrs.items():
+                votes[labels[m]] = votes.get(labels[m], 0) + w
+            new[n] = min(votes, key=lambda lbl: (-votes[lbl], lbl))
+        labels = new
+    return labels
+
+
+def test_weighted_lpa_matches_python_twin(spark):
+    rnd = random.Random(31)
+    nodes = [f"n{i}" for i in range(40)]
+    seen = {}
+    for _ in range(150):
+        a, b = sorted((rnd.choice(nodes), rnd.choice(nodes)))
+        if a != b:
+            seen[(a, b)] = rnd.randrange(1, 9)
+    edges = [(a, b, w) for (a, b), w in seen.items()]
+    for iters in (1, 3, 5):
+        df = spark.createDataFrame(edges, "node_a string, node_b string, shared_count long")
+        got = {
+            r.node_id: r.community
+            for r in label_propagation(df, iters, weight_col="shared_count").collect()
+        }
+        assert got == _python_lpa_weighted(edges, iters), f"iters={iters}"
+
+
+def test_weighted_lpa_diverges_from_unweighted(spark):
+    # weights must actually steer the vote: after the b-side converges to a
+    # shared label, x sees 2 light b-votes vs 1 heavy a-vote — weighted
+    # keeps x with a1, unweighted hands it to the b majority
+    edges = [
+        ("a1", "x", 5),
+        ("b1", "x", 1), ("b2", "x", 1),
+        ("b1", "b0", 3), ("b2", "b0", 3),  # b1/b2 adopt b0's label fast
+    ]
+    df = spark.createDataFrame(edges, "node_a string, node_b string, shared_count long")
+    got = {
+        r.node_id: r.community
+        for r in label_propagation(df, 2, weight_col="shared_count").collect()
+    }
+    plain = {
+        r.node_id: r.community
+        for r in label_propagation(df.select("node_a", "node_b"), 2).collect()
+    }
+    # twins verified above; here pin that they disagree on x
+    assert got["x"] != plain["x"], (got, plain)
+    assert got == _python_lpa_weighted(edges, 2)
+    assert plain == _python_lpa([(a, b) for a, b, _ in edges], 2)
