@@ -44,6 +44,7 @@ from research_knowledge_graph_spark.functions.textops import (
     quality_features_cols,
 )
 from research_knowledge_graph_spark.operators import dedup as D
+from research_knowledge_graph_spark.operators.text_search import bm25_sql
 from research_knowledge_graph_spark.operators import graph_queries as G
 from research_knowledge_graph_spark.operators import similarity as S
 from research_knowledge_graph_spark.plans import tpch_graph as TG
@@ -176,21 +177,26 @@ def _couse_pairs(spark, sf_dir) -> DataFrame:
     """The order co-usage pair graph (orders sharing ≥2 parts) — the ONE
     intermediate g06 and the graph-analytics entries g18/g19/g20/g21 all
     consume. Computed once per (session, input content) through the salted
-    blocking join and localCheckpointed: a user running the full analytics
-    suite pays the pair self-join once, not four times. Content-keyed like
-    the e06 IVF cache (path + mtime + size of the deriving tables), so
-    regenerated testdata misses the cache instead of serving stale pairs."""
+    blocking join and persisted LAZILY (MEMORY_AND_DISK): the first
+    consumer's job populates the cache as a side effect — no separate
+    eager materialization pass — and later consumers read it back, so a
+    user running the full analytics suite pays the pair self-join once,
+    not five times. Content-keyed like the e06 IVF cache (path + mtime +
+    size of the deriving tables), so regenerated testdata misses the
+    cache instead of serving stale pairs; evicted blocks just recompute."""
     key = [spark.sparkContext.applicationId, os.path.abspath(sf_dir)]
     for t in ("orders", "lineitem"):
         st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
         key.append(f"{st.st_mtime_ns}:{st.st_size}")
     k = tuple(key)
     if k not in _COUSE_CACHE:
+        from pyspark.storagelevel import StorageLevel
+
         edges = TG.derive_edges(spark, sf_dir)
         pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
             F.col("shared_count") >= 2
         )
-        _COUSE_CACHE[k] = pairs.localCheckpoint(eager=True)
+        _COUSE_CACHE[k] = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     return _COUSE_CACHE[k]
 
 
@@ -650,6 +656,19 @@ def t15_pii_redaction(spark, sf_dir):
     )
 
 
+def t16_bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval (operators/text_search.py): top-20 docs for a
+    3-term query — the retrieval baseline before embeddings, and the
+    lexical half of hybrid search. Pure Catalyst: tokenize+explode+term
+    filter fuse into the scan; corpus stats and df are tiny broadcast
+    dims; the corpus itself is never shuffled whole. Deterministic top-k
+    (round-6 scores, doc-id tie-break) → full DuckDB oracle."""
+    from research_knowledge_graph_spark.operators.text_search import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "hash", "vector"], limit=20)
+
+
 def e06_knn_ivf_indexed(spark, sf_dir):
     """Persisted IVF index end-to-end (the 10⁹-vector serving shape): build
     the cell-partitioned inverted file, then answer the e01 query set
@@ -882,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_token_budget_sample": t13_token_budget_sample,
         "t14_quality_floor": t14_quality_floor,
         "t15_pii_redaction": t15_pii_redaction,
+        "t16_bm25_search": t16_bm25_search,
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
@@ -1407,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored JOIN thr USING (source)
             WHERE score6 > floor6
         """,
+        "t16_bm25_search": bm25_sql(["spark", "hash", "vector"]),
         "t15_pii_redaction": """
             WITH pii AS (
                 SELECT doc_id,

@@ -192,27 +192,69 @@ def run_pipeline(
         )
         mentions_v = _stage(fuzzy, "mentions_canonical", eager=True)
 
-    # stages 4+5: canonicalize + materialize (nodes partitioned by type —
+    # stages 4+5(+6): canonicalize + materialize (nodes partitioned by type —
     # type filters become partition pruning, reference B-tree on node_type;
     # edges cluster-by-sort instead: the dynamic-partition write tripled
     # stage cost on the 7M-row table)
+    nodes_df = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
+    edges_df = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
+
+    if minimal and cross_link:
+        # write-through-cache commit (round-3 verdict #8): nodes/cross_edges
+        # were the laggard stages in the N-vs-4N table because their wall
+        # time is dominated by snapshot commits through ONE shared disk — a
+        # flat term parallelism can't shrink. Persist nodes/edges LAZILY
+        # and run all THREE stage-6 jobs concurrently: the writes populate
+        # the cache as a side effect (the block manager's per-block lock
+        # dedupes concurrent computation), and the cross-link blocking
+        # self-join (compute-heavy, scales with cores) overlaps the two
+        # commit-bound parquet writes instead of waiting for them. An
+        # eager materialization pass first would serialize the full
+        # compute BEFORE any write — measured +70% pipeline wall time.
+        # cross_link consumes the CACHED logical tables —
+        # content-identical to the committed read-back (deterministic
+        # ids), pinned by the pipeline E2E tests.
+        nodes_df = nodes_df.persist(StorageLevel.MEMORY_AND_DISK)
+        edges_df = edges_df.persist(StorageLevel.MEMORY_AND_DISK)
+        _cached.extend([nodes_df, edges_df])
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_nodes = ex.submit(
+                _timed, "nodes", io.write_stage, nodes_df, "nodes", fp, ["node_type"]
+            )
+            f_edges = ex.submit(
+                _timed, "edges", io.write_stage, edges_df, "edges", fp, None, ["edge_type"]
+            )
+            f_cross = ex.submit(
+                _timed, "cross_edges", io.write_stage,
+                L.cross_link(nodes_df, edges_df, max_block_degree), "cross_edges", fp,
+            )
+            nodes, edges = f_nodes.result(), f_edges.result()
+            f_cross.result()
+        edges_all = _timed(
+            "edges_all", io.commit_union, "edges_all", ["edges", "cross_edges"], fp
+        )
+        io.flush_metrics()
+        for df in _cached:
+            df.unpersist()
+        return PipelineResult(
+            nodes=nodes, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
+        )
+
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_nodes = ex.submit(
-            _timed, "nodes", io.write_stage,
-            L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v)),
-            "nodes", fp, ["node_type"],
+            _timed, "nodes", io.write_stage, nodes_df, "nodes", fp, ["node_type"],
         )
         f_edges = ex.submit(
-            _timed, "edges", io.write_stage,
-            L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture")),
-            "edges", fp, None, ["edge_type"],
+            _timed, "edges", io.write_stage, edges_df, "edges", fp, None, ["edge_type"],
         )
         nodes, edges = f_nodes.result(), f_edges.result()
 
     # stage 6: cross-document linking. The final edge table is a zero-copy
     # union commit (Iceberg-append semantics): rewriting all intra-doc edges
     # just to co-locate the cross edges would be the pipeline's largest IO
-    # cost at scale, for no query benefit.
+    # cost at scale, for no query benefit. Full mode keeps the committed
+    # read-back as cross_link's input — the resume contract (a restart
+    # recomputes nothing before the last snapshot).
     if cross_link:
         _timed(
             "cross_edges", io.write_stage,
