@@ -718,6 +718,51 @@ def e06_knn_ivf_indexed(spark, sf_dir):
     )
 
 
+def e07_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid search (operators/hybrid.py): BM25 lexical top-50 (t16's
+    query) fused with the exact cosine top-50 for query vector 0 by
+    reciprocal-rank fusion, score = Σ 1/(60+rank). Rank arithmetic only —
+    no cross-retriever score calibration; the fusion itself is a union +
+    hash-agg over ≤100 rows no matter the corpus size."""
+    from research_knowledge_graph_spark.operators.hybrid import rrf_fuse
+    from research_knowledge_graph_spark.operators.text_search import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, ["spark", "hash", "vector"], limit=50).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = S.knn_bruteforce(e, q, k=50).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex.select("doc_id", "rank"), sem], limit=20)
+
+
+def v06_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (operators/temporal.py, direction='forward'):
+    for each error event, the same user's NEXT purchase at or after it —
+    next-event attribution, the mirror of v04. Same one-shuffle
+    union-and-carry plan walking time reversed; oracle is DuckDB's native
+    ASOF JOIN with the inequality flipped."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("error_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+    )
+    return asof_join(
+        errors, purchases, ["user_id"], "error_us", "purchase_us",
+        ["purchase_id", "purchase_us"], prefix="", direction="forward",
+    ).select("user_id", "error_id", "error_us", "purchase_id", "purchase_us")
+
+
 def t08_chunk_stats(spark, sf_dir):
     """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF —
     iterative per-document algorithm, not ANSI-SQL-expressible: rows-only
@@ -909,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v03_sessionize": v03_sessionize,
         "v04_asof_attribution": v04_asof_attribution,
         "v05_range_join_errors": v05_range_join_errors,
+        "v06_asof_forward": v06_asof_forward,
+        "e07_hybrid_search_rrf": e07_hybrid_search_rrf,
     }
 
 
@@ -1508,6 +1555,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us
             FROM p ASOF JOIN c
               ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+        """,
+        "v06_asof_forward": """
+            WITH e AS (
+                SELECT user_id, event_id AS error_id, epoch_us(ts) AS error_us
+                FROM events WHERE event_type = 'error'
+            ),
+            p AS (
+                SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.user_id, e.error_id, e.error_us, p.purchase_id, p.purchase_us
+            FROM e ASOF JOIN p
+              ON e.user_id = p.user_id AND e.error_us <= p.purchase_us
+        """,
+        "e07_hybrid_search_rrf": f"""
+            WITH lex AS (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                FROM ({bm25_sql(["spark", "hash", "vector"], limit=50)})
+            ),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            dd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+            s AS (
+                SELECT vec_id AS doc_id, round({cos_qd}, 9) AS s9
+                FROM q CROSS JOIN dd WHERE vec_id <> 0
+            ),
+            semr AS (
+                SELECT doc_id, row_number() OVER (ORDER BY s9 DESC, doc_id) AS rank
+                FROM s
+            ),
+            u AS (
+                SELECT doc_id, rank FROM lex
+                UNION ALL SELECT doc_id, rank FROM semr WHERE rank <= 50
+            )
+            SELECT doc_id,
+                   round(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 9) AS rrf_score,
+                   count(*) AS n_lists
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
         """,
         "v05_range_join_errors": """
             WITH p AS (

@@ -70,14 +70,19 @@ def asof_join(
     right_cols: list[str],
     prefix: str = "r_",
     split_by: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` (inclusive) on the same ``on`` key; left rows
     with no prior right row are dropped (inner as-of, matching DuckDB's
-    ``ASOF JOIN``). ``right_cols`` are the right-side columns to carry,
-    emitted as ``{prefix}{col}``. NULL join keys never match (standard
-    equi-join semantics — a window partition would otherwise group NULL
-    keys together), so null-keyed rows are filtered from both sides.
+    ``ASOF JOIN``). ``direction="forward"`` flips the match: the EARLIEST
+    right row with ``right_ts >= left_ts`` (next-event attribution — "the
+    next purchase after this error"); the window simply walks time
+    reversed, same single-shuffle plan. ``right_cols`` are the right-side
+    columns to carry, emitted as ``{prefix}{col}``. NULL join keys never
+    match (standard equi-join semantics — a window partition would
+    otherwise group NULL keys together), so null-keyed rows are filtered
+    from both sides.
 
     Tie-break: when several right rows share (key, right_ts), the one with
     the LARGEST payload struct wins, deterministically across runs and
@@ -95,11 +100,14 @@ def asof_join(
     unsplit form — an as-of match never looks past the most recent prior
     right row. Requires timestamp(-castable) ``_ts`` columns; costs one
     extra aggregate + one tiny window over the (key, day) spine."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    fwd = direction == "forward"
     scratch = {"_ts", "_rp", "_isr", "_m"}
     if split_by is not None:
         if split_by != "day":
             raise ValueError(f"split_by must be None or 'day', got {split_by!r}")
-        scratch |= {"_day", "_syn", "_lastrp", "_carry"}
+        scratch |= {"_day", "_syn", "_lastrp", "_carry", "_rn"}
     _guard_columns(left, scratch, "asof_join left input")
     _guard_columns(right, scratch, "asof_join right input")
     _guard_columns(
@@ -128,29 +136,38 @@ def asof_join(
     )
     u = l.unionByName(r)
     rp_orderable = _orderable(r.schema["_rp"].dataType)
-    # right before left at equal _ts ⇒ an exact-tie right row IS visible;
-    # tied right rows break by the payload struct (largest wins) so the
-    # match is a pure function of the data, not of partitioning — maps are
-    # unorderable, so such payloads keep engine order (see docstring)
-    order_cols = [F.col("_ts").asc(), F.col("_isr").desc()]
+    # time runs forward (backward match) or reversed (forward match); in
+    # either orientation: right before left at equal _ts ⇒ an exact-tie
+    # right row IS visible; tied right rows break by the payload struct
+    # (largest wins) so the match is a pure function of the data, not of
+    # partitioning — maps are unorderable, so such payloads keep engine
+    # order (see docstring)
+    _tdir = (lambda c: c.desc()) if fwd else (lambda c: c.asc())
+    order_cols = [_tdir(F.col("_ts")), F.col("_isr").desc()]
     if split_by is None:
         part_cols = list(on)
     else:
         ts_type = r.schema["_ts"].dataType
         day = F.date_trunc("day", F.col("_ts").cast("timestamp"))
         u = u.withColumn("_day", day).withColumn("_syn", F.lit(1))
-        # per-(key, day) last right payload, forward-filled along the tiny
+        # per-(key, day) boundary right payload (last of the day backward,
+        # first of the day forward; ties to the largest payload — the same
+        # pick the main window makes), forward-filled along the tiny
         # (key, day) spine: the carry-in each day's window needs
-        rd = u.filter(F.col("_isr") == 1).groupBy(*on, "_day").agg(
-            F.max_by(
-                "_rp",
-                F.struct("_ts", "_rp") if rp_orderable else F.col("_ts"),
-            ).alias("_lastrp")
+        rd_order = [F.col("_ts").asc() if fwd else F.col("_ts").desc()]
+        if rp_orderable:
+            rd_order.append(F.col("_rp").desc())
+        wrd = Window.partitionBy(*on, "_day").orderBy(*rd_order)
+        rd = (
+            u.filter(F.col("_isr") == 1)
+            .withColumn("_rn", F.row_number().over(wrd))
+            .filter(F.col("_rn") == 1)
+            .select(*on, "_day", F.col("_rp").alias("_lastrp"))
         )
         spine = u.select(*on, "_day").distinct()
         wd = (
             Window.partitionBy(*on)
-            .orderBy("_day")
+            .orderBy(_tdir(F.col("_day")))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carried = (
@@ -158,9 +175,16 @@ def asof_join(
             .withColumn("_carry", F.last("_lastrp", ignorenulls=True).over(wd))
             .filter(F.col("_carry").isNotNull())
         )
+        # the synthetic carry-in sorts before every real row of its day in
+        # the walk orientation: at the day's start boundary (backward) or
+        # the next day's start boundary (forward; a real row exactly there
+        # belongs to the NEXT day partition, so no collision)
+        syn_ts = (
+            (F.col("_day") + F.expr("INTERVAL 1 DAY")) if fwd else F.col("_day")
+        ).cast(ts_type)
         synth = carried.select(
             *on,
-            F.col("_day").cast(ts_type).alias("_ts"),
+            syn_ts.alias("_ts"),
             F.col("_carry").alias("_rp"),
             F.lit(1).alias("_isr"),
             *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
@@ -168,8 +192,8 @@ def asof_join(
             F.lit(0).alias("_syn"),
         )
         u = u.unionByName(synth)
-        # a real right row exactly at day start outranks the carry-in
-        # (it is the more recent observation at that instant)
+        # a real right row exactly at the boundary outranks the carry-in
+        # (it is the nearer observation at that instant)
         order_cols.append(F.col("_syn").asc())
         part_cols = [*on, "_day"]
     if rp_orderable:

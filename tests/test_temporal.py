@@ -237,3 +237,66 @@ def test_asof_split_by_day_parity_and_plan(spark):
     # plan contract: the big window partitions by (k, _day)
     plan = split_df._jdf.queryExecution().executedPlan().toString()
     assert "_day" in plan, plan[:2000]
+
+
+def test_asof_forward_matches_naive(spark):
+    """direction='forward': for each left row the EARLIEST right row at or
+    after it — python-twin pinned on random data."""
+    import random
+
+    rnd = random.Random(29)
+    lrows = [(rnd.randrange(5), i, rnd.randrange(1000)) for i in range(200)]
+    seen, rrows = set(), []
+    for i in range(200):
+        k, rts = rnd.randrange(5), rnd.randrange(1000)
+        while (k, rts) in seen:
+            rts = rnd.randrange(1000)
+        seen.add((k, rts))
+        rrows.append((k, 1000 + i, rts))
+    left = spark.createDataFrame(lrows, "k long, lid long, lts long")
+    right = spark.createDataFrame(rrows, "k long, rid long, rts long")
+    got = {
+        (r.lid, r.r_rid)
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["rid"], direction="forward"
+        ).collect()
+    }
+    by_key = {}
+    for k, rid, rts in rrows:
+        by_key.setdefault(k, []).append((rts, rid))
+    expected = set()
+    for k, lid, lts in lrows:
+        cands = [(rts, rid) for rts, rid in by_key.get(k, []) if rts >= lts]
+        if cands:
+            expected.add((lid, min(cands)[1]))
+    assert got == expected and len(expected) > 100
+
+
+def test_asof_forward_split_parity(spark):
+    """forward + split_by='day' returns the identical match set (carry-in
+    from the nearest LATER day)."""
+    import random
+
+    rnd = random.Random(37)
+    base = 1_700_000_000
+    lrows = [("u%d" % (i % 5), i, base + rnd.randrange(6 * 86400)) for i in range(300)]
+    rrows = [("u%d" % (i % 5), 1000 + i, base + rnd.randrange(6 * 86400)) for i in range(200)]
+    left = spark.createDataFrame(lrows, "k string, lid long, lts long")
+    right = spark.createDataFrame(rrows, "k string, rid long, rts long")
+    plain = {
+        (r.lid, r.r_rid)
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["rid"], direction="forward").collect()
+    }
+    split = {
+        (r.lid, r.r_rid)
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["rid"],
+            direction="forward", split_by="day",
+        ).collect()
+    }
+    assert split == plain and len(plain) > 200
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "lts", "rts", ["rid"], direction="sideways")
