@@ -38,7 +38,9 @@ def label_propagation(
     after ``max_iter`` synchronous rounds; community ids are node ids (each
     node's initial label). Isolated nodes don't appear (no edges = no
     neighbors = label never changes). With ``weight_col``, each neighbor's
-    vote counts its (integer) edge weight."""
+    vote counts its (integer) edge weight; duplicate (node_a, node_b) rows
+    collapse to their MAX weight — a simple weighted graph, mirroring the
+    unweighted path's distinct() so both modes see one edge per pair."""
     wsel = [F.col(weight_col).alias("w")] if weight_col else []
     e = (
         pairs.select(F.col("node_a").alias("u"), F.col("node_b").alias("v"), *wsel)
@@ -48,8 +50,11 @@ def label_propagation(
             )
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    if weight_col:
+        e = e.groupBy("u", "v").agg(F.max("w").alias("w"))
+    else:
+        e = e.distinct()
     labels = e.select(F.col("u").alias("node_id")).distinct().withColumn(
         "community", F.col("node_id")
     )

@@ -32,8 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from research_knowledge_graph_spark.functions.guards import (
+    guard_columns as _guard_columns,
+)
 from research_knowledge_graph_spark.functions.hashing import portable_hash64
-from research_knowledge_graph_spark.operators.temporal import _guard_columns
 
 # denominator for rate arithmetic: rates are exact multiples of 1e-6
 _M = 1_000_000

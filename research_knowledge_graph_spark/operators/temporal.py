@@ -35,16 +35,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _guard_columns(df: DataFrame, reserved: set[str], where: str) -> None:
-    """Public operators use internal scratch columns; an input that already
-    carries one of those names would produce ambiguous references deep in
-    the plan — fail fast with the real cause instead."""
-    clash = reserved.intersection(df.columns)
-    if clash:
-        raise ValueError(
-            f"{where}: column name(s) {sorted(clash)} are reserved by this "
-            "operator — rename them before calling"
-        )
+from research_knowledge_graph_spark.functions.guards import (
+    guard_columns as _guard_columns,
+)
 
 
 def _orderable(dt) -> bool:
@@ -98,7 +91,9 @@ def asof_join(
     holding the last right payload of the nearest earlier day, computed on
     a tiny (key, day)-grained table, so matches are IDENTICAL to the
     unsplit form — an as-of match never looks past the most recent prior
-    right row. Requires timestamp(-castable) ``_ts`` columns; costs one
+    right row. Requires timestamp/date ``_ts`` columns — an epoch NUMBER
+    is rejected fail-fast (cast-from-long reads seconds, so a micros
+    column would silently collapse every row into one day); costs one
     extra aggregate + one tiny window over the (key, day) spine."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -147,7 +142,18 @@ def asof_join(
     if split_by is None:
         part_cols = list(on)
     else:
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
         ts_type = r.schema["_ts"].dataType
+        if not isinstance(ts_type, (DateType, TimestampNTZType, TimestampType)):
+            # an epoch-micros LONG cast to timestamp reads as SECONDS:
+            # every row lands in one saturated _day and the split silently
+            # no-ops (or throws under ANSI) — refuse instead
+            raise ValueError(
+                "asof_join(split_by='day') requires timestamp/date ts "
+                f"columns, got {ts_type.simpleString()} — convert epoch "
+                "numbers with to_timestamp/timestamp_micros first"
+            )
         day = F.date_trunc("day", F.col("_ts").cast("timestamp"))
         u = u.withColumn("_day", day).withColumn("_syn", F.lit(1))
         # per-(key, day) boundary right payload (last of the day backward,

@@ -102,8 +102,10 @@ def bm25_sql(
     limit: int = 20,
 ) -> str:
     """The DuckDB twin of :func:`bm25_scores` — identical tokenization,
-    formula, rounding, and ordering (the driver oracle)."""
-    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    formula, rounding, and ordering (the driver oracle). Terms are
+    SQL-escaped (doubled quotes) — an apostrophe must not terminate the
+    literal."""
+    terms = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
     tk = BM25_TOKENS_SQL_TEMPLATE.format(col=text_col)
     return f"""
         WITH toks AS (SELECT {id_col} AS doc_id, {tk} AS tk FROM {table}),

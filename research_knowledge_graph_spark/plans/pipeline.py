@@ -217,25 +217,47 @@ def run_pipeline(
         nodes_df = nodes_df.persist(StorageLevel.MEMORY_AND_DISK)
         edges_df = edges_df.persist(StorageLevel.MEMORY_AND_DISK)
         _cached.extend([nodes_df, edges_df])
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            f_nodes = ex.submit(
-                _timed, "nodes", io.write_stage, nodes_df, "nodes", fp, ["node_type"]
+        try:
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                futs = {
+                    "nodes": ex.submit(
+                        _timed, "nodes", io.write_stage,
+                        nodes_df, "nodes", fp, ["node_type"],
+                    ),
+                    "edges": ex.submit(
+                        _timed, "edges", io.write_stage,
+                        edges_df, "edges", fp, None, ["edge_type"],
+                    ),
+                    "cross_edges": ex.submit(
+                        _timed, "cross_edges", io.write_stage,
+                        L.cross_link(nodes_df, edges_df, max_block_degree),
+                        "cross_edges", fp,
+                    ),
+                }
+                # gather ALL failures (a commit error must not mask the
+                # likelier compute error in the cross-link job) and raise
+                # the first with the rest attached
+                results, errs = {}, []
+                for name, f in futs.items():
+                    try:
+                        results[name] = f.result()
+                    except Exception as exc:  # noqa: BLE001 — re-raised below
+                        errs.append((name, exc))
+                if errs:
+                    first = errs[0][1]
+                    for name, exc in errs[1:]:
+                        first.add_note(f"also failed: stage {name}: {exc!r}")
+                    raise first
+            nodes, edges = results["nodes"], results["edges"]
+            edges_all = _timed(
+                "edges_all", io.commit_union, "edges_all", ["edges", "cross_edges"], fp
             )
-            f_edges = ex.submit(
-                _timed, "edges", io.write_stage, edges_df, "edges", fp, None, ["edge_type"]
-            )
-            f_cross = ex.submit(
-                _timed, "cross_edges", io.write_stage,
-                L.cross_link(nodes_df, edges_df, max_block_degree), "cross_edges", fp,
-            )
-            nodes, edges = f_nodes.result(), f_edges.result()
-            f_cross.result()
-        edges_all = _timed(
-            "edges_all", io.commit_union, "edges_all", ["edges", "cross_edges"], fp
-        )
-        io.flush_metrics()
-        for df in _cached:
-            df.unpersist()
+            io.flush_metrics()
+        finally:
+            # a failure must not leave two full-table persists pinned in a
+            # long-lived session (streaming/incremental services reuse one)
+            for df in _cached:
+                df.unpersist()
         return PipelineResult(
             nodes=nodes, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
         )

@@ -303,9 +303,12 @@ class TableIO:
         Serialization: holds the table's append lock for the whole rewrite
         + sweep, so a direct ``compact()`` call cannot race a concurrent
         ``append_rows`` to the same table (the sweep would otherwise delete
-        a delta written but not yet recorded); ``write_stage`` snapshots
-        mid-commit are pinned via the in-flight set instead (stage writes
-        don't take the table lock)."""
+        a delta written but not yet recorded). ``write_stage`` doesn't take
+        the table lock, so two defenses cover it: snapshots mid-commit are
+        pinned via the in-flight set, and a stage commit that lands on the
+        SAME name while the rewrite runs makes the compaction abandon
+        itself (stale-paths check under the manifest lock) instead of
+        clobbering the newer commit."""
         with self._table_lock(name):
             t = self._load_manifest()["tables"].get(name)
             if not t:
@@ -314,6 +317,7 @@ class TableIO:
                 )
             if "paths" not in t or len(t["paths"]) <= 1:
                 return self.read(name)
+            orig_paths = list(t["paths"])
             df = self.read(name)
             snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
             df.write.mode("overwrite").parquet(snap)
@@ -325,6 +329,19 @@ class TableIO:
             self.flush_metrics()
             with self._lock:
                 manifest = self._load_manifest()
+                cur = manifest["tables"].get(name) or {}
+                cur_paths = cur.get("paths") or (
+                    [cur["path"]] if cur.get("path") else []
+                )
+                if cur_paths != orig_paths:
+                    # a concurrent write_stage to the SAME name committed
+                    # while we rewrote (stage writes skip the table lock by
+                    # design): our rewrite is stale — abandon it rather than
+                    # clobber the newer commit and sweep its snapshot
+                    import shutil
+
+                    shutil.rmtree(snap, ignore_errors=True)
+                    return self.read(name)
                 manifest["tables"][name] = {
                     "paths": [snap],
                     "fingerprint": fingerprint,

@@ -63,13 +63,14 @@ def test_lpa_matches_python_twin_random(spark):
 
 
 def _python_lpa_weighted(edges, max_iter):
-    """edges: (a, b, w) undirected; vote = sum of edge weights."""
+    """edges: (a, b, w) undirected; vote = sum of edge weights; duplicate
+    (a, b) rows collapse to their max weight (the operator's contract)."""
     adj = {}
     for a, b, w in edges:
         if a == b:
             continue
-        adj.setdefault(a, {})[b] = w
-        adj.setdefault(b, {})[a] = w
+        adj.setdefault(a, {})[b] = max(adj.get(a, {}).get(b, w), w)
+        adj.setdefault(b, {})[a] = max(adj.get(b, {}).get(a, w), w)
     labels = {n: n for n in adj}
     for _ in range(max_iter):
         new = {}
@@ -122,3 +123,18 @@ def test_weighted_lpa_diverges_from_unweighted(spark):
     assert got["x"] != plain["x"], (got, plain)
     assert got == _python_lpa_weighted(edges, 2)
     assert plain == _python_lpa([(a, b) for a, b, _ in edges], 2)
+
+
+def test_weighted_lpa_multi_edge_collapses_to_max(spark):
+    """Duplicate (a, b) rows with different weights are ONE edge at the max
+    weight — consistent with the unweighted path's distinct(), and matching
+    the python twin's contract (review round-4 finding)."""
+    edges = [("a", "x", 5), ("a", "x", 2), ("b", "x", 4), ("b", "x", 4)]
+    df = spark.createDataFrame(edges, "node_a string, node_b string, shared_count long")
+    got = {
+        r.node_id: r.community
+        for r in label_propagation(df, 1, weight_col="shared_count").collect()
+    }
+    # x's votes: a->5 (not 7), b->4 — a wins; with sum-of-dups b would get 8
+    assert got["x"] == "a"
+    assert got == _python_lpa_weighted(edges, 1)

@@ -221,8 +221,12 @@ def test_asof_split_by_day_parity_and_plan(spark):
         ("bot" if i % 3 else f"u{i % 7}", 1000 + i, base + rnd.randrange(6 * 86400))
         for i in range(300)
     ]
-    left = spark.createDataFrame(lrows, "k string, lid long, lts long")
-    right = spark.createDataFrame(rrows, "k string, rid long, rts long")
+    left = spark.createDataFrame(lrows, "k string, lid long, lts long").withColumn(
+        "lts", F.timestamp_seconds("lts")
+    )
+    right = spark.createDataFrame(rrows, "k string, rid long, rts long").withColumn(
+        "rts", F.timestamp_seconds("rts")
+    )
 
     plain = {
         (r.lid, r.r_rid)
@@ -281,8 +285,12 @@ def test_asof_forward_split_parity(spark):
     base = 1_700_000_000
     lrows = [("u%d" % (i % 5), i, base + rnd.randrange(6 * 86400)) for i in range(300)]
     rrows = [("u%d" % (i % 5), 1000 + i, base + rnd.randrange(6 * 86400)) for i in range(200)]
-    left = spark.createDataFrame(lrows, "k string, lid long, lts long")
-    right = spark.createDataFrame(rrows, "k string, rid long, rts long")
+    left = spark.createDataFrame(lrows, "k string, lid long, lts long").withColumn(
+        "lts", F.timestamp_seconds("lts")
+    )
+    right = spark.createDataFrame(rrows, "k string, rid long, rts long").withColumn(
+        "rts", F.timestamp_seconds("rts")
+    )
     plain = {
         (r.lid, r.r_rid)
         for r in asof_join(left, right, ["k"], "lts", "rts", ["rid"], direction="forward").collect()

@@ -79,3 +79,10 @@ def test_bm25_plan_contract(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
     with pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_bm25_sql_escapes_quotes():
+    from research_knowledge_graph_spark.operators.text_search import bm25_sql
+
+    s = bm25_sql(["o'brien", "plain"])
+    assert "'o''brien'" in s and "'plain'" in s
