@@ -669,6 +669,58 @@ def t16_bm25_search(spark, sf_dir):
     return bm25_scores(d, ["spark", "hash", "vector"], limit=20)
 
 
+def t17_bm25_indexed(spark, sf_dir):
+    """BM25 served from the PERSISTED inverted index
+    (operators/text_search.py::build_text_index / bm25_indexed) — the
+    A4-postings serving path, mirroring e06's persisted-IVF story: the
+    postings scan prunes to the query terms' hash buckets
+    (PartitionFilters plan pin in tests/test_text_index.py); results are
+    EXACTLY the scan-form t16 output, so the oracle is the same bm25 SQL.
+    Index cached content-keyed (path + mtime + size) like e06."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from research_knowledge_graph_spark.operators.text_search import (
+        bm25_indexed,
+        build_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"tidx_t17_{key}")
+    if not os.path.isdir(path):
+        scratch = f"{path}.build.{_uuid.uuid4().hex[:8]}"
+        build_text_index(d, scratch)
+        try:
+            os.rename(scratch, path)
+        except OSError:  # another caller won the race; use theirs
+            shutil.rmtree(scratch, ignore_errors=True)
+    return bm25_indexed(spark, path, ["spark", "hash", "vector"], limit=20)
+
+
+def g22_community_modularity(spark, sf_dir):
+    """Newman modularity decomposition of g20's LPA communities over the
+    co-usage graph (operators/communities.py::modularity): per community
+    Q_c = e_c/m − (d_c/(2m))², Σ Q_c = the assignment's quality score.
+    All-integer aggregates until the final division, so the oracle
+    composes the modularity CTEs onto the same unrolled LPA cascade that
+    checks g20/g21 — fully hash-checked."""
+    from research_knowledge_graph_spark.operators.communities import (
+        label_propagation,
+        modularity,
+    )
+
+    pairs = _couse_pairs(spark, sf_dir)
+    labels = label_propagation(pairs.select("node_a", "node_b"), max_iter=5)
+    return modularity(pairs.select("node_a", "node_b"), labels)
+
+
 def e06_knn_ivf_indexed(spark, sf_dir):
     """Persisted IVF index end-to-end (the 10⁹-vector serving shape): build
     the cell-partitioned inverted file, then answer the e01 query set
@@ -947,6 +999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_quality_floor": t14_quality_floor,
         "t15_pii_redaction": t15_pii_redaction,
         "t16_bm25_search": t16_bm25_search,
+        "t17_bm25_indexed": t17_bm25_indexed,
+        "g22_community_modularity": g22_community_modularity,
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "v01_hourly_rollup": v01_hourly_rollup,
@@ -982,13 +1036,14 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-def _lpa_sql(weighted: bool, iters: int = 5) -> str:
-    """Synchronous LPA over the co-usage graph as an UNROLLED CTE cascade
-    (VERDICT round-3 #2): votes are integer counts / sums and the arg-max
-    tie-break (cnt DESC, label ASC) is exact, so — unlike PageRank's float
-    accumulation — a fixed iteration count is bit-reproducible across
-    engines. One (join → group → row_number) block per round, matching
-    operators/communities.py::label_propagation round for round."""
+def _lpa_parts(weighted: bool, iters: int = 5) -> list[str]:
+    """CTE blocks for synchronous LPA over the co-usage graph as an
+    UNROLLED cascade (VERDICT round-3 #2): votes are integer counts / sums
+    and the arg-max tie-break (cnt DESC, label ASC) is exact, so — unlike
+    PageRank's float accumulation — a fixed iteration count is
+    bit-reproducible across engines. One (join → group → row_number) block
+    per round, matching operators/communities.py::label_propagation round
+    for round."""
     vote = "sum(e.w)" if weighted else "count(*)"
     parts = [
         "pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt"
@@ -1009,10 +1064,45 @@ def _lpa_sql(weighted: bool, iters: int = 5) -> str:
             f"SELECT node_id, nl, row_number() OVER (PARTITION BY node_id"
             f" ORDER BY cnt DESC, nl ASC) AS rn FROM n{i}) WHERE rn = 1)"
         )
+    return parts
+
+
+def _lpa_sql(weighted: bool, iters: int = 5) -> str:
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(_lpa_parts(weighted, iters))
+        + f" SELECT node_id, community FROM r{iters}"
+    )
+
+
+def _modularity_sql(iters: int = 5) -> str:
+    """Newman modularity per community, composed onto the LPA cascade —
+    g22's oracle (all-integer aggregates, one final double division;
+    NOTE DuckDB '^' is XOR, so the square is spelled as a product)."""
+    d2m = "(CAST(dc.degree_sum AS DOUBLE) / (2 * mm.m))"
+    parts = _lpa_parts(False, iters) + [
+        f"lab AS (SELECT node_id, community FROM r{iters})",
+        "mm AS (SELECT count(*) AS m FROM co)",
+        "ic AS (SELECT la.community, count(*) AS internal_edges"
+        " FROM co JOIN lab la ON la.node_id = co.u"
+        " JOIN lab lb ON lb.node_id = co.v"
+        " WHERE la.community = lb.community GROUP BY la.community)",
+        "degs AS (SELECT node_id, count(*) AS degree FROM ("
+        "SELECT u AS node_id FROM co UNION ALL SELECT v FROM co"
+        ") GROUP BY node_id)",
+        "dc AS (SELECT l.community, count(*) AS n_nodes,"
+        " sum(d.degree) AS degree_sum"
+        " FROM degs d JOIN lab l USING (node_id) GROUP BY l.community)",
+    ]
     return (
         f"WITH {GRAPH_CTE}, "
         + ", ".join(parts)
-        + f" SELECT node_id, community FROM r{iters}"
+        + " SELECT dc.community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,"
+        " CAST(COALESCE(ic.internal_edges, 0) AS BIGINT) AS internal_edges,"
+        " CAST(dc.degree_sum AS BIGINT) AS degree_sum,"
+        " round(CAST(COALESCE(ic.internal_edges, 0) AS DOUBLE) / mm.m"
+        f" - {d2m} * {d2m}, 9) AS modularity_term"
+        " FROM dc LEFT JOIN ic USING (community) CROSS JOIN mm"
     )
 
 
@@ -1381,6 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g20_label_propagation": _lpa_sql(weighted=False),
         "g21_weighted_label_propagation": _lpa_sql(weighted=True),
+        "g22_community_modularity": _modularity_sql(),
+        "t17_bm25_indexed": bm25_sql(["spark", "hash", "vector"]),
         "g17_shortest_paths": f"""
             WITH RECURSIVE {GRAPH_CTE},
             g AS (

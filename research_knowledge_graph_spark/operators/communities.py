@@ -83,3 +83,76 @@ def label_propagation(
         )
         labels = new_labels.localCheckpoint(eager=True)
     return labels
+
+
+def modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community decomposition of Newman's modularity over the
+    undirected simple graph of ``pairs``:
+
+        Q_c = e_c / m  -  (d_c / (2m))^2        (Q = sum over communities)
+
+    where e_c = edges inside community c, d_c = total degree of c's nodes,
+    m = |edges|. ``labels``: (node_id, community) — e.g.
+    :func:`label_propagation`'s output — making this the quality score for
+    a community assignment (how much denser inside communities than a
+    random degree-preserving graph; Q=0.5 is the two-clique optimum).
+
+    Returns (community, n_nodes, internal_edges, degree_sum,
+    modularity_term), term rounded to 9 decimals. Everything is integer
+    aggregation until the final division: two joins of the label dim onto
+    the edge list + hash-aggs; m rides a 1-row broadcast. Fully
+    SQL-expressible, so the driver oracle (g22) composes it onto the same
+    unrolled LPA cascade that checks g20/g21."""
+    und = (
+        pairs.select(
+            F.least("node_a", "node_b").alias("u"),
+            F.greatest("node_a", "node_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select("node_id", "community")
+    m1 = und.agg(F.count(F.lit(1)).alias("m"))
+    ic = (
+        und.join(
+            lab.select(F.col("node_id").alias("u"), F.col("community").alias("cu")),
+            "u",
+        )
+        .join(
+            lab.select(F.col("node_id").alias("v"), F.col("community").alias("cv")),
+            "v",
+        )
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node_id"))
+        .unionByName(und.select(F.col("v").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    dc = (
+        deg.join(lab, "node_id")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("degree").alias("degree_sum"),
+        )
+    )
+    return (
+        dc.join(ic, "community", "left")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("internal_edges", F.lit(0)).cast("double") / F.col("m")
+                - (F.col("degree_sum").cast("double") / (2.0 * F.col("m")))
+                * (F.col("degree_sum").cast("double") / (2.0 * F.col("m"))),
+                9,
+            ).alias("modularity_term"),
+        )
+    )

@@ -34,6 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from research_knowledge_graph_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_py,
+)
+
 # whitespace tokens over lower(text) — byte-compatible with the DuckDB twin
 BM25_TOKENS_SQL_TEMPLATE = (
     "list_filter(string_split_regex(lower({col}), '\\s+'), w -> w != '')"
@@ -73,6 +78,21 @@ def bm25_scores(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_score(tf, dl, stats, k1, b, limit)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k1: float,
+    b: float,
+    limit: int,
+) -> DataFrame:
+    """Shared scoring tail of the scan and indexed paths: (doc_id, term,
+    tf) + doc lengths + 1-row corpus stats → ordered top-k. One scoring
+    implementation ⇒ the served results are the scan results by
+    construction."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -80,7 +100,7 @@ def bm25_scores(
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     scored = (
         tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
         .join(F.broadcast(dfreq), "term")
         .withColumn("_s", idf * F.col("tf") * (k1 + 1.0) / denom)
     )
@@ -90,6 +110,84 @@ def bm25_scores(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(limit)
     )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the inverted index bm25 serving needs — the A4 postings
+    table with scoring sidecars (the 10¹²-doc serving shape; mirrors the
+    persisted-IVF story of ``operators/ann_ivf.py``):
+
+    - ``postings/``: (term, doc_id, tf), hive-partitioned by
+      ``bucket = portable_hash64(term) % n_buckets`` — a query routes to
+      ≤ |terms| buckets via PARTITION PRUNING (the python-side twin hash
+      computes the same buckets on the driver), so serving never scans
+      the corpus or even the full index;
+    - ``doclen/``: (doc_id, dl) — the per-doc normalization term;
+    - ``stats/``: one row (n_docs, avgdl, n_buckets).
+
+    Build cost is one explode + hash-agg over the corpus — the same work
+    a single scan-form query pays, amortized over every query after."""
+    import os
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), bm25_tokens_col(text_col).alias("_toks")
+    )
+    dl = base.select("doc_id", F.size("_toks").alias("dl")).persist()
+    tf = (
+        base.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
+        )
+    )
+    tf.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
+    dl.unpersist()
+
+
+def bm25_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 20,
+) -> DataFrame:
+    """Serve a BM25 query from a :func:`build_text_index` index: identical
+    results to :func:`bm25_scores` (pinned in tests/test_text_index.py —
+    same scoring tail by construction), but the postings scan reads only
+    the query terms' hash buckets (partition filter, plan-pinned) —
+    near-constant work per query regardless of corpus size."""
+    import os
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    n_buckets = int(stats.select("n_buckets").first()[0])
+    buckets = sorted({portable_hash64_py(t) % n_buckets for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin([int(x) for x in buckets]))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf")
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    return _bm25_score(postings, dl, stats, k1, b, limit)
 
 
 def bm25_sql(
