@@ -669,6 +669,36 @@ def t16_bm25_search(spark, sf_dir):
     return bm25_scores(d, ["spark", "hash", "vector"], limit=20)
 
 
+def _cached_index(src: str, prefix: str, params: str, build_fn) -> str:
+    """Content+format-keyed persisted index slot under tempdir, shared by
+    the index-serving entries (e06 IVF, t17 BM25 postings). A persisted
+    index is a pure function of the input table AND the build recipe: the
+    key fingerprints input content (path + mtime + size — regenerated
+    testdata must miss the cache) plus a ``params`` version string (a
+    tokenization/format change must also miss it, or an index left in
+    /tmp by older code would be served stale). Builds land in a scratch
+    dir and atomic-rename into the slot so concurrent callers never see a
+    half-built index; the rename loser adopts the winner's copy."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{params}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    if not os.path.isdir(path):
+        scratch = f"{path}.build.{_uuid.uuid4().hex[:8]}"
+        build_fn(scratch)
+        try:
+            os.rename(scratch, path)
+        except OSError:  # another caller won the race; use theirs
+            shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
 def t17_bm25_indexed(spark, sf_dir):
     """BM25 served from the PERSISTED inverted index
     (operators/text_search.py::build_text_index / bm25_indexed) — the
@@ -676,31 +706,20 @@ def t17_bm25_indexed(spark, sf_dir):
     postings scan prunes to the query terms' hash buckets
     (PartitionFilters plan pin in tests/test_text_index.py); results are
     EXACTLY the scan-form t16 output, so the oracle is the same bm25 SQL.
-    Index cached content-keyed (path + mtime + size) like e06."""
-    import hashlib
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
+    Index cached via the shared content+format-keyed slot (_cached_index,
+    same as e06)."""
     from research_knowledge_graph_spark.operators.text_search import (
         bm25_indexed,
         build_text_index,
     )
 
     d = _t(spark, sf_dir, "documents")
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.sha256(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"tidx_t17_{key}")
-    if not os.path.isdir(path):
-        scratch = f"{path}.build.{_uuid.uuid4().hex[:8]}"
-        build_text_index(d, scratch)
-        try:
-            os.rename(scratch, path)
-        except OSError:  # another caller won the race; use theirs
-            shutil.rmtree(scratch, ignore_errors=True)
+    path = _cached_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        "tidx_t17",
+        "bm25idx:v1:n_buckets=64:tok=ws-lower",
+        lambda scratch: build_text_index(d, scratch),
+    )
     return bm25_indexed(spark, path, ["spark", "hash", "vector"], limit=20)
 
 
@@ -730,38 +749,18 @@ def e06_knn_ivf_indexed(spark, sf_dir):
     on ``cell`` (dynamic partition pruning, plan pinned in
     tests/test_ann_ivf.py). Partial-probe recall is measured separately
     (BASELINE.md §ANN)."""
-    import hashlib
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
     from research_knowledge_graph_spark.operators.ann_ivf import (
         build_ivf_index,
         knn_ivf_indexed,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    # the index is a pure function of the input table — cache it and reuse
-    # (a fresh mkdtemp per call leaked a full copy of the embeddings table
-    # every invocation and rebuilt the index each time). The cache key
-    # fingerprints the input CONTENT (path + parquet mtime + size), not
-    # the path alone: testdata regenerated at the same path must miss the
-    # cache, not silently serve a stale index. Build into a scratch dir,
-    # then atomic-rename into the slot so concurrent callers can't observe
-    # a half-built index.
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.sha256(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"ivf_e06_{key}")
-    if not os.path.isdir(path):
-        scratch = f"{path}.build.{_uuid.uuid4().hex[:8]}"
-        build_ivf_index(e, scratch, k_cells=8)
-        try:
-            os.rename(scratch, path)
-        except OSError:  # another caller won the race; use theirs
-            shutil.rmtree(scratch, ignore_errors=True)
+    path = _cached_index(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_e06",
+        "ivf:v1:k_cells=8",
+        lambda scratch: build_ivf_index(e, scratch, k_cells=8),
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

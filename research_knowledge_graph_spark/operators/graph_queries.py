@@ -112,9 +112,13 @@ def shared_entity_pairs(
 
     Cost containment: only the HOT key set (degree > salt_above — at most
     |rows|/salt_above keys by pigeonhole, in practice the Zipf head) is
-    joined back, via broadcast; cold rows default to one slot without a
-    second full shuffle of the posting table. Measured 2.2× → ~1× query
-    overhead on a corpus with no hot keys vs the exact-degree join."""
+    joined back; cold rows default to one slot without a second full
+    shuffle of the posting table. Measured 2.2× → ~1× query overhead on a
+    corpus with no hot keys vs the exact-degree join. The hot dim is NOT
+    force-broadcast: AQE converts the join to broadcast at runtime when
+    the set is actually small (the normal case), and degrades to a
+    shuffle join on a pathological many-moderately-hot-keys corpus where
+    a forced broadcast would OOM the driver."""
     from research_knowledge_graph_spark.functions.salt import salted_self_join_sides
 
     e = edges
@@ -127,7 +131,7 @@ def shared_entity_pairs(
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") > salt_above)
         )
-        pe_deg = pe.join(F.broadcast(hot), "tgt", "left").withColumn(
+        pe_deg = pe.join(hot, "tgt", "left").withColumn(
             "deg", F.coalesce("deg", F.lit(1))
         )
         sa, sb = salted_self_join_sides(pe_deg, "src", salt_above, max_salts)

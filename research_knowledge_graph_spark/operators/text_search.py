@@ -135,28 +135,33 @@ def build_text_index(
     a single scan-form query pays, amortized over every query after."""
     import os
 
+    # tokenize ONCE: the postings and doclen/stats writes all consume the
+    # cached tokenized frame (without it the corpus pays two full
+    # scan+regex passes — caught in review)
     base = docs.select(
         F.col(id_col).alias("doc_id"), bm25_tokens_col(text_col).alias("_toks")
-    )
-    dl = base.select("doc_id", F.size("_toks").alias("dl")).persist()
-    tf = (
-        base.select("doc_id", F.explode("_toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
+    ).persist()
+    try:
+        tf = (
+            base.select("doc_id", F.explode("_toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
+            )
         )
-    )
-    tf.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "postings")
-    )
-    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
-    dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
-        os.path.join(path, "stats")
-    )
-    dl.unpersist()
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        dl = base.select("doc_id", F.size("_toks").alias("dl"))
+        dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
+            os.path.join(path, "stats")
+        )
+    finally:
+        base.unpersist()
 
 
 def bm25_indexed(
