@@ -192,6 +192,11 @@ def _couse_pairs(spark, sf_dir) -> DataFrame:
     if k not in _COUSE_CACHE:
         from pyspark.storagelevel import StorageLevel
 
+        # evict superseded entries for the same (session, sf_dir): a
+        # regenerated input must not leave the old content-key's persisted
+        # frame pinned in the block manager for the session's lifetime
+        for stale in [x for x in _COUSE_CACHE if x[:2] == k[:2] and x != k]:
+            _COUSE_CACHE.pop(stale).unpersist()
         edges = TG.derive_edges(spark, sf_dir)
         pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
             F.col("shared_count") >= 2
@@ -688,14 +693,32 @@ def _cached_index(src: str, prefix: str, params: str, build_fn) -> str:
     key = hashlib.sha256(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{params}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    tmp = tempfile.gettempdir()
+    path = os.path.join(tmp, f"{prefix}_{key}")
     if not os.path.isdir(path):
         scratch = f"{path}.build.{_uuid.uuid4().hex[:8]}"
         build_fn(scratch)
+        # marker attributing the slot to its source table, so superseded
+        # slots for THIS source can be pruned without touching slots built
+        # from other sf_dirs (which share the prefix and stay warm)
+        with open(os.path.join(scratch, "_SRC"), "w") as fh:
+            fh.write(os.path.abspath(src))
         try:
             os.rename(scratch, path)
         except OSError:  # another caller won the race; use theirs
             shutil.rmtree(scratch, ignore_errors=True)
+        # prune stale slots (same prefix + same source, older content key):
+        # regenerating testdata mid-session must not accumulate orphans
+        for d in os.listdir(tmp):
+            if d.startswith(f"{prefix}_") and d != f"{prefix}_{key}":
+                marker = os.path.join(tmp, d, "_SRC")
+                try:
+                    with open(marker) as fh:
+                        stale_src = fh.read()
+                except OSError:
+                    continue  # pre-marker slot or foreign dir: leave it
+                if stale_src == os.path.abspath(src):
+                    shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
     return path
 
 

@@ -41,6 +41,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 STREAM_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_DOCS", "12000"))
 STREAM_DROPS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_DROPS", "3"))
+STREAM_LARGE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_LARGE_DOCS", "60000"))
+STREAM_LARGE_DROPS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_LARGE_DROPS", "3"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 # headline subset: covers scan-agg, join-topk, window, graph joins,
@@ -157,27 +159,47 @@ def main() -> None:
     # the path is dominated by the same incremental pipeline the batch
     # number repeats; a second full pass would double bench time for
     # little extra signal)
-    sdir = tempfile.mkdtemp(prefix="rkg_bench_stream_")
-    try:
-        inp, graph, ckpt = (os.path.join(sdir, d) for d in ("in", "graph", "ck"))
-        spages = synthesize_pages(
-            spark, STREAM_DOCS, vocab_scale=default_vocab_scale(STREAM_DOCS)
-        )
-        drops = [
-            spages.filter(F.pmod(F.xxhash64("url"), F.lit(STREAM_DROPS)) == i)
-            for i in range(STREAM_DROPS)
-        ]
-        t0 = time.time()
-        for d in drops:
-            d.write.mode("append").parquet(inp)
-            run_streaming_graph_ingest(spark, inp, graph, ckpt)
-        TableIO(spark, graph).read("edges_all").count()
-        stream_sec = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(sdir, ignore_errors=True)
-    timings[f"streaming_ingest_{STREAM_DOCS // 1000}k_docs"] = stream_sec
+    def _stream_bench(n_docs, n_drops):
+        sdir = tempfile.mkdtemp(prefix="rkg_bench_stream_")
+        try:
+            inp, graph, ckpt = (os.path.join(sdir, d) for d in ("in", "graph", "ck"))
+            spages = synthesize_pages(
+                spark, n_docs, vocab_scale=default_vocab_scale(n_docs)
+            )
+            drops = [
+                spages.filter(F.pmod(F.xxhash64("url"), F.lit(n_drops)) == i)
+                for i in range(n_drops)
+            ]
+            t0 = time.time()
+            for d in drops:
+                d.write.mode("append").parquet(inp)
+                run_streaming_graph_ingest(spark, inp, graph, ckpt)
+            TableIO(spark, graph).read("edges_all").count()
+            return round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+
+    # stable keys (doc counts ride in "stream_docs"/"stream_large_docs",
+    # not in the key name — changing the env vars must not silently rename
+    # the metric and break round-over-round comparison)
+    stream_sec = _stream_bench(STREAM_DOCS, STREAM_DROPS)
+    timings["streaming_ingest"] = stream_sec
     stream_docs_per_sec = round(STREAM_DOCS / stream_sec, 1)
     print(f"# streaming: {stream_sec}s ({stream_docs_per_sec} docs/s)", file=sys.stderr)
+
+    # second point on the drop-size amortization curve (round-4 verdict #9):
+    # bigger drops amortize the per-drop streaming fixed cost toward the
+    # batch-pipeline docs/s ceiling. 0 docs disables.
+    stream_large_sec = stream_large_docs_per_sec = None
+    if STREAM_LARGE_DOCS > 0:
+        stream_large_sec = _stream_bench(STREAM_LARGE_DOCS, STREAM_LARGE_DROPS)
+        timings["streaming_ingest_large"] = stream_large_sec
+        stream_large_docs_per_sec = round(STREAM_LARGE_DOCS / stream_large_sec, 1)
+        print(
+            f"# streaming_large: {stream_large_sec}s "
+            f"({stream_large_docs_per_sec} docs/s)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else SF_DIR)
@@ -194,9 +216,19 @@ def main() -> None:
                 "stream_docs_per_sec": stream_docs_per_sec,
                 "stream_docs": STREAM_DOCS,
                 "stream_drops": STREAM_DROPS,
+                "stream_large_docs_per_sec": stream_large_docs_per_sec,
+                "stream_large_docs": STREAM_LARGE_DOCS,
+                "stream_large_drops": STREAM_LARGE_DROPS,
                 "run_meta": {
                     "repeats": REPEATS,
                     "estimator": "min",
+                    # the streaming drains are timed once per run — their
+                    # state (checkpoint dir, landing files) makes repeats
+                    # non-independent; every other metric is min-of-REPEATS
+                    "single_sample_metrics": [
+                        "streaming_ingest",
+                        "streaming_ingest_large",
+                    ],
                     "pinned_cpus": pinned,
                     "load_1m_start": round(load0, 2),
                     "load_1m_end": round(os.getloadavg()[0], 2),

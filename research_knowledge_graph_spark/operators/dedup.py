@@ -294,11 +294,14 @@ def cluster_survivors(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
     (doc_id, survivor_id, n_docs); the drop list is rows where
     doc_id != survivor_id.
 
-    Cluster sizes come from a groupBy + broadcast join back, NOT a window
-    partitioned by component: a degenerate corpus where most docs collapse
-    into ONE cluster would otherwise land that component on a single
-    reducer. The hash-agg partial-aggregates map-side; the size dim is
-    tiny (≤ #components rows)."""
+    Cluster sizes come from a groupBy + join back, NOT a window partitioned
+    by component: a degenerate corpus where most docs collapse into ONE
+    cluster would otherwise land that component on a single reducer. The
+    hash-agg partial-aggregates map-side. The size dim is NOT
+    force-broadcast: its cardinality is one row per connected component —
+    unbounded in the corpus size — so a broadcast hint risks driver OOM at
+    100×; AQE converts the join to broadcast at runtime when the dim is
+    actually small (the normal case) and keeps a shuffle join otherwise."""
     from research_knowledge_graph_spark.operators.canonicalize import (
         connected_components,
     )
@@ -307,7 +310,7 @@ def cluster_survivors(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
         pairs.select(F.col(id_a).alias("key_a"), F.col(id_b).alias("key_b"))
     )
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
-    return cc.join(F.broadcast(sizes), "component").select(
+    return cc.join(sizes, "component").select(
         F.col("key").alias("doc_id"),
         F.col("component").alias("survivor_id"),
         F.col("n_docs"),

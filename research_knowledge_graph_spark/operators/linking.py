@@ -267,10 +267,27 @@ def candidate_pairs(
     - AQE skew-join (session-wide) splits any residual hot partitions.
     """
     pe = _postings(nodes, edges)
-    need_degrees = max_block_degree is not None or salt_above is not None
+    thresholds = [t for t in (max_block_degree, salt_above) if t is not None]
+    need_degrees = bool(thresholds)
     if need_degrees:
-        degrees = pe.groupBy("entity_id").agg(F.count("*").alias("deg"))
-        pe = pe.join(degrees, "entity_id")
+        # Hot-key-only degree attach (same fix as graph_queries.py::
+        # shared_entity_pairs): only keys hotter than the SMALLER threshold
+        # — at most |rows|/threshold keys by pigeonhole, in practice the
+        # Zipf head — are joined back; cold rows default to deg=1 without a
+        # second full shuffle of the posting table. Measured 2.2× degree-
+        # shuffle overhead on the query surface before this. Every key the
+        # cap or the salter must see exactly sits in the hot set (both
+        # thresholds ≥ the hot cutoff); the dim is not force-broadcast —
+        # AQE converts at runtime when it is actually small.
+        hot_above = min(thresholds)
+        hot = (
+            pe.groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") > hot_above)
+        )
+        pe = pe.join(hot, "entity_id", "left").withColumn(
+            "deg", F.coalesce("deg", F.lit(1))
+        )
         if max_block_degree is not None:
             pe = pe.filter(F.col("deg") <= max_block_degree)
 
@@ -387,10 +404,20 @@ def incremental_candidate_pairs(
     is O(batch), never O(corpus). Cold keys get one slot (zero replication,
     identical plan to unsalted)."""
     pe = _postings(nodes, edges)
-    need_deg = max_block_degree is not None or salt_above is not None
+    thresholds = [t for t in (max_block_degree, salt_above) if t is not None]
+    need_deg = bool(thresholds)
     if need_deg:
-        degrees = pe.groupBy("entity_id").agg(F.count("*").alias("deg"))
-        pe = pe.join(degrees, "entity_id")
+        # hot-key-only degree attach — same rationale as candidate_pairs:
+        # only the Zipf head (deg > min threshold) is joined back; cold
+        # rows default to deg=1, no second full shuffle of the posting list
+        hot = (
+            pe.groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") > min(thresholds))
+        )
+        pe = pe.join(hot, "entity_id", "left").withColumn(
+            "deg", F.coalesce("deg", F.lit(1))
+        )
         if max_block_degree is not None:
             pe = pe.filter(F.col("deg") <= max_block_degree)
 

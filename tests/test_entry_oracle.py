@@ -78,9 +78,6 @@ ROWS_ONLY = {
     # float hash after 10 iterated sums is rounding-flaky cross-engine;
     # correctness is pinned vs numpy in tests/test_pagerank.py
     "g16_pagerank",
-    # k-iteration arg-max cascade is not reasonably SQL-expressible;
-    # pinned vs a pure-Python twin in tests/test_communities.py
-    "g20_label_propagation",
 }
 
 

@@ -144,3 +144,36 @@ def test_pipeline_resume_idempotent(spark, tmp_path):
     # exactly one snapshot dir per stage
     snaps = os.listdir(os.path.join(workdir, "edges"))
     assert len(snaps) == 1
+
+
+def test_cross_link_cached_matches_committed_readback(spark, tmp_path):
+    """Pins the one divergence channel in the minimal+cross_link overlap:
+    cross_link consumes the LAZILY-persisted logical nodes/edges frames
+    while their parquet commits run concurrently (plans/pipeline.py stage
+    6). If cached blocks are evicted mid-run, partitions recompute — so
+    cross_edges being content-identical to what cross_link would produce
+    from the COMMITTED tables rests on full-plan determinism. This test
+    recomputes cross_link from the committed read-back and asserts
+    byte-level identity with the committed cross_edges snapshot."""
+    from research_knowledge_graph_spark.operators.linking import cross_link
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    workdir = str(tmp_path / "kgc")
+    pages = synthesize_pages(spark, 60)
+    run_pipeline(
+        spark, pages, workdir, mode="heuristic", checkpoint_level="minimal",
+        max_block_degree=200,
+    )
+
+    io = TableIO(spark, workdir)
+    committed = sorted(
+        (r.id, r.from_node_id, r.to_node_id, r.edge_type, r.confidence)
+        for r in io.read("cross_edges").collect()
+    )
+    recomputed = sorted(
+        (r.id, r.from_node_id, r.to_node_id, r.edge_type, r.confidence)
+        for r in cross_link(
+            io.read("nodes"), io.read("edges"), max_block_degree=200
+        ).collect()
+    )
+    assert committed == recomputed
