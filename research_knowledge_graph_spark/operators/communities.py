@@ -156,3 +156,100 @@ def modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("modularity_term"),
         )
     )
+
+
+def louvain_move_round(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous Louvain local-move round over an existing community
+    assignment (typically :func:`label_propagation`'s output) — the
+    refinement step of Louvain with :func:`modularity` as the objective.
+
+    Every node evaluates moving into each NEIGHBOR community c against the
+    CURRENT labels. The modularity gain of moving u from its community a
+    to c is
+
+        dQ = (k_uc - k_ua)/m - k_u*(sigma_c - sigma_a + k_u)/(2*m^2)
+
+    (k_uc = u's edges into c, k_u = u's degree, sigma_c = total degree of
+    c's members, m = |edges|). Multiplying by the positive constant 2*m^2
+    gives the INTEGER decision value
+
+        gain2 = 2*m*(k_uc - k_ua) - k_u*(sigma_c - sigma_a + k_u)
+
+    so move selection (max gain2, ties to the smallest community id, move
+    only if gain2 > 0) is exact integer arithmetic — bit-reproducible
+    across engines, which is what lets the driver oracle unroll this round
+    as SQL on top of the LPA CTE cascade (g23). Moves are applied
+    synchronously (all nodes against the same snapshot — the standard
+    distributed-Louvain relaxation of the sequential sweep); each
+    individual move is strictly modularity-improving against the snapshot,
+    and the aggregate improvement on the engine's community benches is
+    pinned in tests/test_modularity.py.
+
+    Scale shape: two label-dim joins onto the edge list + hash-aggs (all
+    partial-aggregatable), m on a 1-row broadcast, and a per-node integer
+    arg-max via ``min_by`` — one shuffle per aggregation, no windows.
+
+    Returns (node_id, community) — unchanged rows keep their label."""
+    und = (
+        pairs.select(
+            F.least("node_a", "node_b").alias("u"),
+            F.greatest("node_a", "node_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m1 = und.agg(F.count(F.lit(1)).alias("m"))
+    lab = labels.select("node_id", "community")
+    deg = e.groupBy(F.col("u").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("k_u")
+    )
+    # u's edge count into each neighboring community (k_uc)
+    kuc = (
+        e.join(
+            lab.select(F.col("node_id").alias("v"), F.col("community").alias("cand")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node_id"), "cand")
+        .agg(F.count(F.lit(1)).alias("k_uc"))
+    )
+    sigma = (
+        deg.join(lab, "node_id").groupBy("community").agg(F.sum("k_u").alias("sigma"))
+    )
+    base = (
+        lab.join(deg, "node_id")
+        .join(sigma.withColumnRenamed("sigma", "sigma_a"), "community")
+        .select("node_id", F.col("community").alias("a"), "k_u", "sigma_a")
+    )
+    kua = base.join(
+        kuc.select("node_id", F.col("cand").alias("a"), F.col("k_uc").alias("k_ua")),
+        ["node_id", "a"],
+        "left",
+    ).select("node_id", F.coalesce("k_ua", F.lit(0)).alias("k_ua"))
+    cand = (
+        kuc.join(base, "node_id")
+        .filter(F.col("cand") != F.col("a"))
+        .join(kua, "node_id")
+        .join(sigma.withColumnRenamed("community", "cand"), "cand")
+        .crossJoin(F.broadcast(m1))
+        .select(
+            "node_id",
+            "cand",
+            (
+                2 * F.col("m") * (F.col("k_uc") - F.col("k_ua"))
+                - F.col("k_u") * (F.col("sigma") - F.col("sigma_a") + F.col("k_u"))
+            ).alias("gain2"),
+        )
+    )
+    best = (
+        cand.filter(F.col("gain2") > 0)
+        .groupBy("node_id")
+        .agg(
+            F.min_by(
+                F.col("cand"), F.struct((-F.col("gain2")).alias("neg"), F.col("cand"))
+            ).alias("moved")
+        )
+    )
+    return base.join(best, "node_id", "left").select(
+        "node_id", F.coalesce("moved", "a").alias("community")
+    )

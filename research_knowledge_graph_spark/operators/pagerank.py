@@ -97,3 +97,81 @@ def pagerank(
             )
         )
     return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "from_node_id",
+    dst_col: str = "to_node_id",
+) -> DataFrame:
+    """(node_id, rank) with teleport restricted to ``seeds`` — the standard
+    "entities related to X" ranking (random walk with restart): mass
+    repeatedly flows out from the seed set, so rank measures proximity to
+    the seeds rather than global importance. The reference's SIMILAR_TO
+    surface approximates this query; PPR is its graph-walk form.
+
+    Same one-heavy-job-per-iteration shape as :func:`pagerank` — the only
+    change is the teleport distribution p: uniform 1/n becomes 1/|seeds|
+    on seed nodes and 0 elsewhere, and (per the standard PPR convention)
+    DANGLING mass also restarts at the seeds:
+
+        rank'(u) = (1-d)*p(u) + d*(contribs(u) + dangling_mass*p(u))
+
+    The seed set for this query shape is small (one to a few entities), so
+    p rides as an ``isin`` literal predicate — no extra join, no shuffle;
+    ranks still sum to 1. Float accumulation order makes cross-engine
+    hashes flaky (same rationale as pagerank), so correctness is pinned
+    against a dense numpy twin in tests/test_pagerank.py and the driver
+    records a rows-only check (g24)."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    p = F.when(F.col("node_id").isin(*seeds), F.lit(1.0 / len(seeds))).otherwise(
+        F.lit(0.0)
+    )
+
+    ranks = nodes.select("node_id", p.alias("rank"))
+    for _ in range(iters):
+        agg = (
+            ranks.join(out_deg, ranks.node_id == out_deg.src, "left")
+            .select("node_id", "rank", "deg")
+            .join(e, F.col("node_id") == e.src, "left")
+            .select(
+                "dst",
+                F.when(F.col("dst").isNull(), F.col("rank"))
+                .otherwise(F.col("rank") / F.col("deg"))
+                .alias("val"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("val").alias("contrib"))
+            .localCheckpoint(eager=True)  # the iteration's single job
+        )
+        dangling = agg.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dst").isNull(), F.col("contrib"))), F.lit(0.0)
+            ).alias("dangling_mass")
+        )
+        contribs = agg.filter(F.col("dst").isNotNull())
+        ranks = (
+            nodes.join(contribs, nodes.node_id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("dangling_mass"))
+                    * p
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

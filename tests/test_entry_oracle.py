@@ -78,6 +78,7 @@ ROWS_ONLY = {
     # float hash after 10 iterated sums is rounding-flaky cross-engine;
     # correctness is pinned vs numpy in tests/test_pagerank.py
     "g16_pagerank",
+    "g24_personalized_pagerank",
 }
 
 

@@ -63,3 +63,112 @@ def test_modularity_two_cliques(spark):
     assert q == pytest.approx(0.5, abs=1e-9)
     for r in rows:
         assert r.n_nodes == 4 and r.internal_edges == 6 and r.degree_sum == 12
+
+
+def _python_louvain_move(edges, assign):
+    """One synchronous local-move round with the INTEGER gain decision
+    gain2 = 2m(k_uc − k_ua) − k_u(Σ_c − Σ_a + k_u); move iff gain2 > 0,
+    ties to the smallest candidate community id."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    m = len(und)
+    nb: dict[str, list] = {}
+    for a, b in und:
+        nb.setdefault(a, []).append(b)
+        nb.setdefault(b, []).append(a)
+    deg = {u: len(vs) for u, vs in nb.items()}
+    sigma: dict[str, int] = {}
+    for u, d in deg.items():
+        sigma[assign[u]] = sigma.get(assign[u], 0) + d
+    new = {}
+    for u, vs in nb.items():
+        a = assign[u]
+        k_uc: dict[str, int] = {}
+        for v in vs:
+            k_uc[assign[v]] = k_uc.get(assign[v], 0) + 1
+        k_ua = k_uc.get(a, 0)
+        best = None  # (gain2, cand); max gain2, tie -> smallest cand
+        for c, k in k_uc.items():
+            if c == a:
+                continue
+            gain2 = 2 * m * (k - k_ua) - deg[u] * (sigma[c] - sigma[a] + deg[u])
+            if gain2 > 0 and (
+                best is None
+                or gain2 > best[0]
+                or (gain2 == best[0] and c < best[1])
+            ):
+                best = (gain2, c)
+        new[u] = best[1] if best else a
+    return new
+
+
+def test_louvain_move_round_matches_python_twin(spark):
+    from research_knowledge_graph_spark.operators.communities import (
+        louvain_move_round,
+    )
+
+    rnd = random.Random(17)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list(
+        {tuple(sorted((rnd.choice(nodes), rnd.choice(nodes)))) for _ in range(120)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "node_a string, node_b string")
+    labels = label_propagation(df, 2)  # deliberately under-converged
+    assign = {r.node_id: r.community for r in labels.collect()}
+    expected = _python_louvain_move(edges, assign)
+
+    got = {
+        r.node_id: r.community
+        for r in louvain_move_round(df, labels).collect()
+    }
+    assert got == expected
+
+
+def test_louvain_move_improves_modularity_from_singletons(spark):
+    """From the all-singletons assignment every applied move is positive
+    against the snapshot; on two disconnected cliques one round must
+    strictly raise Q (and land each clique on a shared label)."""
+    from research_knowledge_graph_spark.operators.communities import (
+        louvain_move_round,
+    )
+
+    cliq = lambda p: [
+        (f"{p}1", f"{p}2"), (f"{p}1", f"{p}3"), (f"{p}1", f"{p}4"),
+        (f"{p}2", f"{p}3"), (f"{p}2", f"{p}4"), (f"{p}3", f"{p}4"),
+    ]
+    df = spark.createDataFrame(cliq("a") + cliq("b"), "node_a string, node_b string")
+    singles = df.selectExpr("node_a AS node_id").union(
+        df.selectExpr("node_b AS node_id")
+    ).distinct().withColumn("community", __import__("pyspark").sql.functions.col("node_id"))
+
+    q_before = sum(r.modularity_term for r in modularity(df, singles).collect())
+    moved = louvain_move_round(df, singles)
+    q_after = sum(r.modularity_term for r in modularity(df, moved).collect())
+    assert q_after > q_before
+
+
+def test_louvain_refines_lpa_on_couse_shape(spark):
+    """The g23 composition: LPA labels then one move round — Q must not
+    drop on a clustered-with-noise graph (the co-usage shape)."""
+    from research_knowledge_graph_spark.operators.communities import (
+        louvain_move_round,
+    )
+
+    rnd = random.Random(7)
+    edges = []
+    # 4 dense blocks of 8 + sparse noise between blocks
+    for blk in range(4):
+        ns = [f"b{blk}_{i}" for i in range(8)]
+        for i in range(8):
+            for j in range(i + 1, 8):
+                if rnd.random() < 0.7:
+                    edges.append((ns[i], ns[j]))
+    for _ in range(20):
+        b1, b2 = rnd.sample(range(4), 2)
+        edges.append((f"b{b1}_{rnd.randrange(8)}", f"b{b2}_{rnd.randrange(8)}"))
+    df = spark.createDataFrame(sorted(set(edges)), "node_a string, node_b string")
+    labels = label_propagation(df, 2)
+    q_before = sum(r.modularity_term for r in modularity(df, labels).collect())
+    refined = louvain_move_round(df, labels)
+    q_after = sum(r.modularity_term for r in modularity(df, refined).collect())
+    assert q_after >= q_before

@@ -208,3 +208,64 @@ def test_sessionize_split_by_day_bounds_hot_user(spark):
     # default mode on the same input: one unbroken session
     default_stats = session_stats(ev)
     assert default_stats.count() == 1
+
+
+def _numpy_ppr(edge_list, seeds, damping=DAMPING, iters=ITERS):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for u, _ in edge_list:
+        out_deg[idx[u]] += 1
+    p = np.zeros(n)
+    for s in seeds:
+        p[idx[s]] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in edge_list:
+            contrib[idx[v]] += r[idx[u]] / out_deg[idx[u]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) * p + damping * dangling * p + damping * contrib
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from research_knowledge_graph_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    edges = derive_edges(spark, "/root/testdata/sf0.001").filter(
+        F.col("edge_type").isin("FOLLOWS", "PLACED")
+    )
+    edge_list = [(r.from_node_id, r.to_node_id) for r in edges.collect()]
+    seeds = ["c1", "c2"]
+    expected = _numpy_ppr(edge_list, seeds)
+
+    got = {
+        r.node_id: r.rank
+        for r in personalized_pagerank(edges, seeds, DAMPING, ITERS).collect()
+    }
+    assert set(got) == set(expected)
+    max_err = max(abs(got[u] - expected[u]) for u in got)
+    assert max_err < 1e-9, max_err
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
+    from research_knowledge_graph_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    # a -> b -> c chain plus an isolated pair d -> e: restarting at 'a'
+    # must leave the disconnected component with zero rank
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")],
+        "from_node_id string, to_node_id string",
+    )
+    got = {
+        r.node_id: r.rank
+        for r in personalized_pagerank(edges, ["a"], iters=20).collect()
+    }
+    assert got["a"] > got["b"] > got["c"] > 0
+    assert got["d"] == 0.0 and got["e"] == 0.0
