@@ -124,10 +124,14 @@ def personalized_pagerank(
     p rides as an ``isin`` literal predicate — no extra join, no shuffle;
     ranks still sum to 1. Float accumulation order makes cross-engine
     hashes flaky (same rationale as pagerank), so correctness is pinned
-    against a dense numpy twin in tests/test_pagerank.py and the driver
-    records a rows-only check (g24)."""
+    against a dense numpy twin in tests/test_pagerank.py (entry g24 has no
+    SQL oracle).
+
+    Seeds that don't exist in the graph would silently zero their teleport
+    share (all-zero ranks when NO seed matches) — fail fast instead."""
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    seeds = sorted(set(seeds))  # duplicates would deflate every rank
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node_id"))
@@ -135,6 +139,12 @@ def personalized_pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_hit = nodes.filter(F.col("node_id").isin(*seeds)).count()
+    if n_hit < len(set(seeds)):
+        raise ValueError(
+            f"{len(set(seeds)) - n_hit} of {len(set(seeds))} seeds not in the "
+            "graph — their teleport mass would silently vanish"
+        )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     p = F.when(F.col("node_id").isin(*seeds), F.lit(1.0 / len(seeds))).otherwise(
         F.lit(0.0)

