@@ -39,9 +39,11 @@ from research_knowledge_graph_spark.functions.hashing import (
 )
 from research_knowledge_graph_spark.functions.textops import (
     _LANG_MARKERS,
+    TOKEN_PATTERN,
     fingerprint_col,
     lang_id_col,
     quality_features_cols,
+    winnow_fingerprints_sql,
 )
 from research_knowledge_graph_spark.operators import dedup as D
 from research_knowledge_graph_spark.operators.text_search import bm25_sql
@@ -897,6 +899,68 @@ def v06_asof_forward(spark, sf_dir):
     ).select("user_id", "error_id", "error_us", "purchase_id", "purchase_us")
 
 
+def g25_k_core(spark, sf_dir):
+    """k-core decomposition (k=2) of the order co-usage graph
+    (operators/communities.py::k_core): iterative peel to the maximal
+    subgraph where every order keeps ≥2 co-usage partners, returning each
+    survivor with its in-core degree — the standard graph-cohesion
+    primitive (dense-cluster extraction / peripheral-node curation; the
+    reference's "highly connected entity" notion in
+    src/services/graph_service.py). Survivor sets are an integer-exact
+    deterministic function of the graph and post-fixpoint rounds are the
+    identity, so the Spark peel (16 rounds, early exit) and the oracle's
+    unrolled 16-round CTE cascade agree unconditionally — fully
+    hash-checked."""
+    from research_knowledge_graph_spark.operators.communities import k_core
+
+    pairs = _couse_pairs(spark, sf_dir)
+    return k_core(pairs.select("node_a", "node_b"), k=2, max_iter=16)
+
+
+def t18_token_stats(spark, sf_dir):
+    """Token accounting per document — the numbers every LLM-training
+    mixture is budgeted in: whitespace token count, BPE-ish pre-tokenizer
+    count (word / number / single-symbol pieces, functions/textops.py::
+    tokens_col), and chars-per-BPE-token compression ratio. Pure Catalyst
+    regexp + array expressions, map-only (no shuffle at any scale)."""
+    from research_knowledge_graph_spark.functions.textops import (
+        token_count_col,
+        tokens_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = F.size(tokens_col("text")).cast("bigint")
+    return d.select(
+        "doc_id",
+        token_count_col("text").cast("bigint").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.col("n_chars").cast("double") / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def t19_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    selection, functions/textops.py::winnow_fingerprints_col): token
+    3-grams hashed with the portable 60-bit hash, min per 4-window,
+    distinct — a locality-sensitive signature set guaranteeing any shared
+    6-token run between documents shares a fingerprint. Exploded to
+    (doc_id, fingerprint) rows so the oracle compares the full multiset.
+    Map-only scan (sequence/transform/slice, whole-stage codegen); the
+    downstream near-dup join groups on the fingerprint exactly like
+    MinHash bands (t07)."""
+    from research_knowledge_graph_spark.functions.textops import (
+        winnow_fingerprints_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints_col("text")).alias("fingerprint"),
+    )
+
+
 def t08_chunk_stats(spark, sf_dir):
     """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF —
     iterative per-document algorithm, not ANSI-SQL-expressible: rows-only
@@ -1039,10 +1103,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict entries. Newest / least-recently-driver-checked oracle entries go
     # FIRST; the tail (positions 51+) holds the rows-only no_oracle entries
     # (their driver check is weakest, so excluding them loses least) plus a
-    # small rotating slice of long-green oracle entries (g12/g13/t03 this
-    # round — driver-green since round ≤3, pinned locally every run by
-    # tests/test_entry_oracle.py, which has no cap).
+    # small rotating slice of long-green oracle entries (g01/g02/g07/g12/
+    # g13/t03 this round — driver-green since round ≤3 and re-confirmed in
+    # r04, pinned locally every run by tests/test_entry_oracle.py, which
+    # has no cap).
     return {
+        "g25_k_core": g25_k_core,
+        "t18_token_stats": t18_token_stats,
+        "t19_winnow_fingerprints": t19_winnow_fingerprints,
         "v02_user_value_topk": v02_user_value_topk,
         "v03_sessionize": v03_sessionize,
         "v04_asof_attribution": v04_asof_attribution,
@@ -1053,13 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_revenue": q03_top_revenue,
         "q05_window_top3": q05_window_top3,
-        "g01_node_type_counts": g01_node_type_counts,
-        "g02_neighbors_out": g02_neighbors_out,
         "g03_two_hop": g03_two_hop,
         "g04_influence_topk": g04_influence_topk,
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
-        "g07_reverse_reach": g07_reverse_reach,
         "g08_recursive_chain": g08_recursive_chain,
         "g09_bfs": g09_bfs,
         "g10_recent_orders": g10_recent_orders,
@@ -1094,6 +1159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_community_modularity": g22_community_modularity,
         "v01_hourly_rollup": v01_hourly_rollup,
         # ---- driver 50-entry window boundary ----
+        "g01_node_type_counts": g01_node_type_counts,
+        "g02_neighbors_out": g02_neighbors_out,
+        "g07_reverse_reach": g07_reverse_reach,
         "g12_citation_network": g12_citation_network,
         "g13_papers_by_dataset": g13_papers_by_dataset,
         "t03_langid": t03_langid,
@@ -1234,6 +1302,40 @@ def _louvain_sql(iters: int = 5) -> str:
         + ", ".join(parts)
         + " SELECT b.node_id, COALESCE(best.cand, b.a) AS community"
         " FROM base b LEFT JOIN best USING (node_id)"
+    )
+
+
+def _kcore_sql(k: int = 3, iters: int = 16) -> str:
+    """Unrolled k-core peel over the co-usage graph — g25's oracle. Round
+    i restricts the edge list to round-(i-1) survivors and drops nodes
+    under degree k; survivor sets are integer-exact and post-fixpoint
+    rounds are the identity, so a fixed unroll depth equal to the Spark
+    operator's max_iter reproduces it bit-for-bit regardless of where the
+    peel actually converges."""
+    # AS MATERIALIZED throughout: each d_i references a_{i-1} TWICE, so
+    # DuckDB's default CTE inlining would expand the cascade 2^iters times
+    # (observed as fd exhaustion re-opening lineitem.parquet); pinning
+    # every block materialized makes the oracle linear in iters
+    parts = [
+        p.replace(" AS (", " AS MATERIALIZED (", 1)
+        for p in _lpa_parts(False, 0)[:3]  # pe, co, e blocks only
+    ]
+    parts.append("a0 AS MATERIALIZED (SELECT DISTINCT u FROM e)")
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT e.u, count(*) AS c FROM e"
+            f" JOIN a{i - 1} x ON x.u = e.u JOIN a{i - 1} y ON y.u = e.v"
+            " GROUP BY e.u)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE c >= {k})"
+        )
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(parts)
+        + f" SELECT e.u AS node_id, count(*) AS core_degree FROM e"
+        f" JOIN a{iters} x ON x.u = e.u JOIN a{iters} y ON y.u = e.v"
+        f" GROUP BY e.u HAVING count(*) >= {k}"
     )
 
 
@@ -1604,6 +1706,20 @@ def oracle_sql() -> dict[str, str]:
         "g21_weighted_label_propagation": _lpa_sql(weighted=True),
         "g22_community_modularity": _modularity_sql(),
         "g23_louvain_refine": _louvain_sql(),
+        "g25_k_core": _kcore_sql(k=2),
+        "t18_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({toks}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+                   round(CAST(n_chars AS DOUBLE)
+                         / greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1),
+                         6) AS chars_per_bpe_token
+            FROM documents
+        """,
+        "t19_winnow_fingerprints": f"""
+            SELECT doc_id, unnest({winnow_fingerprints_sql("text")}) AS fingerprint
+            FROM documents
+        """,
         "t17_bm25_indexed": bm25_sql(["spark", "hash", "vector"]),
         "g17_shortest_paths": f"""
             WITH RECURSIVE {GRAPH_CTE},

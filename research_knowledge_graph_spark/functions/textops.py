@@ -197,3 +197,80 @@ def fingerprint_col(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     canon = F.array_join(F.filter(F.split(F.lower(c), "\\s+"), lambda w: w != F.lit("")), " ")
     return portable_hash64(canon)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken rolling-hash
+# selection) — pure Catalyst array ops, no UDF, no explode amplification
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints_col(
+    col: Column | str, k: int = 3, w: int = 4
+) -> Column:
+    """Distinct winnowing fingerprints of the text as ``array<bigint>``.
+
+    Token k-grams are hashed with the engine-portable 60-bit hash and each
+    window of ``w`` consecutive gram hashes contributes its MINIMUM — the
+    winnowing selection guarantees any shared substring of length
+    ``k + w - 1`` tokens between two documents yields at least one shared
+    fingerprint, which is what makes the fingerprint set a locality-
+    sensitive document signature (near-dup detection, provenance lookup)
+    at a fraction of the full shingle set's size.
+
+    Degenerate inputs fall back instead of vanishing: fewer than ``k``
+    tokens → one gram over the whole text; fewer than ``w`` grams → one
+    window over all grams. Everything is sequence/transform/slice over
+    per-row arrays — JVM-side whole-stage codegen, cost linear in tokens
+    per row, embarrassingly parallel (no shuffle at all until the caller
+    aggregates the fingerprints)."""
+    from research_knowledge_graph_spark.functions.hashing import portable_hash64
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    # explicit 1-arg lambda: passing portable_hash64 directly would let
+    # F.transform feed the array INDEX into its seed= default (the
+    # default-arg-lambda gotcha) and silently change every hash
+    hashes = F.transform(grams, lambda g: portable_hash64(g))
+    ng = F.size(hashes)
+    fps = F.when(
+        ng >= w,
+        F.transform(
+            F.sequence(F.lit(1), ng - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return F.array_distinct(fps)
+
+
+def winnow_fingerprints_sql(col_expr: str, k: int = 3, w: int = 4) -> str:
+    """DuckDB rendering of :func:`winnow_fingerprints_col` (same bits:
+    same tokens, same grams, same portable md5-derived hash, same window
+    minima). Returns a list expression; callers unnest it."""
+    from research_knowledge_graph_spark.functions.hashing import portable_hash64_sql
+
+    toks = (
+        f"list_filter(string_split_regex(lower({col_expr}), '\\s+'),"
+        " t -> t != '')"
+    )
+    grams = (
+        f"CASE WHEN len({toks}) >= {k}"
+        f" THEN list_transform(range(1, len({toks}) - {k - 1} + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+        # COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+        f" ELSE [COALESCE(array_to_string({toks}, ' '), '')] END"
+    )
+    hashes = f"list_transform({grams}, g -> {portable_hash64_sql('g')})"
+    return (
+        f"CASE WHEN len({hashes}) >= {w}"
+        f" THEN list_distinct(list_transform(range(1, len({hashes}) - {w - 1} + 1),"
+        f" j -> list_min(list_slice({hashes}, j, j + {w - 1}))))"
+        f" ELSE [list_min({hashes})] END"
+    )

@@ -253,3 +253,63 @@ def louvain_move_round(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     return base.join(best, "node_id", "left").select(
         "node_id", F.coalesce("moved", "a").alias("community")
     )
+
+
+def k_core(pairs: DataFrame, k: int = 3, max_iter: int = 16) -> DataFrame:
+    """(node_a, node_b) undirected edges → (node_id, core_degree): the
+    k-core — the maximal subgraph in which every node has degree ≥ k —
+    with each surviving node's degree INSIDE the core. The standard
+    cohesion/denseness decomposition (reference analog: the graph
+    service's "highly connected entity" notion, ``src/services/
+    graph_service.py`` linking strategies) and a classic curation
+    primitive: nodes outside any k-core are peripheral.
+
+    Algorithm: synchronous peeling. Round i recomputes degrees over edges
+    restricted to the round-(i-1) survivor set and drops nodes under k.
+    The survivor set a_i is a deterministic function of a_{i-1} and rounds
+    after the fixpoint are the identity, so a run capped at ``max_iter``
+    rounds equals the fixpoint whenever peeling converges by then — and
+    equals the driver oracle's unrolled ``max_iter``-round CTE cascade
+    UNCONDITIONALLY (both engines compute the same a_i sequence; integer
+    degrees, no ties to break). Early exit when a round removes nothing.
+
+    Scale shape per round: one hash-agg for degrees (partial-aggregatable
+    on the node id) + two semi-joins restricting the edge list — no
+    windows, no collects; ``localCheckpoint`` truncates the iterative
+    lineage like the other fixpoint operators. Peel depth, not graph
+    size, bounds the round count; each round's edge list only shrinks.
+    At very large scale the per-round ``count()`` convergence probe can
+    be amortized by probing every j rounds — not done here because the
+    probe rides the same job that materializes the checkpoint."""
+    if k < 1:
+        raise ValueError("k_core needs k >= 1")
+    und = (
+        pairs.select(
+            F.least("node_a", "node_b").alias("u"),
+            F.greatest("node_a", "node_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    n_alive = e.select("u").distinct().count()
+    for _ in range(max_iter):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+        alive = deg.filter(F.col("core_degree") >= k).select("u")
+        e = (
+            e.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.select("u").distinct().count()
+        if n_now == n_alive:
+            break
+        n_alive = n_now
+    return (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("u").alias("node_id"), "core_degree")
+    )

@@ -138,3 +138,67 @@ def test_weighted_lpa_multi_edge_collapses_to_max(spark):
     # x's votes: a->5 (not 7), b->4 — a wins; with sum-of-dups b would get 8
     assert got["x"] == "a"
     assert got == _python_lpa_weighted(edges, 1)
+
+
+# ---------------------------------------------------------------------------
+# k-core (g25)
+# ---------------------------------------------------------------------------
+
+def _kcore_py(edges, k):
+    """Pure-Python peeling twin: (node -> core degree) of the k-core."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if len(nb) >= k}
+
+
+def test_kcore_clique_plus_pendant(spark):
+    from research_knowledge_graph_spark.operators.communities import k_core
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    p = spark.createDataFrame(edges, "node_a string, node_b string")
+    got = {(r.node_id, r.core_degree) for r in k_core(p, k=3).collect()}
+    assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+    # k=1 keeps everything with an edge; k above max degree empties
+    assert {r.node_id for r in k_core(p, k=1).collect()} == set("abcdef")
+    assert k_core(p, k=4).count() == 0
+
+
+def test_kcore_matches_python_twin_random(spark):
+    """Random graph vs the sequential-peel twin: the synchronous Spark peel
+    and sequential peeling reach the same fixpoint (k-core is unique, so
+    peel ORDER cannot matter — this pins that the capped synchronous
+    rounds actually got there)."""
+    import random
+
+    from research_knowledge_graph_spark.operators.communities import k_core
+
+    rng = random.Random(25)
+    nodes = [f"n{i}" for i in range(120)]
+    edges = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(420)})
+    expect = _kcore_py(edges, 3)
+    p = spark.createDataFrame(edges, "node_a string, node_b string")
+    got = {r.node_id: r.core_degree for r in k_core(p, k=3).collect()}
+    assert got == expect
+
+
+def test_kcore_duplicate_and_reversed_edges_collapse(spark):
+    from research_knowledge_graph_spark.operators.communities import k_core
+
+    base = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = base + [(b, a) for a, b in base] + base + [("a", "a")]
+    p = spark.createDataFrame(noisy, "node_a string, node_b string")
+    got = {(r.node_id, r.core_degree) for r in k_core(p, k=2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}

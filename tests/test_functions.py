@@ -113,3 +113,95 @@ def test_token_count(spark):
     df = spark.createDataFrame([("a b  c",), ("",), ("  x ",)], ["v"])
     outs = [r[0] for r in df.select(token_count_col("v").alias("o")).collect()]
     assert outs == [3, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (t19)
+# ---------------------------------------------------------------------------
+
+def _winnow_py(text: str, k: int = 3, w: int = 4) -> set[int]:
+    """Pure-Python twin of winnow_fingerprints_col (same bits)."""
+    from research_knowledge_graph_spark.functions.hashing import (
+        portable_hash64_py,
+    )
+
+    toks = [t for t in __import__("re").split(r"\s+", text.lower()) if t]
+    grams = (
+        [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else [" ".join(toks)]
+    )
+    hs = [portable_hash64_py(g) for g in grams]
+    if len(hs) >= w:
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    return {min(hs)}
+
+
+def test_winnow_cross_engine_and_python_twin(spark):
+    """Spark, DuckDB SQL rendering, and the Python twin agree bit-for-bit
+    on varied inputs including every fallback branch (short text, empty
+    text, whitespace soup)."""
+    import duckdb
+
+    from research_knowledge_graph_spark.functions.textops import (
+        winnow_fingerprints_col,
+        winnow_fingerprints_sql,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short one",
+        "x",
+        "",
+        "  spaced   out\ttabs\nnewlines  mix  ",
+        "a b c d",
+        "Repeat repeat REPEAT repeat repeat repeat words",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    srows = sorted(
+        (r.doc_id, r.fp)
+        for r in df.select(
+            "doc_id", F.explode(winnow_fingerprints_col("text")).alias("fp")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") v(doc_id, text)"
+    )
+    drows = sorted(
+        con.sql(
+            f"SELECT doc_id, unnest({winnow_fingerprints_sql('text')}) FROM t"
+        ).fetchall()
+    )
+    assert srows == [tuple(r) for r in drows]
+    pyrows = sorted(
+        (i, fp) for i, t in enumerate(texts) for fp in _winnow_py(t)
+    )
+    assert srows == pyrows
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing invariant: documents sharing a run of >= k+w-1 tokens
+    share at least one fingerprint; fully-disjoint vocabularies share
+    none."""
+    from research_knowledge_graph_spark.functions.textops import (
+        winnow_fingerprints_col,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = k+w-1 tokens
+    a = "intro words here " + shared + " tail of doc one"
+    b = "completely different prefix " + shared + " other ending text"
+    c = "nothing in common with either document at all whatsoever"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id int, text string"
+    )
+    rows = df.select(
+        "doc_id", F.explode(winnow_fingerprints_col("text")).alias("fp")
+    ).collect()
+    fps = {i: {r.fp for r in rows if r.doc_id == i} for i in range(3)}
+    assert fps[0] & fps[1], "shared 6-token run must share a fingerprint"
+    assert not fps[0] & fps[2] and not fps[1] & fps[2]
