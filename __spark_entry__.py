@@ -961,6 +961,20 @@ def t19_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def t20_winnow_near_dups(spark, sf_dir):
+    """Winnow-blocked near-dup pairs (operators/dedup.py::winnow_near_dups):
+    docs sharing ≥2 winnowing fingerprints — i.e. ≥2 distinct shared
+    6-token runs — with stop-fingerprint removal (fingerprints in >1000
+    docs are boilerplate, dropped before pairing). The MOSS copy-detection
+    complement to t07's MinHash banding: same bucket-join scale shape
+    (never all-pairs), but n_shared counts shared text RUNS rather than
+    estimating whole-doc Jaccard. Integer counts — fully hash-checked."""
+    from research_knowledge_graph_spark.operators.dedup import winnow_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_near_dups(d, min_shared=2, max_bucket=1000)
+
+
 def t08_chunk_stats(spark, sf_dir):
     """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF —
     iterative per-document algorithm, not ANSI-SQL-expressible: rows-only
@@ -1111,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g25_k_core": g25_k_core,
         "t18_token_stats": t18_token_stats,
         "t19_winnow_fingerprints": t19_winnow_fingerprints,
+        "t20_winnow_near_dups": t20_winnow_near_dups,
         "v02_user_value_topk": v02_user_value_topk,
         "v03_sessionize": v03_sessionize,
         "v04_asof_attribution": v04_asof_attribution,
@@ -1121,7 +1136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_revenue": q03_top_revenue,
         "q05_window_top3": q05_window_top3,
-        "g03_two_hop": g03_two_hop,
         "g04_influence_topk": g04_influence_topk,
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
@@ -1161,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver 50-entry window boundary ----
         "g01_node_type_counts": g01_node_type_counts,
         "g02_neighbors_out": g02_neighbors_out,
+        "g03_two_hop": g03_two_hop,
         "g07_reverse_reach": g07_reverse_reach,
         "g12_citation_network": g12_citation_network,
         "g13_papers_by_dataset": g13_papers_by_dataset,
@@ -1719,6 +1734,17 @@ def oracle_sql() -> dict[str, str]:
         "t19_winnow_fingerprints": f"""
             SELECT doc_id, unnest({winnow_fingerprints_sql("text")}) AS fingerprint
             FROM documents
+        """,
+        "t20_winnow_near_dups": f"""
+            WITH f AS MATERIALIZED (
+                SELECT doc_id, unnest({winnow_fingerprints_sql("text")}) AS fp
+                FROM documents
+            ),
+            keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000),
+            g AS MATERIALIZED (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "t17_bm25_indexed": bm25_sql(["spark", "hash", "vector"]),
         "g17_shortest_paths": f"""

@@ -315,3 +315,54 @@ def cluster_survivors(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
         F.col("component").alias("survivor_id"),
         F.col("n_docs"),
     )
+
+
+def winnow_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    MOSS-style complement to MinHash banding (:func:`lsh_candidate_pairs`):
+    winnowing guarantees any shared run of ``k + w - 1`` tokens yields a
+    shared fingerprint, so ``n_shared`` counts distinct shared text runs
+    (copy detection / attribution), where MinHash estimates whole-document
+    Jaccard. Returns (doc_a, doc_b, n_shared), doc_a < doc_b, pairs
+    sharing at least ``min_shared`` fingerprints.
+
+    Scale shape: identical to LSH banding — fingerprints explode map-side,
+    pairs form only WITHIN a fingerprint bucket (never all-pairs), and the
+    per-pair count is a partial-aggregatable hash-agg. Fingerprints shared
+    by more than ``max_bucket`` documents are dropped as stop-fingerprints
+    BEFORE pairing (boilerplate runs — navigation chrome, license headers —
+    that would otherwise contribute O(B²) pairs while carrying no dedup
+    signal; the exact analog of stop-words in the BM25 path). The guard
+    makes worst-case pair volume O(corpus × max_bucket), not O(corpus²)."""
+    from research_knowledge_graph_spark.functions.textops import (
+        winnow_fingerprints_col,
+    )
+
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias("fp"),
+    )
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_bucket)
+        .select("fp")
+    )
+    fp = fp.join(keep, "fp", "left_semi")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

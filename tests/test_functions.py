@@ -205,3 +205,36 @@ def test_winnow_shared_run_guarantee(spark):
     fps = {i: {r.fp for r in rows if r.doc_id == i} for i in range(3)}
     assert fps[0] & fps[1], "shared 6-token run must share a fingerprint"
     assert not fps[0] & fps[2] and not fps[1] & fps[2]
+
+
+def test_winnow_near_dups_guard_and_threshold(spark):
+    """winnow_near_dups (t20): near-identical docs pair with high n_shared;
+    min_shared filters single-run coincidences; the stop-fingerprint
+    guard (max_bucket) removes boilerplate shared by every doc — with it
+    set below the corpus size, a fingerprint in ALL docs contributes no
+    pairs."""
+    from research_knowledge_graph_spark.operators.dedup import winnow_near_dups
+
+    boiler = "standard site navigation header common to every page"
+    bodies = [
+        "unique first document body talks about alpha beta gamma topics",
+        "unique first document body talks about alpha beta gamma topics too",
+        "completely unrelated second text on entirely different delta matters",
+        "another fully distinct piece covering epsilon zeta subjects only",
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} {b}") for i, b in enumerate(bodies)],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_near_dups(docs, min_shared=2, max_bucket=3).collect()
+    }
+    # only the near-identical pair survives; boilerplate fingerprints are
+    # in all 4 docs > max_bucket=3, so unrelated docs share nothing
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] >= 2
+    assert all(a < b for a, b in pairs)
+    # without the guard, boilerplate alone pairs EVERY doc with every other
+    allp = winnow_near_dups(docs, min_shared=2, max_bucket=10_000).count()
+    assert allp == 6
