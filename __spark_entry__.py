@@ -917,6 +917,21 @@ def g25_k_core(spark, sf_dir):
     return k_core(pairs.select("node_a", "node_b"), k=2, max_iter=16)
 
 
+def g26_node_similarity(spark, sf_dir):
+    """Structural 'related entities' (operators/graph_queries.py::
+    node_similarity_jaccard): neighbor-set Jaccard over the co-usage
+    graph — the graph-native analog of the reference's SIMILAR_TO edges
+    (graph_service.py:403-458, there embedding-cosine; here shared graph
+    context). Top-100 pairs sharing ≥1 neighbor by (jaccard DESC, ids) —
+    a total order, so the cut is deterministic and fully hash-checked.
+    The common-neighbor wedge goes through the same degree-aware salted
+    self-join as g06."""
+    pairs = _couse_pairs(spark, sf_dir)
+    return G.node_similarity_jaccard(
+        pairs.select("node_a", "node_b"), min_shared=1, top_k=100
+    )
+
+
 def t18_token_stats(spark, sf_dir):
     """Token accounting per document — the numbers every LLM-training
     mixture is budgeted in: whitespace token count, BPE-ish pre-tokenizer
@@ -1122,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "g26_node_similarity": g26_node_similarity,
         "g25_k_core": g25_k_core,
         "t18_token_stats": t18_token_stats,
         "t19_winnow_fingerprints": t19_winnow_fingerprints,
@@ -1351,6 +1367,30 @@ def _kcore_sql(k: int = 3, iters: int = 16) -> str:
         + f" SELECT e.u AS node_id, count(*) AS core_degree FROM e"
         f" JOIN a{iters} x ON x.u = e.u JOIN a{iters} y ON y.u = e.v"
         f" GROUP BY e.u HAVING count(*) >= {k}"
+    )
+
+
+def _node_sim_sql(min_shared: int = 2, top_k: int = 100) -> str:
+    """g26's oracle: neighbor-set Jaccard over the co-usage graph. Same
+    pe/co/e blocks as the LPA cascade; the wedge is a plain id-ordered
+    self-join on the shared neighbor (orientation-free, so it is a valid
+    oracle for the salted Spark wedge — exact-count parity pinned in
+    tests/test_salt.py)."""
+    parts = _lpa_parts(False, 0)[:3]  # pe, co, e blocks
+    parts.append("deg AS (SELECT u AS node_id, count(*) AS degree FROM e GROUP BY u)")
+    parts.append(
+        "cn AS (SELECT a.u AS node_a, b.u AS node_b, count(*) AS shared"
+        " FROM e a JOIN e b ON a.v = b.v AND a.u < b.u"
+        f" GROUP BY a.u, b.u HAVING count(*) >= {min_shared})"
+    )
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(parts)
+        + " SELECT node_a, node_b, shared AS shared_neighbors,"
+        " round(CAST(shared AS DOUBLE) / (dx.degree + dy.degree - shared), 6) AS jaccard"
+        " FROM cn JOIN deg dx ON dx.node_id = node_a"
+        " JOIN deg dy ON dy.node_id = node_b"
+        f" ORDER BY jaccard DESC, node_a, node_b LIMIT {top_k}"
     )
 
 
@@ -1722,6 +1762,7 @@ def oracle_sql() -> dict[str, str]:
         "g22_community_modularity": _modularity_sql(),
         "g23_louvain_refine": _louvain_sql(),
         "g25_k_core": _kcore_sql(k=2),
+        "g26_node_similarity": _node_sim_sql(min_shared=1, top_k=100),
         "t18_token_stats": f"""
             SELECT doc_id,
                    CAST(len({toks}) AS BIGINT) AS n_ws_tokens,

@@ -449,3 +449,70 @@ def shortest_paths(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def node_similarity_jaccard(
+    pairs: DataFrame,
+    min_shared: int = 2,
+    top_k: int = 100,
+    salt_above: int | None = 256,
+    max_salts: int = 16,
+) -> DataFrame:
+    """Structural 'related entities': neighbor-set Jaccard similarity
+    between node pairs of an undirected graph (the graph-native analog of
+    the reference's SIMILAR_TO edges, ``graph_service.py:403-458`` — there
+    derived from embedding cosine, here from shared graph context).
+
+    For nodes x < y sharing ≥ ``min_shared`` neighbors:
+    ``jaccard = |N(x)∩N(y)| / (|N(x)| + |N(y)| − |N(x)∩N(y)|)``.
+    Returns (node_a, node_b, shared_neighbors, jaccard) — top ``top_k`` by
+    (jaccard DESC, node_a, node_b), a total order so the cut is
+    deterministic.
+
+    Scale: the common-neighbor wedge join is the same d²-per-hot-key shape
+    as :func:`shared_entity_pairs`, so it goes THROUGH that operator — the
+    undirected adjacency (u→neighbor) is re-cast as a (src, tgt) posting
+    list and gets the identical degree-aware salting (hot neighbors split
+    across salt slots, exact counts preserved). Degrees come from one
+    extra aggregate over the canonical edge list; the final top-k is a
+    TakeOrdered (no full sort). ``min_shared`` prunes the quadratic pair
+    output before the degree joins."""
+    e0 = _canonical_undirected(pairs)
+    und = e0.select(F.col("u"), F.col("v")).unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # wedge join: nodes sharing a neighbor == postings (src=node, tgt=neighbor)
+    common = shared_entity_pairs(
+        und.select(
+            F.col("u").alias("from_node_id"), F.col("v").alias("to_node_id")
+        ),
+        None,
+        salt_above,
+        max_salts,
+    ).filter(F.col("shared_count") >= min_shared)
+    deg = (
+        und.groupBy(F.col("u").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        common.join(
+            deg.select(F.col("node_id").alias("node_a"), F.col("degree").alias("da")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("node_id").alias("node_b"), F.col("degree").alias("db")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            F.col("shared_count").alias("shared_neighbors"),
+            F.round(
+                F.col("shared_count")
+                / (F.col("da") + F.col("db") - F.col("shared_count")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "node_a", "node_b")
+        .limit(top_k)
+    )

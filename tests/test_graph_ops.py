@@ -94,3 +94,41 @@ def test_triangle_count(spark):
     assert cc["a"] == (3, 1.0) and cc["b"] == (3, 1.0) and cc["c"] == (3, 1.0)
     assert cc["d"] == (4, 0.5)  # 3 triangles of 6 possible neighbor pairs
     assert cc["e"] == (1, 0.0) and cc["f"] == (1, 0.0)
+
+
+def test_node_similarity_jaccard(spark):
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        node_similarity_jaccard,
+    )
+
+    # path a-b-c-d plus edge a-c:
+    #   N(a)={b,c} N(b)={a,c} N(c)={a,b,d} N(d)={c}
+    # common neighbors: (a,b)={c}, (a,c)={b}, (b,c)={a}, (a,d)={c},
+    # (b,d)={c}; (c,d) share none
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    pairs = spark.createDataFrame(edges, "node_a string, node_b string")
+    got = {
+        (r.node_a, r.node_b): (r.shared_neighbors, r.jaccard)
+        for r in node_similarity_jaccard(pairs, min_shared=1, top_k=10).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, round(1 / 3, 6)),   # |{c}| / |{a,b,c}|
+        ("a", "c"): (1, 0.25),              # |{b}| / |{a,b,c,d}|
+        ("b", "c"): (1, 0.25),              # |{a}| / |{a,b,c,d}|
+        ("a", "d"): (1, round(1 / 2, 6)),   # |{c}| / |{b,c}|... N(a)∪N(d)={b,c}
+        ("b", "d"): (1, 0.5),               # |{c}| / |{a,c}|
+    }
+    # min_shared prunes single-neighbor pairs; duplicates/reversed edges
+    # change nothing
+    noisy = pairs.unionByName(
+        spark.createDataFrame([("b", "a"), ("c", "b")], "node_a string, node_b string")
+    )
+    assert node_similarity_jaccard(noisy, min_shared=2, top_k=10).count() == 0
+    got2 = {
+        (r.node_a, r.node_b): (r.shared_neighbors, r.jaccard)
+        for r in node_similarity_jaccard(noisy, min_shared=1, top_k=10).collect()
+    }
+    assert got2 == got
+    # top_k cuts on the (jaccard DESC, ids) total order
+    top2 = node_similarity_jaccard(pairs, min_shared=1, top_k=2).collect()
+    assert [(r.node_a, r.node_b) for r in top2] == [("a", "d"), ("b", "d")]
