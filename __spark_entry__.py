@@ -932,6 +932,19 @@ def g26_node_similarity(spark, sf_dir):
     )
 
 
+def t21_source_curation(spark, sf_dir):
+    """Per-source corpus health report (operators/curation.py::
+    source_curation_report): volume, exact-dup rate, mean alpha quality,
+    token volume, English share — the per-domain dashboard row of a
+    web-scale ingest. One scan → one hash aggregate; all per-doc features
+    are pure Catalyst column math."""
+    from research_knowledge_graph_spark.operators.curation import (
+        source_curation_report,
+    )
+
+    return source_curation_report(_t(spark, sf_dir, "documents"))
+
+
 def t18_token_stats(spark, sf_dir):
     """Token accounting per document — the numbers every LLM-training
     mixture is budgeted in: whitespace token count, BPE-ish pre-tokenizer
@@ -1138,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # has no cap).
     return {
         "g26_node_similarity": g26_node_similarity,
+        "t21_source_curation": t21_source_curation,
         "g25_k_core": g25_k_core,
         "t18_token_stats": t18_token_stats,
         "t19_winnow_fingerprints": t19_winnow_fingerprints,
@@ -1394,7 +1408,9 @@ def _node_sim_sql(min_shared: int = 2, top_k: int = 100) -> str:
     )
 
 
-def _langid_sql() -> str:
+def _lang_case_parts() -> tuple[str, str]:
+    """(scores_sel, case_expr) for the marker-count language guess —
+    shared by the t03 and t21 oracles."""
     toks = "list_transform(" + _TOKENS.format(col="lower(text)") + ", w -> w)"
     score = {
         lang: f"len(list_filter({toks}, w -> w IN ({', '.join(repr(m) for m in markers)})))"
@@ -1405,10 +1421,47 @@ def _langid_sql() -> str:
         f"WHEN s_{lg} = {max_expr} THEN '{lg}'" for lg in _LANG_MARKERS
     ) + " END"
     scores_sel = ", ".join(f"{expr} AS s_{lg}" for lg, expr in score.items())
+    return scores_sel, case
+
+
+def _langid_sql() -> str:
+    scores_sel, case = _lang_case_parts()
     return (
         f"WITH scored AS (SELECT {scores_sel} FROM documents) "
         f"SELECT {case} AS lang_guess, count(*) AS n FROM scored GROUP BY 1"
     )
+
+
+def _source_curation_sql() -> str:
+    """t21's oracle: per-source volume / dup-rate / quality / token /
+    language report over the same per-doc feature expressions the t02-t04
+    oracles pin individually."""
+    scores_sel, case = _lang_case_parts()
+    toks = _TOKENS.format(col="text")
+    alpha = (
+        "CASE WHEN length(text) > 0 THEN"
+        " CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END"
+    )
+    return f"""
+        WITH feat AS (
+            SELECT source, {_fingerprint_sql('text')} AS fp,
+                   {alpha} AS alpha,
+                   CAST(len({toks}) AS BIGINT) AS n_tokens,
+                   {scores_sel}
+            FROM documents
+        ), scored AS (
+            SELECT source, fp, alpha, n_tokens, {case} AS lang FROM feat
+        )
+        SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+               round(avg(alpha), 6) AS avg_alpha,
+               sum(n_tokens) AS total_tokens,
+               round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS en_share
+        FROM scored GROUP BY source
+    """
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -1667,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "t03_langid": _langid_sql(),
+        "t21_source_curation": _source_curation_sql(),
         "t04_exact_dedup": f"""
             SELECT source, count(*) AS n_docs, count(DISTINCT {_fingerprint_sql('text')}) AS n_unique
             FROM documents GROUP BY source

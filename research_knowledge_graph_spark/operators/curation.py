@@ -76,3 +76,53 @@ def quality_floor_filter(
         .filter(F.col("score6") > F.col("_floor6"))
         .drop("_floor6")
     )
+
+
+def source_curation_report(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus health report — the dashboard row a web-scale
+    ingest keeps per domain/crawl-source when deciding what to keep in a
+    training mixture: volume, exact-dup rate, mean quality, token volume,
+    and English share.
+
+    Returns one row per source:
+    (source, n_docs, n_unique, dup_rate, avg_alpha, total_tokens, en_share).
+
+    Scale: one scan computing the per-doc features (fingerprint, alpha
+    ratio, token count, language guess — all pure Catalyst column math,
+    map-side) into ONE hash aggregate keyed by source. ``countDistinct``
+    keyed by (source, fp) is the only expansion; output is #sources rows.
+    At head-domain skew the distinct-count can go through the same
+    two-phase salted countDistinct as A2 (functions/salt.py) — not needed
+    at the default source cardinality where the single agg's partial
+    (map-side) combine already bounds the shuffle to #sources×#partitions
+    rows."""
+    from research_knowledge_graph_spark.functions.textops import (
+        fingerprint_col,
+        lang_id_col,
+        quality_features_cols,
+    )
+
+    q = quality_features_cols(text_col)
+    scored = docs.select(
+        F.col(source_col).alias("source"),
+        fingerprint_col(text_col).alias("fp"),
+        q["alpha_ratio"].alias("alpha"),
+        q["n_tokens"].alias("n_tokens"),
+        lang_id_col(text_col).alias("lang"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("alpha"), 6).alias("avg_alpha"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("en_share"),
+    )

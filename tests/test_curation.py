@@ -51,3 +51,29 @@ def test_quality_floor_filter(spark):
     assert per_src == {"0": 9, "1": 9}  # exactly the floor row dropped
     assert kept.filter(F.col("score6") <= 0.9).count() == 0
     assert "score6" in kept.columns and "_floor6" not in kept.columns
+
+
+def test_source_curation_report(spark):
+    from research_knowledge_graph_spark.operators.curation import (
+        source_curation_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # srcA: 3 docs, one exact dup pair (whitespace/case-normalized),
+            # all English-markered
+            (1, "the and is a test", "srcA"),
+            (2, "The  and is a TEST", "srcA"),
+            (3, "the quick brown fox and the dog", "srcA"),
+            # srcB: 1 doc, no markers of any language -> 'und'
+            (4, "zzz qqq", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_curation_report(docs).collect()}
+    a, b = got["srcA"], got["srcB"]
+    assert (a.n_docs, a.n_unique) == (3, 2)
+    assert a.dup_rate == round(1 - 2 / 3, 6)
+    assert a.total_tokens == 5 + 5 + 7
+    assert a.en_share == 1.0
+    assert (b.n_docs, b.n_unique, b.dup_rate, b.en_share) == (1, 1, 0.0, 0.0)
