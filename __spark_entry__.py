@@ -875,6 +875,23 @@ def e07_hybrid_search_rrf(spark, sf_dir):
     return rrf_fuse([lex.select("doc_id", "rank"), sem], limit=20)
 
 
+def e08_mmr_rerank(spark, sf_dir):
+    """MMR-diversified top-5 retrieval for 3 query vectors
+    (operators/similarity.py::mmr_rerank): distributed top-20 relevance
+    pool (broadcast-query scan + per-query window), then the inherently
+    sequential greedy λ-tradeoff rerank runs per-query-group inside ONE
+    Arrow-batched applyInPandas — thousands of queries rerank in
+    parallel at scale. All comparisons happen on 9-decimal-rounded
+    cosines (the knn discipline), ties by vec_id, so the greedy pick
+    sequence is bit-reproducible and the oracle (a k-step unrolled
+    argmax CTE cascade) is exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.mmr_rerank(e, q, k=5, pool=20, lam=0.7)
+
+
 def v06_asof_forward(spark, sf_dir):
     """FORWARD as-of join (operators/temporal.py, direction='forward'):
     for each error event, the same user's NEXT purchase at or after it —
@@ -1152,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g26_node_similarity": g26_node_similarity,
         "t21_source_curation": t21_source_curation,
+        "e08_mmr_rerank": e08_mmr_rerank,
         "g25_k_core": g25_k_core,
         "t18_token_stats": t18_token_stats,
         "t19_winnow_fingerprints": t19_winnow_fingerprints,
@@ -1238,6 +1256,60 @@ def _cosine_sql(a: str, b: str) -> str:
         f"CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) > 0 "
         f"THEN list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
         f"ELSE 0.0 END"
+    )
+
+
+def _mmr_sql(nq: int = 3, pool: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """e08's oracle: the greedy MMR selection unrolled as a k-step argmax
+    CTE cascade. Every comparison happens on 9-decimal-rounded cosines and
+    the λ-arithmetic runs on identical doubles in both engines, so the
+    pick sequence is exact — same unroll-the-iterations playbook as the
+    LPA/k-core oracles. AS MATERIALIZED throughout: cand/ps/all_i are
+    each referenced by every later step, so default CTE inlining would
+    blow up exponentially in k (the k-core fd-exhaustion lesson)."""
+    cos_qd = _cosine_sql("qv", "dv")
+    cos_ab = _cosine_sql("ea.dv", "eb.dv")
+    w_rel = repr(lam)  # 0.7 and 1-0.7 parse to the identical doubles
+    w_red = repr(1.0 - lam)  # numpy's (1.0 - lam) computes
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+        f" FROM embeddings WHERE vec_id < {nq})",
+        "d AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)",
+        f"s AS MATERIALIZED (SELECT query_id, vec_id, round({cos_qd}, 9) AS rel9"
+        " FROM q CROSS JOIN d WHERE query_id <> vec_id)",
+        "cand AS MATERIALIZED (SELECT query_id, vec_id, rel9 FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel9 DESC, vec_id) AS rn"
+        f" FROM s) WHERE rn <= {pool})",
+        f"ps AS MATERIALIZED (SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib, round({cos_ab}, 9) AS s9"
+        " FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id"
+        " JOIN d ea ON ea.vec_id = a.vec_id JOIN d eb ON eb.vec_id = b.vec_id)",
+        "all1 AS MATERIALIZED (SELECT query_id, vec_id, rel9, 1 AS rank FROM ("
+        "SELECT query_id, vec_id, rel9, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY rel9 DESC, vec_id) AS rn FROM cand) WHERE rn = 1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"pick{i} AS MATERIALIZED (SELECT query_id, vec_id, rel9, {i} AS rank FROM ("
+            "SELECT x.query_id, x.vec_id, x.rel9, row_number() OVER ("
+            f"PARTITION BY x.query_id ORDER BY CAST({w_rel} AS DOUBLE) * x.rel9"
+            f" - CAST({w_red} AS DOUBLE) * x.mx DESC, x.vec_id) AS rn FROM ("
+            "SELECT c.query_id, c.vec_id, c.rel9, max(p.s9) AS mx FROM cand c"
+            f" JOIN all{i - 1} sel ON sel.query_id = c.query_id"
+            " JOIN ps p ON p.query_id = c.query_id AND p.ia = c.vec_id"
+            " AND p.ib = sel.vec_id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM all{i - 1} z"
+            " WHERE z.query_id = c.query_id AND z.vec_id = c.vec_id)"
+            " GROUP BY c.query_id, c.vec_id, c.rel9) x) WHERE rn = 1)"
+        )
+        parts.append(
+            f"all{i} AS MATERIALIZED (SELECT * FROM all{i - 1}"
+            f" UNION ALL SELECT * FROM pick{i})"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT query_id, CAST(rank AS INT) AS rank, vec_id,"
+        f" round(rel9, 6) AS relevance FROM all{k}"
     )
 
 
@@ -2030,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e ASOF JOIN p
               ON e.user_id = p.user_id AND e.error_us <= p.purchase_us
         """,
+        "e08_mmr_rerank": _mmr_sql(nq=3, pool=20, k=5, lam=0.7),
         "e07_hybrid_search_rrf": f"""
             WITH lex AS (
                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank

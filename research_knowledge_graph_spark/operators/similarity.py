@@ -152,3 +152,100 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round(F.col("_score9"), 6).alias("cosine"))
     )
+
+
+def mmr_rerank(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k retrieval: greedily
+    pick ``k`` of the ``pool`` most-relevant candidates per query,
+    trading relevance against redundancy —
+    ``score(c) = λ·cos(q,c) − (1−λ)·max_{s∈selected} cos(c,s)`` —
+    the standard serving-side rerank that stops a near-dup cluster from
+    monopolizing a result page. Returns (query_id, rank, vec_id,
+    relevance).
+
+    Scale: candidate generation is the distributed part — the same
+    broadcast-query scan + per-query top-``pool`` window as
+    :func:`knn_bruteforce` (swap in the LSH/IVF variants for the 100-TB
+    path; the rerank is agnostic to how the pool was produced). The
+    greedy rerank is inherently sequential in ``k`` but local to ONE
+    query's ≤``pool`` rows, so it runs as ``applyInPandas`` over the
+    query_id groups: thousands of queries rerank in parallel, each group
+    Arrow-batched, no driver round-trip. Determinism: relevance and
+    pairwise cosines are rounded to 9 decimals before any comparison
+    (same discipline as knn_bruteforce), ties broken by vec_id ASC.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    d = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(d)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "vec",
+            F.round(cosine_col(F.col("qv"), F.col("vec")), 9).alias("rel9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel9"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .drop("rn")
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel9", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        # pairwise cosine with the SAME algebra as cosine_col/cosine_sql:
+        # dot / (||a||·||b||), 0.0 on zero norm, rounded to 9
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (m @ m.T) / denom, 0.0)
+        sims = np.round(sims, 9)
+        rel = pdf["rel9"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = [0]  # row 0 = argmax (rel9 DESC, vec_id ASC)
+        while len(selected) < min(k, n):
+            red = sims[:, selected].max(axis=1)
+            score = lam * rel - (1.0 - lam) * red
+            best = None
+            for i in range(n):
+                if i in selected:
+                    continue
+                key = (-score[i], ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i)
+            selected.append(best[1])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(len(selected)).to_numpy(),
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                "vec_id": ids[selected],
+                "relevance": np.round(rel[selected], 6),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id long, rank int, vec_id long, relevance double",
+    )

@@ -62,3 +62,35 @@ def test_embedding_near_dups_requires_block(spark):
     # label-blocked truth set (near-identical vectors share sign patterns)
     if blocked:
         assert len(auto & blocked) / len(blocked) >= 0.8
+
+
+def test_mmr_rerank_diversifies(spark):
+    from research_knowledge_graph_spark.operators.similarity import mmr_rerank
+
+    # query q points along x; candidates: 10/11 nearly parallel to x
+    # (near-dups of each other), 12 off-axis but still relevant.
+    # Pure relevance ranks (10, 11, 12); MMR at λ=0.5 must demote the
+    # near-dup 11 (sim to 10 ≈ 0.99995 → score ≈ −0.003) below the
+    # diverse 12 (sim to 10 ≈ 0.796 → score ≈ +0.002).
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (10, [0.99, 0.10, 0.0]),
+        (11, [0.99, 0.11, 0.0]),
+        (12, [0.80, 0.0, 0.60]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = (
+        mmr_rerank(e, q, k=3, pool=10, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [10, 12, 11]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # relevance column preserves the query cosine (rank-1 is the argmax)
+    assert got[0].relevance == max(r.relevance for r in got)
+    # λ=1.0 degenerates to pure relevance order
+    pure = mmr_rerank(e, q, k=3, pool=10, lam=1.0).orderBy("rank").collect()
+    assert [r.vec_id for r in pure] == [10, 11, 12]
