@@ -875,6 +875,22 @@ def e07_hybrid_search_rrf(spark, sf_dir):
     return rrf_fuse([lex.select("doc_id", "rank"), sem], limit=20)
 
 
+def v07_cooccurrence_graph(spark, sf_dir):
+    """Graph construction from the event log (operators/temporal.py::
+    cooccurrence_graph): users acting in the same (event_type, hour)
+    block become weighted edges — the temporal analog of the pipeline's
+    cross-document entity linking, built through the same degree-aware
+    salted pair join as g06. Top-100 by (weight DESC, ids)."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.temporal import (
+        cooccurrence_graph,
+    )
+
+    return cooccurrence_graph(
+        _t(spark, sf_dir, "events"), min_weight=2, top_k=100
+    )
+
+
 def e08_mmr_rerank(spark, sf_dir):
     """MMR-diversified top-5 retrieval for 3 query vectors
     (operators/similarity.py::mmr_rerank): distributed top-20 relevance
@@ -1170,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g26_node_similarity": g26_node_similarity,
         "t21_source_curation": t21_source_curation,
         "e08_mmr_rerank": e08_mmr_rerank,
+        "v07_cooccurrence_graph": v07_cooccurrence_graph,
         "g25_k_core": g25_k_core,
         "t18_token_stats": t18_token_stats,
         "t19_winnow_fingerprints": t19_winnow_fingerprints,
@@ -2103,6 +2120,21 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = p.user_id AND e.error_us <= p.purchase_us
         """,
         "e08_mmr_rerank": _mmr_sql(nq=3, pool=20, k=5, lam=0.7),
+        "v07_cooccurrence_graph": """
+            WITH b AS (
+                SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid,
+                       event_type || '|' ||
+                       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS blk
+                FROM events
+            ),
+            cn AS (
+                SELECT a.uid AS user_a, c.uid AS user_b, count(*) AS weight
+                FROM b a JOIN b c ON a.blk = c.blk AND a.uid < c.uid
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT user_a, user_b, weight FROM cn
+            ORDER BY weight DESC, user_a, user_b LIMIT 100
+        """,
         "e07_hybrid_search_rrf": f"""
             WITH lex AS (
                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank

@@ -272,3 +272,57 @@ def range_join_banded(
         )
         .drop("_band", "_lus", "_rus")
     )
+
+
+def cooccurrence_graph(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    context_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    window: str = "hour",
+    min_weight: int = 1,
+    top_k: int | None = None,
+    salt_above: int | None = 256,
+) -> DataFrame:
+    """Graph construction from an event log: actors become nodes, and two
+    actors are linked when they act in the same context block (same
+    ``context_cols`` within the same truncated ``window``), with edge
+    weight = number of distinct shared blocks. The temporal analog of the
+    pipeline's cross-document entity linking — co-occurrence IS the
+    relationship signal when no explicit edge exists (session graphs,
+    co-editing graphs, co-purchase graphs).
+
+    Returns (user_a, user_b, weight), user_a < user_b; ``top_k`` applies
+    a deterministic (weight DESC, ids) TakeOrdered cut.
+
+    Scale: a hot block with d actors yields d²/2 pairs — exactly the
+    shared-target blowup of :func:`graph_queries.shared_entity_pairs`, so
+    the pair enumeration is delegated to it: blocks become posting
+    targets and get the same degree-aware salting above ``salt_above``
+    actors per block. The block id is computed map-side (one date_trunc +
+    concat, no UDF) and the DISTINCT inside shared_entity_pairs collapses
+    an actor's repeat events in a block before any join."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        shared_entity_pairs,
+    )
+
+    blk = F.concat_ws(
+        "|",
+        *[F.col(c).cast("string") for c in context_cols],
+        F.date_format(F.date_trunc(window, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"),
+    )
+    postings = events.select(
+        F.col(actor_col).cast("string").alias("from_node_id"),
+        blk.alias("to_node_id"),
+    )
+    pairs = shared_entity_pairs(postings, None, salt_above).filter(
+        F.col("shared_count") >= min_weight
+    )
+    out = pairs.select(
+        F.col("node_a").alias("user_a"),
+        F.col("node_b").alias("user_b"),
+        F.col("shared_count").alias("weight"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("weight"), "user_a", "user_b").limit(top_k)
+    return out

@@ -308,3 +308,30 @@ def test_asof_forward_split_parity(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, ["k"], "lts", "rts", ["rid"], direction="sideways")
+
+
+def test_cooccurrence_graph(spark):
+    from research_knowledge_graph_spark.operators.temporal import (
+        cooccurrence_graph,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 5)
+    t0b = datetime.datetime(2026, 1, 1, 10, 40)  # same hour block as t0
+    t1 = datetime.datetime(2026, 1, 1, 11, 5)    # next hour
+    rows = [
+        # block (click, 10h): users 1,2,3 — user 1 twice (collapsed)
+        (1, "click", t0), (1, "click", t0b), (2, "click", t0), (3, "click", t0b),
+        # block (click, 11h): users 1,2 → second shared block for (1,2)
+        (1, "click", t1), (2, "click", t1),
+        # block (view, 10h): user 3 alone → no pairs
+        (3, "view", t0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r.user_a, r.user_b): r.weight
+        for r in cooccurrence_graph(ev, min_weight=1).collect()
+    }
+    assert got == {("1", "2"): 2, ("1", "3"): 1, ("2", "3"): 1}
+    # min_weight prunes, top_k cuts on the (weight DESC, ids) order
+    top = cooccurrence_graph(ev, min_weight=2, top_k=5).collect()
+    assert [(r.user_a, r.user_b, r.weight) for r in top] == [("1", "2", 2)]
