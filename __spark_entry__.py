@@ -1178,7 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict entries. Newest / least-recently-driver-checked oracle entries go
     # FIRST; the tail (positions 51+) holds the rows-only no_oracle entries
     # (their driver check is weakest, so excluding them loses least) plus a
-    # small rotating slice of long-green oracle entries (g01/g02/g07/g12/
+    # small rotating slice of long-green oracle entries (q01/q03/q05/g10/g01/g02/g03/g07/g12/
     # g13/t03 this round — driver-green since round ≤3 and re-confirmed in
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
@@ -1198,15 +1198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v06_asof_forward": v06_asof_forward,
         "e07_hybrid_search_rrf": e07_hybrid_search_rrf,
         "g23_louvain_refine": g23_louvain_refine,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_top_revenue": q03_top_revenue,
-        "q05_window_top3": q05_window_top3,
         "g04_influence_topk": g04_influence_topk,
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
         "g08_recursive_chain": g08_recursive_chain,
         "g09_bfs": g09_bfs,
-        "g10_recent_orders": g10_recent_orders,
         "g14_motif_triangle": g14_motif_triangle,
         "g15_connected_components": g15_connected_components,
         "t01_normalize_labels": t01_normalize_labels,
@@ -1238,6 +1234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_community_modularity": g22_community_modularity,
         "v01_hourly_rollup": v01_hourly_rollup,
         # ---- driver 50-entry window boundary ----
+        "g10_recent_orders": g10_recent_orders,
+        "q05_window_top3": q05_window_top3,
+        "q03_top_revenue": q03_top_revenue,
+        "q01_pricing_summary": q01_pricing_summary,
         "g01_node_type_counts": g01_node_type_counts,
         "g02_neighbors_out": g02_neighbors_out,
         "g03_two_hop": g03_two_hop,
