@@ -965,6 +965,19 @@ def g26_node_similarity(spark, sf_dir):
     )
 
 
+def g27_k_truss(spark, sf_dir):
+    """k-truss (k=3) of the order co-usage graph (operators/
+    communities.py::k_truss): the maximal subgraph where every edge sits
+    in >=1 triangle, with per-edge triangle support — the edge-level
+    sibling of g25's k-core and the standard community-nucleus
+    extractor. Fixed 8-round peel mirrored by an unrolled triple-join
+    CTE cascade; integer-exact, fully hash-checked."""
+    from research_knowledge_graph_spark.operators.communities import k_truss
+
+    pairs = _couse_pairs(spark, sf_dir)
+    return k_truss(pairs.select("node_a", "node_b"), k=3, max_iter=8)
+
+
 def t21_source_curation(spark, sf_dir):
     """Per-source corpus health report (operators/curation.py::
     source_curation_report): volume, exact-dup rate, mean alpha quality,
@@ -1178,13 +1191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict entries. Newest / least-recently-driver-checked oracle entries go
     # FIRST; the tail (positions 51+) holds the rows-only no_oracle entries
     # (their driver check is weakest, so excluding them loses least) plus a
-    # small rotating slice of long-green oracle entries (q01/q03/q05/g10/g01/g02/g03/g07/g12/
+    # small rotating slice of long-green oracle entries (q01/q03/q05/g09/g10/g01/g02/g03/g07/g12/
     # g13/t03 this round — driver-green since round ≤3 and re-confirmed in
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
         "g26_node_similarity": g26_node_similarity,
         "t21_source_curation": t21_source_curation,
+        "g27_k_truss": g27_k_truss,
         "e08_mmr_rerank": e08_mmr_rerank,
         "v07_cooccurrence_graph": v07_cooccurrence_graph,
         "g25_k_core": g25_k_core,
@@ -1202,7 +1216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
         "g08_recursive_chain": g08_recursive_chain,
-        "g09_bfs": g09_bfs,
         "g14_motif_triangle": g14_motif_triangle,
         "g15_connected_components": g15_connected_components,
         "t01_normalize_labels": t01_normalize_labels,
@@ -1234,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_community_modularity": g22_community_modularity,
         "v01_hourly_rollup": v01_hourly_rollup,
         # ---- driver 50-entry window boundary ----
+        "g09_bfs": g09_bfs,
         "g10_recent_orders": g10_recent_orders,
         "q05_window_top3": q05_window_top3,
         "q03_top_revenue": q03_top_revenue,
@@ -1470,6 +1484,44 @@ def _kcore_sql(k: int = 3, iters: int = 16) -> str:
         + f" SELECT e.u AS node_id, count(*) AS core_degree FROM e"
         f" JOIN a{iters} x ON x.u = e.u JOIN a{iters} y ON y.u = e.v"
         f" GROUP BY e.u HAVING count(*) >= {k}"
+    )
+
+
+def _ktruss_sql(k: int = 3, iters: int = 8) -> str:
+    """g27's oracle: unrolled k-truss peel over the co-usage graph. Round
+    i re-enumerates triangles over the round-(i-1) surviving edge list
+    with a plain id-ordered triple join (orientation-invariant, so it is
+    a valid oracle for the degree-oriented Spark enumeration), explodes
+    each triangle into its 3 canonical edges, and drops edges under k-2
+    support. Integer-exact survivor sets + identity post-fixpoint rounds
+    = unconditional parity at equal unroll depth (the k-core argument
+    lifted to edges). AS MATERIALIZED: every c_i is referenced 4x."""
+    parts = [
+        p.replace(" AS (", " AS MATERIALIZED (", 1)
+        for p in _lpa_parts(False, 0)[:2]  # pe, co blocks (co: u < v)
+    ]
+    parts.append("c0 AS MATERIALIZED (SELECT u, v FROM co)")
+    for i in range(1, iters + 1):
+        parts.append(
+            f"tri{i} AS MATERIALIZED (SELECT t1.u AS a, t1.v AS b, t2.v AS c"
+            f" FROM c{i - 1} t1 JOIN c{i - 1} t2 ON t2.u = t1.u AND t2.v > t1.v"
+            f" JOIN c{i - 1} t3 ON t3.u = t1.v AND t3.v = t2.v)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT u, v, count(*) AS support FROM ("
+            f"SELECT a AS u, b AS v FROM tri{i}"
+            f" UNION ALL SELECT a AS u, c AS v FROM tri{i}"
+            f" UNION ALL SELECT b AS u, c AS v FROM tri{i}) GROUP BY u, v)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.u, e.v FROM c{i - 1} e"
+            f" JOIN s{i} s ON s.u = e.u AND s.v = e.v WHERE s.support >= {k - 2})"
+        )
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(parts)
+        + f" SELECT e.u AS node_a, e.v AS node_b, s.support FROM c{iters} e"
+        f" JOIN s{iters} s ON s.u = e.u AND s.v = e.v"
     )
 
 
@@ -1906,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "g23_louvain_refine": _louvain_sql(),
         "g25_k_core": _kcore_sql(k=2),
         "g26_node_similarity": _node_sim_sql(min_shared=1, top_k=100),
+        "g27_k_truss": _ktruss_sql(k=3, iters=8),
         "t18_token_stats": f"""
             SELECT doc_id,
                    CAST(len({toks}) AS BIGINT) AS n_ws_tokens,

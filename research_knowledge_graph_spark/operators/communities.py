@@ -313,3 +313,74 @@ def k_core(pairs: DataFrame, k: int = 3, max_iter: int = 16) -> DataFrame:
         .filter(F.col("core_degree") >= k)
         .select(F.col("u").alias("node_id"), "core_degree")
     )
+
+
+def k_truss(pairs: DataFrame, k: int = 3, max_iter: int = 8) -> DataFrame:
+    """(node_a, node_b) undirected edges → the k-truss: the maximal
+    subgraph in which every EDGE participates in ≥ k−2 triangles. The
+    edge-level sibling of :func:`k_core` — strictly stronger cohesion
+    (every k-truss sits inside the (k−1)-core) and the standard
+    community-nucleus extractor. Returns surviving edges
+    (node_a, node_b, support) with their final-round triangle support.
+
+    Algorithm: synchronous peel. Round i enumerates triangles over the
+    round-(i−1) surviving edge list (the degree-oriented wedge join of
+    graph_queries._enumerate_triangles — each triangle found once, hot-
+    degree d² wedge blowup capped at the low end), explodes each triangle
+    into its 3 canonical edges, hash-aggregates per-edge support, and
+    drops edges under k−2. Survivor sets are integer-exact deterministic
+    functions of the previous round, post-fixpoint rounds are the
+    identity, so a fixed ``max_iter`` unroll matches the driver oracle's
+    CTE cascade unconditionally (the k_core argument, lifted to edges).
+    Early exit when a round drops nothing; ``localCheckpoint`` truncates
+    the per-round lineage."""
+    if k < 3:
+        raise ValueError("k_truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        _canonical_undirected,
+        _enumerate_triangles,
+    )
+
+    e = _canonical_undirected(pairs).localCheckpoint(eager=True)
+    n_edges = e.count()
+    sup = None
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("u").alias("node_id"))
+            .unionByName(e.select(F.col("v").alias("node_id")))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        tris = _enumerate_triangles(e, deg)
+        edge3 = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                    ),
+                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        sup = edge3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+        kept = (
+            e.join(sup, ["u", "v"], "left")
+            .withColumn("support", F.coalesce("support", F.lit(0)))
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+        n_kept = kept.count()
+        e = kept.select("u", "v")
+        if n_kept == n_edges:
+            return kept.select(
+                F.col("u").alias("node_a"),
+                F.col("v").alias("node_b"),
+                "support",
+            )
+        n_edges = n_kept
+    return kept.select(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b"), "support"
+    )

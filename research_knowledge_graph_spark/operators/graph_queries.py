@@ -322,6 +322,24 @@ def _triangle_internals(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+    tris = _enumerate_triangles(e0, deg)
+    per = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = deg.select("node_id").join(per, "node_id", "left").select(
+        "node_id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+    return counts, deg
+
+
+def _enumerate_triangles(e0: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented triangle enumeration over an id-canonical edge list
+    ``e0`` (u < v) with node ``deg``rees: returns each triangle exactly
+    once as (a, b, c) where a is the orientation apex and b < c (see
+    :func:`_triangle_internals` for the scale rationale). Shared by the
+    per-node counters and the k-truss per-edge support."""
     with_deg = (
         e0.join(
             deg.select(F.col("node_id").alias("u"), F.col("degree").alias("du")),
@@ -358,15 +376,7 @@ def _triangle_internals(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("w2.dst").alias("c"),
         )
     )
-    per = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    counts = deg.select("node_id").join(per, "node_id", "left").select(
-        "node_id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
-    )
-    return counts, deg
+    return tris
 
 
 def triangle_count(pairs: DataFrame) -> DataFrame:

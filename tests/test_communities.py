@@ -202,3 +202,34 @@ def test_kcore_duplicate_and_reversed_edges_collapse(spark):
     p = spark.createDataFrame(noisy, "node_a string, node_b string")
     got = {(r.node_id, r.core_degree) for r in k_core(p, k=2).collect()}
     assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+
+def test_k_truss(spark):
+    from research_knowledge_graph_spark.operators.communities import k_truss
+
+    # K4 on {a,b,c,d} (every edge in 2 triangles), a separate triangle
+    # {x,y,z} (every edge in 1), a pendant edge d-e (0 triangles)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("d", "e"),
+    ]
+    pairs = spark.createDataFrame(edges, "node_a string, node_b string")
+    t3 = {
+        (r.node_a, r.node_b): r.support for r in k_truss(pairs, k=3).collect()
+    }
+    k4 = {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")}
+    tri = {("x", "y"), ("x", "z"), ("y", "z")}
+    assert set(t3) == k4 | tri
+    assert all(t3[e] == 2 for e in k4) and all(t3[e] == 1 for e in tri)
+    # k=4: only K4 survives (support >= 2)
+    t4 = {
+        (r.node_a, r.node_b): r.support for r in k_truss(pairs, k=4).collect()
+    }
+    assert set(t4) == k4 and all(v == 2 for v in t4.values())
+    # k=5 empties it: dropping to support>=3 kills K4 edges in cascade
+    assert k_truss(pairs, k=5).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_truss(pairs, k=2)
