@@ -225,7 +225,10 @@ def winnow_fingerprints_col(
     aggregates the fingerprints)."""
     from research_knowledge_graph_spark.functions.hashing import portable_hash64
 
-    c = F.col(col) if isinstance(col, str) else col
+    # NULL text behaves like '' (one empty-gram fingerprint) — matching
+    # the SQL rendering's COALESCE, so t19/t20 stay oracle-exact on a
+    # nullable-text corpus
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     toks = F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != F.lit(""))
     n = F.size(toks)
     grams = F.when(

@@ -294,7 +294,12 @@ def k_core(pairs: DataFrame, k: int = 3, max_iter: int = 16) -> DataFrame:
     e = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    n_alive = e.select("u").distinct().count()
+    # convergence probe on the EDGE count: every peeled node had degree
+    # ≥ 1 (it appeared in e), so a round that removes any node removes
+    # at least one edge — edge count stalls iff the peel stalled. A
+    # shuffle-free count over the just-checkpointed frame, vs the
+    # distinct-node probe's extra exchange per round.
+    n_edges = e.count()
     for _ in range(max_iter):
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
         alive = deg.filter(F.col("core_degree") >= k).select("u")
@@ -303,10 +308,10 @@ def k_core(pairs: DataFrame, k: int = 3, max_iter: int = 16) -> DataFrame:
             .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n_now = e.select("u").distinct().count()
-        if n_now == n_alive:
+        n_now = e.count()
+        if n_now == n_edges:
             break
-        n_alive = n_now
+        n_edges = n_now
     return (
         e.groupBy("u")
         .agg(F.count(F.lit(1)).alias("core_degree"))
@@ -336,6 +341,8 @@ def k_truss(pairs: DataFrame, k: int = 3, max_iter: int = 8) -> DataFrame:
     the per-round lineage."""
     if k < 3:
         raise ValueError("k_truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    if max_iter < 1:
+        raise ValueError("k_truss needs max_iter >= 1")
     from research_knowledge_graph_spark.operators.graph_queries import (
         _canonical_undirected,
         _enumerate_triangles,
@@ -343,7 +350,6 @@ def k_truss(pairs: DataFrame, k: int = 3, max_iter: int = 8) -> DataFrame:
 
     e = _canonical_undirected(pairs).localCheckpoint(eager=True)
     n_edges = e.count()
-    sup = None
     for _ in range(max_iter):
         deg = (
             e.select(F.col("u").alias("node_id"))

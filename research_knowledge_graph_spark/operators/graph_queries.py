@@ -126,14 +126,9 @@ def shared_entity_pairs(
         e = e.filter(F.col("edge_type").isin(*entity_edge_types))
     pe = e.select(F.col("from_node_id").alias("src"), F.col("to_node_id").alias("tgt")).distinct()
     if salt_above is not None:
-        hot = (
-            pe.groupBy("tgt")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") > salt_above)
-        )
-        pe_deg = pe.join(hot, "tgt", "left").withColumn(
-            "deg", F.coalesce("deg", F.lit(1))
-        )
+        from research_knowledge_graph_spark.functions.salt import attach_hot_degrees
+
+        pe_deg = attach_hot_degrees(pe, "tgt", salt_above)
         sa, sb = salted_self_join_sides(pe_deg, "src", salt_above, max_salts)
         a, b = sa.alias("a"), sb.alias("b")
         cond = (

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from research_knowledge_graph_spark.functions.hashing import det_id
+from research_knowledge_graph_spark.functions.salt import attach_hot_degrees
 from research_knowledge_graph_spark.functions.sanitize import sanitize_string_col
 
 ENTITY_EDGE_CONFIDENCE = 1.0
@@ -270,24 +271,10 @@ def candidate_pairs(
     thresholds = [t for t in (max_block_degree, salt_above) if t is not None]
     need_degrees = bool(thresholds)
     if need_degrees:
-        # Hot-key-only degree attach (same fix as graph_queries.py::
-        # shared_entity_pairs): only keys hotter than the SMALLER threshold
-        # — at most |rows|/threshold keys by pigeonhole, in practice the
-        # Zipf head — are joined back; cold rows default to deg=1 without a
-        # second full shuffle of the posting table. Measured 2.2× degree-
-        # shuffle overhead on the query surface before this. Every key the
-        # cap or the salter must see exactly sits in the hot set (both
-        # thresholds ≥ the hot cutoff); the dim is not force-broadcast —
-        # AQE converts at runtime when it is actually small.
-        hot_above = min(thresholds)
-        hot = (
-            pe.groupBy("entity_id")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") > hot_above)
-        )
-        pe = pe.join(hot, "entity_id", "left").withColumn(
-            "deg", F.coalesce("deg", F.lit(1))
-        )
+        # hot-key-only degree attach at the smaller threshold (both
+        # consumers' cutoffs are ≥ it) — see functions/salt.py::
+        # attach_hot_degrees for the pigeonhole + AQE rationale
+        pe = attach_hot_degrees(pe, "entity_id", min(thresholds))
         if max_block_degree is not None:
             pe = pe.filter(F.col("deg") <= max_block_degree)
 
@@ -407,17 +394,8 @@ def incremental_candidate_pairs(
     thresholds = [t for t in (max_block_degree, salt_above) if t is not None]
     need_deg = bool(thresholds)
     if need_deg:
-        # hot-key-only degree attach — same rationale as candidate_pairs:
-        # only the Zipf head (deg > min threshold) is joined back; cold
-        # rows default to deg=1, no second full shuffle of the posting list
-        hot = (
-            pe.groupBy("entity_id")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") > min(thresholds))
-        )
-        pe = pe.join(hot, "entity_id", "left").withColumn(
-            "deg", F.coalesce("deg", F.lit(1))
-        )
+        # hot-key-only degree attach — salt.py::attach_hot_degrees rationale
+        pe = attach_hot_degrees(pe, "entity_id", min(thresholds))
         if max_block_degree is not None:
             pe = pe.filter(F.col("deg") <= max_block_degree)
 

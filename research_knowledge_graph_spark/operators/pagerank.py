@@ -140,9 +140,9 @@ def personalized_pagerank(
         .localCheckpoint(eager=True)
     )
     n_hit = nodes.filter(F.col("node_id").isin(*seeds)).count()
-    if n_hit < len(set(seeds)):
+    if n_hit < len(seeds):
         raise ValueError(
-            f"{len(set(seeds)) - n_hit} of {len(set(seeds))} seeds not in the "
+            f"{len(seeds) - n_hit} of {len(seeds)} seeds not in the "
             "graph — their teleport mass would silently vanish"
         )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

@@ -182,7 +182,12 @@ def mmr_rerank(
     query_id groups: thousands of queries rerank in parallel, each group
     Arrow-batched, no driver round-trip. Determinism: relevance and
     pairwise cosines are rounded to 9 decimals before any comparison
-    (same discipline as knn_bruteforce), ties broken by vec_id ASC.
+    (same discipline as knn_bruteforce, half-away-from-zero to match
+    Spark/DuckDB round), ties broken by vec_id ASC. Residual caveat: the
+    pairwise dot products accumulate in BLAS order vs the oracle's
+    sequential sum — divergence requires a cosine within ~1 ulp of a
+    0.5e-9 boundary, which the rounding discipline makes measure-zero in
+    practice.
     """
     import numpy as np
     import pandas as pd
@@ -209,6 +214,13 @@ def mmr_rerank(
         .drop("rn")
     )
 
+    def _round_away(x, d: int):
+        # HALF-AWAY-FROM-ZERO, matching Spark F.round / DuckDB round —
+        # np.round's banker's half-to-even would diverge exactly on the
+        # rounding boundaries the 9-decimal discipline exists to pin down
+        p = 10.0**d
+        return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
+
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             ["rel9", "vec_id"], ascending=[False, True]
@@ -220,7 +232,7 @@ def mmr_rerank(
         denom = np.outer(norms, norms)
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = np.where(denom > 0, (m @ m.T) / denom, 0.0)
-        sims = np.round(sims, 9)
+        sims = _round_away(sims, 9)
         rel = pdf["rel9"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
         n = len(pdf)
@@ -241,11 +253,15 @@ def mmr_rerank(
                 "query_id": pdf["query_id"].iloc[:1].repeat(len(selected)).to_numpy(),
                 "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
                 "vec_id": ids[selected],
-                "relevance": np.round(rel[selected], 6),
+                "relevance": _round_away(rel[selected], 6),
             }
         )
 
+    # output schema mirrors the caller's actual id types (string doc ids
+    # are as valid as longs — a hardcoded 'long' would die in Arrow)
+    qt = cand.schema["query_id"].dataType.simpleString()
+    vt = cand.schema["vec_id"].dataType.simpleString()
     return cand.groupBy("query_id").applyInPandas(
         _greedy,
-        "query_id long, rank int, vec_id long, relevance double",
+        f"query_id {qt}, rank int, vec_id {vt}, relevance double",
     )

@@ -31,7 +31,7 @@ join's state bound (``streaming/joins.py``), applied to batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -306,9 +306,15 @@ def cooccurrence_graph(
         shared_entity_pairs,
     )
 
-    blk = F.concat_ws(
-        "|",
-        *[F.col(c).cast("string") for c in context_cols],
+    # F.concat, NOT concat_ws: a NULL context value must poison the block
+    # id (NULL never equi-joins, so the row drops out of pairing) exactly
+    # like the oracle's `||` rendering — concat_ws would silently SKIP the
+    # NULL segment and alias it with an empty-string context
+    blk_parts: list[Column] = []
+    for c in context_cols:
+        blk_parts += [F.col(c).cast("string"), F.lit("|")]
+    blk = F.concat(
+        *blk_parts,
         F.date_format(F.date_trunc(window, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"),
     )
     postings = events.select(
