@@ -1110,6 +1110,261 @@ def v01_hourly_rollup(spark, sf_dir):
     )
 
 
+def v08_daily_retention(spark, sf_dir):
+    """Daily active users + next-day retention cohort over the event log:
+    for each day, how many distinct users were active and what share of
+    the PREVIOUS day's actives returned. Distinct-(user, day) scan →
+    self-equi-join on (user, day+1) → two hash-aggs; the standard
+    engagement rollup every analytics stack ships. Retention ratio is an
+    exact integer division rounded at 6 — cross-engine stable."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).distinct()
+    daily = act.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    ret = (
+        act.alias("a")
+        .join(
+            act.select(
+                "user_id", F.date_add(F.col("day"), 1).alias("day")
+            ).alias("b"),
+            ["user_id", "day"],
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_retained"))
+    )
+    prev = daily.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("n_active").alias("n_prev_active"),
+    )
+    return (
+        daily.join(ret, "day", "left")
+        .join(prev, "day", "left")
+        .filter(F.col("n_prev_active").isNotNull())
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)) / F.col("n_prev_active"), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
+def v09_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct-active-users series over the event log. The
+    scale pattern here is the point: instead of a range self-join (event ×
+    window, an O(n·w) shuffle join whose key-range matching AQE can't
+    prune), each distinct (user, day) row EXPLODES into the ≤7 window
+    days it contributes to — a map-side sequence+explode, then one
+    hash-agg on day. At 100 TB that is a single shuffle keyed by ~365×
+    few-thousand window days, never a range join."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date(F.col("ts")).alias("day")).distinct()
+    # 1-row aggregate: broadcast is bounded by construction
+    mx = act.agg(F.max("day").alias("max_day"))
+    win = act.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "win_day"
+        ),
+    )
+    return (
+        win.groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("win_day") <= F.col("max_day"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("day"), "n_active_7d"
+        )
+    )
+
+
+def v10_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click ≤6h later → purchase ≤6h after that)
+    conversion counts: users whose first click lands within 6 hours of
+    their first view, and whose first purchase lands within 6 hours of
+    that click. Three filtered min-ts hash-aggs chained by user_id
+    equi-joins — each stage's frame only shrinks, every join is keyed on
+    user_id so AQE can broadcast the later (smaller) stages; no window
+    functions, no per-event state."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    bound = F.expr("INTERVAL 6 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + bound)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + bound)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+def t22_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — the classic corpus keyword
+    extractor every training-data curation stack ships (reference analog:
+    concept surfacing in src/services/graph_service.py). Tokenize is a
+    map-side lower+regexp split (pure Catalyst, no Python); tf and df are
+    two hash-aggs over the exploded terms; the 1-row corpus count joins
+    by broadcast (bounded by construction). Ranking rounds the score to 6
+    before ordering so the cross-engine float tie-break is stable."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf_score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf_score")
+    )
+
+
+def t23_unigram_nll_quality(spark, sf_dir):
+    """Unigram language-model negative-log-likelihood per document — the
+    CCNet-style perplexity proxy LLM curation stacks use to rank text
+    quality against the corpus itself. p(term) is exact integer counts
+    over the corpus; each document's score is the mean -ln p over its
+    tokens. Per-token lnp is scaled to FIXED-POINT nano units and summed
+    as bigint, so the aggregate is bit-identical regardless of partition
+    merge order (a double sum would drift with reduction order and flake
+    the cross-engine hash at round-6 boundaries); the single float
+    division happens once per doc at the end. Tokenize is the same
+    map-side lower+regexp split as t22."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    # 1-row aggregate: broadcast is bounded by construction
+    total = tc.agg(F.sum("n_term").alias("n_total"))
+    lnp_nano = F.round(
+        F.log(F.col("n_term") / F.col("n_total")) * F.lit(1e9)
+    ).cast("long")
+    term_scores = tc.crossJoin(F.broadcast(total)).select(
+        "term", lnp_nano.alias("lnp_nano")
+    )
+    return (
+        toks.join(term_scores, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lnp_nano").alias("s_nano"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                -F.col("s_nano") / (F.col("n_tokens") * F.lit(1e9)), 6
+            ).alias("nll"),
+        )
+    )
+
+
+def v11_event_transition_matrix(spark, sf_dir):
+    """Per-user event-type transition counts (the empirical Markov
+    matrix behind session-flow analytics): lag the type over each user's
+    ts-ordered stream, count (prev_type, next_type) pairs. One window
+    (partitioned by user — thousands of small partitions, no skew), one
+    hash-agg; event_id breaks ts ties deterministically."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def g28_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-usage graph: Pearson correlation of
+    endpoint degrees across the directed edge list (both orientations).
+    Computed from SIX exact integer sums (n, Σdx, Σdy, Σdxdy, Σdx²,
+    Σdy²) — map-side-combinable bigint aggregates, so the result is
+    bit-identical regardless of partition merge order (a Welford-style
+    running corr would be order-sensitive); the float formula runs once
+    on the driver-side 1-row frame. Graph shared via _couse_pairs."""
+    pairs = _couse_pairs(spark, sf_dir).select("node_a", "node_b")
+    und = pairs.union(pairs.select(F.col("node_b"), F.col("node_a")))
+    deg = und.groupBy("node_a").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        und.withColumnRenamed("node_a", "s")
+        .withColumnRenamed("node_b", "d")
+        .join(deg.select(F.col("node_a").alias("s"), F.col("deg").alias("ds")), "s")
+        .join(deg.select(F.col("node_a").alias("d"), F.col("deg").alias("dd")), "d")
+    )
+    sums = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ds").alias("sx"),
+        F.sum("dd").alias("sy"),
+        F.sum(F.col("ds") * F.col("dd")).alias("sxy"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sxx"),
+        F.sum(F.col("dd") * F.col("dd")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
 def v02_user_value_topk(spark, sf_dir):
     """Top-10 users by total event value."""
     ev = _t(spark, sf_dir, "events")
@@ -1201,10 +1456,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g27_k_truss": g27_k_truss,
         "e08_mmr_rerank": e08_mmr_rerank,
         "v07_cooccurrence_graph": v07_cooccurrence_graph,
+        "v08_daily_retention": v08_daily_retention,
         "g25_k_core": g25_k_core,
         "t18_token_stats": t18_token_stats,
         "t19_winnow_fingerprints": t19_winnow_fingerprints,
         "t20_winnow_near_dups": t20_winnow_near_dups,
+        "t22_tfidf_keywords": t22_tfidf_keywords,
+        "t23_unigram_nll_quality": t23_unigram_nll_quality,
+        "v11_event_transition_matrix": v11_event_transition_matrix,
+        "v09_rolling_active_users": v09_rolling_active_users,
+        "v10_funnel_conversion": v10_funnel_conversion,
+        "g28_degree_assortativity": g28_degree_assortativity,
         "v02_user_value_topk": v02_user_value_topk,
         "v03_sessionize": v03_sessionize,
         "v04_asof_attribution": v04_asof_attribution,
@@ -1216,7 +1478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
         "g08_recursive_chain": g08_recursive_chain,
-        "g14_motif_triangle": g14_motif_triangle,
         "g15_connected_components": g15_connected_components,
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
@@ -1237,16 +1498,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_label_propagation": g20_label_propagation,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
+        "t16_bm25_search": t16_bm25_search,
+        "t17_bm25_indexed": t17_bm25_indexed,
+        "g22_community_modularity": g22_community_modularity,
+        # ---- driver 50-entry window boundary ----
+        # (entries below are multi-round driver-green or no_oracle; the
+        # driver's correctness gate records only the first 50 keys, so
+        # new/never-driver-green entries must sit above this line)
+        "v01_hourly_rollup": v01_hourly_rollup,
+        "g14_motif_triangle": g14_motif_triangle,
+        "t15_pii_redaction": t15_pii_redaction,
         "t11_stratified_sample": t11_stratified_sample,
         "t12_quota_sample": t12_quota_sample,
         "t13_token_budget_sample": t13_token_budget_sample,
         "t14_quality_floor": t14_quality_floor,
-        "t15_pii_redaction": t15_pii_redaction,
-        "t16_bm25_search": t16_bm25_search,
-        "t17_bm25_indexed": t17_bm25_indexed,
-        "g22_community_modularity": g22_community_modularity,
-        "v01_hourly_rollup": v01_hourly_rollup,
-        # ---- driver 50-entry window boundary ----
         "g09_bfs": g09_bfs,
         "g10_recent_orders": g10_recent_orders,
         "q05_window_top3": q05_window_top3,
@@ -1890,6 +2155,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t06_simhash": _simhash_sql(16),
         "t07_minhash_lsh_pairs": _minhash_lsh_sql(k=8, shingle_k=4, bands=4),
+        "g28_degree_assortativity": f"""
+            WITH {GRAPH_CTE},
+            pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART'),
+            co AS (
+                SELECT a.src AS u, b.src AS v
+                FROM pe a JOIN pe b ON a.tgt = b.tgt AND a.src < b.src
+                GROUP BY a.src, b.src HAVING count(*) >= 2
+            ),
+            dir AS (SELECT u AS s, v AS d FROM co UNION ALL SELECT v AS s, u AS d FROM co),
+            deg AS (SELECT s AS nid, count(*) AS deg FROM dir GROUP BY s),
+            j AS (
+                SELECT d1.deg AS ds, d2.deg AS dd
+                FROM dir JOIN deg d1 ON d1.nid = dir.s JOIN deg d2 ON d2.nid = dir.d
+            ),
+            sums AS (
+                SELECT count(*) AS n, sum(ds) AS sx, sum(dd) AS sy,
+                       sum(ds * dd) AS sxy, sum(ds * ds) AS sxx, sum(dd * dd) AS syy
+                FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n_directed_edges,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+            FROM sums
+        """,
         "g18_triangle_count": f"""
             WITH {GRAPH_CTE},
             pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART'),
@@ -2187,6 +2477,112 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_a, user_b, weight FROM cn
             ORDER BY weight DESC, user_a, user_b LIMIT 100
+        """,
+        "v08_daily_retention": """
+            WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            daily AS (SELECT day, count(DISTINCT user_id) AS n_active FROM act GROUP BY day),
+            ret AS (
+                SELECT a.day + 1 AS day, count(DISTINCT a.user_id) AS n_retained
+                FROM act a JOIN act b ON b.user_id = a.user_id AND b.day = a.day + 1
+                GROUP BY a.day
+            )
+            SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_active,
+                   coalesce(r.n_retained, 0) AS n_retained,
+                   round(CAST(coalesce(r.n_retained, 0) AS DOUBLE) / p.n_active, 6) AS retention_rate
+            FROM daily d
+            LEFT JOIN ret r ON r.day = d.day
+            JOIN daily p ON p.day = d.day - 1
+        """,
+        "v09_rolling_active_users": """
+            WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            offs AS (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER) AS off),
+            win AS (SELECT a.user_id, a.day + o.off AS win_day FROM act a CROSS JOIN offs o)
+            SELECT strftime(win_day, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n_active_7d
+            FROM win WHERE win_day <= (SELECT max(day) FROM act)
+            GROUP BY win_day
+        """,
+        "v10_funnel_conversion": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t_view
+                  AND e.ts <= v.t_view + INTERVAL 6 HOUR
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                  AND e.ts <= c.t_click + INTERVAL 6 HOUR
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT count(*) FROM v) AS n_viewed,
+                   (SELECT count(*) FROM c) AS n_clicked_after_view,
+                   (SELECT count(*) FROM p) AS n_purchased_after_click
+        """,
+        "t22_tfidf_keywords": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents
+            ),
+            toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks3 GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * ln(CAST(1 + n.n_docs AS DOUBLE) / (1 + df.df)), 6)
+                           AS tfidf_score
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT doc_id, term, tfidf_score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf_score DESC, term
+                       ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, rank, tfidf_score FROM ranked WHERE rank <= 3
+        """,
+        "t23_unigram_nll_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents
+            ),
+            toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+            tc AS (SELECT term, count(*) AS n_term FROM toks3 GROUP BY term),
+            tot AS (SELECT sum(n_term) AS n_total FROM tc),
+            ts AS (
+                SELECT term,
+                       CAST(round(ln(CAST(n_term AS DOUBLE) / n_total) * 1e9) AS BIGINT)
+                           AS lnp_nano
+                FROM tc CROSS JOIN tot
+            )
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   round(-sum(s.lnp_nano) / (count(*) * 1e9), 6) AS nll
+            FROM toks3 t JOIN ts s USING (term)
+            GROUP BY t.doc_id
+        """,
+        "v11_event_transition_matrix": """
+            WITH lagged AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   count(*) AS n_transitions
+            FROM lagged WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "e07_hybrid_search_rrf": f"""
             WITH lex AS (
