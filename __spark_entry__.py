@@ -1122,7 +1122,10 @@ def v08_daily_retention(spark, sf_dir):
     act = ev.select(
         "user_id", F.to_date(F.col("ts")).alias("day")
     ).distinct()
-    daily = act.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    # act is distinct on exactly (user_id, day) and the retention join
+    # keeps that key unique, so plain counts equal countDistinct without
+    # the second distinct-aggregate phase
+    daily = act.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
     ret = (
         act.alias("a")
         .join(
@@ -1132,7 +1135,7 @@ def v08_daily_retention(spark, sf_dir):
             ["user_id", "day"],
         )
         .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("n_retained"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
     )
     prev = daily.select(
         F.date_add(F.col("day"), 1).alias("day"),
@@ -1226,6 +1229,26 @@ def v10_funnel_conversion(spark, sf_dir):
     )
 
 
+def _tok3(d: DataFrame) -> DataFrame:
+    """The shared t22/t23 corpus tokenizer: lower + split on runs of
+    non-letters, keep terms of ≥3 chars. ONE definition on each side
+    (this for Spark, _TOK3_CTE for the DuckDB oracles) so the two
+    entries cannot drift from their oracles independently."""
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+
+
+# DuckDB twin of _tok3 — interpolated into both t22/t23 oracle CTEs
+_TOK3_CTE = """toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents
+            ),
+            toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3)"""
+
+
 def t22_tfidf_keywords(spark, sf_dir):
     """Top-3 TF-IDF keywords per document — the classic corpus keyword
     extractor every training-data curation stack ships (reference analog:
@@ -1236,10 +1259,7 @@ def t22_tfidf_keywords(spark, sf_dir):
     before ordering so the cross-engine float tie-break is stable."""
     d = _t(spark, sf_dir, "documents")
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
-    ).filter(F.length("term") >= 3)
+    toks = _tok3(d)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -1275,13 +1295,10 @@ def t23_unigram_nll_quality(spark, sf_dir):
     as bigint, so the aggregate is bit-identical regardless of partition
     merge order (a double sum would drift with reduction order and flake
     the cross-engine hash at round-6 boundaries); the single float
-    division happens once per doc at the end. Tokenize is the same
-    map-side lower+regexp split as t22."""
+    division happens once per doc at the end. Tokenize is the shared
+    _tok3 (same as t22)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
-    ).filter(F.length("term") >= 3)
+    toks = _tok3(d)
     tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
     # 1-row aggregate: broadcast is bounded by construction
     total = tc.agg(F.sum("n_term").alias("n_total"))
@@ -1359,9 +1376,11 @@ def g28_degree_assortativity(spark, sf_dir):
     ) * F.sqrt(
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
+    # zero-variance degree distribution (regular graph) ⇒ den == 0.0:
+    # ANSI mode would raise DIVIDE_BY_ZERO; DuckDB returns NULL — match it
     return sums.select(
         F.col("n").alias("n_directed_edges"),
-        F.round(num / den, 6).alias("assortativity"),
+        F.when(den != F.lit(0.0), F.round(num / den, 6)).alias("assortativity"),
     )
 
 
@@ -2525,13 +2544,8 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM c) AS n_clicked_after_view,
                    (SELECT count(*) FROM p) AS n_purchased_after_click
         """,
-        "t22_tfidf_keywords": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
-                FROM documents
-            ),
-            toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+        "t22_tfidf_keywords": f"""
+            WITH {_TOK3_CTE},
             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks3 GROUP BY doc_id, term),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             n AS (SELECT count(*) AS n_docs FROM documents),
@@ -2551,13 +2565,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, rank, tfidf_score FROM ranked WHERE rank <= 3
         """,
-        "t23_unigram_nll_quality": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
-                FROM documents
-            ),
-            toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+        "t23_unigram_nll_quality": f"""
+            WITH {_TOK3_CTE},
             tc AS (SELECT term, count(*) AS n_term FROM toks3 GROUP BY term),
             tot AS (SELECT sum(n_term) AS n_total FROM tc),
             ts AS (

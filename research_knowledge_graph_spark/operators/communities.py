@@ -190,14 +190,11 @@ def louvain_move_round(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     arg-max via ``min_by`` — one shuffle per aggregation, no windows.
 
     Returns (node_id, community) — unchanged rows keep their label."""
-    und = (
-        pairs.select(
-            F.least("node_a", "node_b").alias("u"),
-            F.greatest("node_a", "node_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        _canonical_undirected,
     )
+
+    und = _canonical_undirected(pairs)
     e = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m1 = und.agg(F.count(F.lit(1)).alias("m"))
     lab = labels.select("node_id", "community")
@@ -283,14 +280,11 @@ def k_core(pairs: DataFrame, k: int = 3, max_iter: int = 16) -> DataFrame:
     probe rides the same job that materializes the checkpoint."""
     if k < 1:
         raise ValueError("k_core needs k >= 1")
-    und = (
-        pairs.select(
-            F.least("node_a", "node_b").alias("u"),
-            F.greatest("node_a", "node_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        _canonical_undirected,
     )
+
+    und = _canonical_undirected(pairs)
     e = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
