@@ -1346,41 +1346,17 @@ def v11_event_transition_matrix(spark, sf_dir):
 
 
 def g28_degree_assortativity(spark, sf_dir):
-    """Degree assortativity of the co-usage graph: Pearson correlation of
-    endpoint degrees across the directed edge list (both orientations).
-    Computed from SIX exact integer sums (n, Σdx, Σdy, Σdxdy, Σdx²,
-    Σdy²) — map-side-combinable bigint aggregates, so the result is
-    bit-identical regardless of partition merge order (a Welford-style
-    running corr would be order-sensitive); the float formula runs once
-    on the driver-side 1-row frame. Graph shared via _couse_pairs."""
-    pairs = _couse_pairs(spark, sf_dir).select("node_a", "node_b")
-    und = pairs.union(pairs.select(F.col("node_b"), F.col("node_a")))
-    deg = und.groupBy("node_a").agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        und.withColumnRenamed("node_a", "s")
-        .withColumnRenamed("node_b", "d")
-        .join(deg.select(F.col("node_a").alias("s"), F.col("deg").alias("ds")), "s")
-        .join(deg.select(F.col("node_a").alias("d"), F.col("deg").alias("dd")), "d")
+    """Degree assortativity of the co-usage graph — delegates to
+    operators/graph_queries.py::degree_assortativity (six exact bigint
+    sums → bit-stable Pearson corr; NULL on zero-variance degrees,
+    matching the oracle's double/0.0 = NULL). Graph shared via
+    _couse_pairs."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        degree_assortativity,
     )
-    sums = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ds").alias("sx"),
-        F.sum("dd").alias("sy"),
-        F.sum(F.col("ds") * F.col("dd")).alias("sxy"),
-        F.sum(F.col("ds") * F.col("ds")).alias("sxx"),
-        F.sum(F.col("dd") * F.col("dd")).alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
-    # zero-variance degree distribution (regular graph) ⇒ den == 0.0:
-    # ANSI mode would raise DIVIDE_BY_ZERO; DuckDB returns NULL — match it
-    return sums.select(
-        F.col("n").alias("n_directed_edges"),
-        F.when(den != F.lit(0.0), F.round(num / den, 6)).alias("assortativity"),
+
+    return degree_assortativity(
+        _couse_pairs(spark, sf_dir).select("node_a", "node_b")
     )
 
 

@@ -292,6 +292,47 @@ def _canonical_undirected(pairs: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(pairs: DataFrame) -> DataFrame:
+    """Degree assortativity of an undirected pair graph (columns
+    ``node_a``/``node_b``, any order/multiplicity): Pearson correlation
+    of endpoint degrees across the directed edge list (both
+    orientations). Returns a 1-row frame ``(n_directed_edges,
+    assortativity)``.
+
+    Computed from SIX exact integer sums (n, Σdx, Σdy, Σdxdy, Σdx²,
+    Σdy²) — map-side-combinable bigint aggregates, so the result is
+    bit-identical regardless of partition merge order (a Welford-style
+    running corr would be order-sensitive); the float formula runs once
+    on the final 1-row frame. A degree-regular graph has zero variance:
+    the guard returns NULL instead of raising DIVIDE_BY_ZERO under ANSI
+    mode, matching SQL NULL-on-zero-division semantics."""
+    und = _canonical_undirected(pairs)
+    dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = dr.groupBy(F.col("u").alias("nid")).agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        dr.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("ds")), "u")
+        .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dd")), "v")
+    )
+    sums = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ds").alias("sx"),
+        F.sum("dd").alias("sy"),
+        F.sum(F.col("ds") * F.col("dd")).alias("sxy"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sxx"),
+        F.sum(F.col("dd") * F.col("dd")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(den != F.lit(0.0), F.round(num / den, 6)).alias("assortativity"),
+    )
+
+
 def _triangle_internals(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared core for triangle_count / clustering_coefficient: returns
     (per-node zero-filled triangle counts, per-node degrees) computed from

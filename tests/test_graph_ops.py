@@ -132,3 +132,37 @@ def test_node_similarity_jaccard(spark):
     # top_k cuts on the (jaccard DESC, ids) total order
     top2 = node_similarity_jaccard(pairs, min_shared=1, top_k=2).collect()
     assert [(r.node_a, r.node_b) for r in top2] == [("a", "d"), ("b", "d")]
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        degree_assortativity,
+    )
+
+    # two disjoint edges: every node has degree 1 — zero variance, so the
+    # Pearson denominator is 0.0; ANSI mode must NOT raise, and the
+    # result must be NULL (the SQL double/0.0 semantics the oracle uses)
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "node_a string, node_b string"
+    )
+    row = degree_assortativity(pairs).collect()[0]
+    assert row.n_directed_edges == 4
+    assert row.assortativity is None
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        degree_assortativity,
+    )
+
+    # star K_{1,3}: hub degree 3, leaves degree 1 — every edge joins a
+    # 3 to a 1, perfectly disassortative: exactly -1.0 from the integer
+    # sums (n=6 sx=sy=12 sxy=18 sxx=syy=30 → -36 / 36). Duplicate and
+    # reversed input edges must not change the canonical edge set.
+    pairs = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("a", "h"), ("h", "b")],
+        "node_a string, node_b string",
+    )
+    row = degree_assortativity(pairs).collect()[0]
+    assert row.n_directed_edges == 6
+    assert row.assortativity == -1.0
