@@ -162,6 +162,19 @@ def build_edges(
     # per-doc label→id resolution (J12): raw triple endpoints vs the doc's
     # validated (normalized) labels — exact string match, like
     # ``entity_nodes.get(rel.from_entity_label)``.
+    #
+    # Shuffle shape: the naive form is two composite-key joins —
+    # (url, subj)=(url, label) then (url, obj)=(url, label) — which shuffle
+    # the FULL triples table (rationale/evidence payload) twice on two
+    # different keys. Instead the doc dict is folded to one
+    # map<label, array<id>> row per url (two narrow label-side shuffles,
+    # with map-side partial aggregation on neither but rows of just
+    # label+id), and the triples shuffle ONCE on url; endpoint resolution
+    # becomes a map lookup. A label can resolve to several ids within one
+    # doc (same surface label, different entity types), hence the array +
+    # explode — the old join's per-(seq) duplicate matches carried an
+    # identical payload and were collapsed by the final (from,to,type)
+    # dedup anyway, so `collect_set` here changes no output.
     dict_df = ent.select("url", "label", "entity_id")
     if resolve_titles:
         dict_df = dict_df.unionByName(
@@ -171,19 +184,19 @@ def build_edges(
                 paper_node_id(F.col("url")).alias("entity_id"),
             )
         )
+    doc_dict = (
+        dict_df.filter(F.col("label").isNotNull())  # null never equi-joined; map keys must be non-null
+        .groupBy("url", "label")
+        .agg(F.array_sort(F.collect_set("entity_id")).alias("ids"))
+        .groupBy("url")
+        .agg(F.map_from_entries(F.collect_list(F.struct("label", "ids"))).alias("_dict"))
+    )
     rel = (
         triples_valid.alias("t")
-        .join(
-            dict_df.alias("f"),
-            (F.col("t.url") == F.col("f.url")) & (F.col("t.subj") == F.col("f.label")),
-        )
-        .join(
-            dict_df.alias("o"),
-            (F.col("t.url") == F.col("o.url")) & (F.col("t.obj") == F.col("o.label")),
-        )
+        .join(doc_dict, "url")
         .select(
-            F.col("f.entity_id").alias("from_node_id"),
-            F.col("o.entity_id").alias("to_node_id"),
+            F.element_at(F.col("_dict"), F.col("t.subj")).alias("_from_ids"),
+            F.element_at(F.col("_dict"), F.col("t.obj")).alias("_to_ids"),
             F.col("t.pred").alias("edge_type"),
             F.col("t.confidence").alias("confidence"),
             F.map_filter(
@@ -196,6 +209,12 @@ def build_edges(
             F.col("t.url").alias("src_url"),
             F.lit(1_000_000).alias("order_seq"),  # rels materialize after entities
         )
+        # inner-join semantics preserved: an unresolved endpoint (label not
+        # in THIS doc's dict) drops the triple silently (ingestion_service.py:154)
+        .filter(F.col("_from_ids").isNotNull() & F.col("_to_ids").isNotNull())
+        .withColumn("from_node_id", F.explode("_from_ids"))
+        .withColumn("to_node_id", F.explode("_to_ids"))
+        .drop("_from_ids", "_to_ids")
     )
 
     edges = paper_entity.unionByName(rel)
