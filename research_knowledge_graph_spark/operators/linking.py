@@ -175,6 +175,13 @@ def build_edges(
     # explode — the old join's per-(seq) duplicate matches carried an
     # identical payload and were collapsed by the final (from,to,type)
     # dedup anyway, so `collect_set` here changes no output.
+    #
+    # Skew: keying on url alone puts one document's whole dict + triples on
+    # one task, where the old (url, label) keys spread a doc across
+    # reducers. That is safe here because the group is bounded by a single
+    # web page's length (mentions and triples per doc are O(page bytes),
+    # capped upstream by the fetch/extract stages) — unlike a join key of
+    # unbounded cardinality, the per-url group cannot grow with corpus size.
     dict_df = ent.select("url", "label", "entity_id")
     if resolve_titles:
         dict_df = dict_df.unionByName(
