@@ -38,6 +38,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Workdirs (committed tables + stream landing dirs) live in /dev/shm when
+# available, matching scaling_bench.py: the shared VM's disk serves other
+# tenants, and same-day identical-code streaming runs swung 59 s ↔ 139 s
+# with the disk-backed /tmp workdir. The bench measures the engine's
+# compute + shuffle, not a neighbor's IO; tmpfs is the sandbox analog of
+# the fast object store a production cluster commits through.
+WORK_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else None
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 STREAM_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_DOCS", "12000"))
 STREAM_DROPS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_DROPS", "3"))
@@ -135,7 +142,7 @@ def main() -> None:
     )
     pipeline_sec = float("inf")
     for _ in range(REPEATS):
-        workdir = tempfile.mkdtemp(prefix="rkg_bench_")
+        workdir = tempfile.mkdtemp(prefix="rkg_bench_", dir=WORK_ROOT)
         try:
             t0 = time.time()
             # minimal checkpointing = the production-throughput configuration
@@ -160,7 +167,7 @@ def main() -> None:
     # number repeats; a second full pass would double bench time for
     # little extra signal)
     def _stream_bench(n_docs, n_drops):
-        sdir = tempfile.mkdtemp(prefix="rkg_bench_stream_")
+        sdir = tempfile.mkdtemp(prefix="rkg_bench_stream_", dir=WORK_ROOT)
         try:
             inp, graph, ckpt = (os.path.join(sdir, d) for d in ("in", "graph", "ck"))
             spages = synthesize_pages(
