@@ -384,8 +384,12 @@ def _postings(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ent_nodes = nodes.filter(F.col("node_type").isin(*CROSS_DOC_TYPES)).select(
         F.col("id").alias("entity_id")
     )
+    # No broadcast hint: the entity-id dim is one row per distinct
+    # dataset/method/concept node — O(corpus) at web scale, so a forced
+    # broadcast is a driver-OOM risk (the t10 lesson). AQE converts to
+    # broadcast at runtime whenever the dim is actually small.
     return (
-        edges.join(F.broadcast(ent_nodes), edges.to_node_id == ent_nodes.entity_id)
+        edges.join(ent_nodes, edges.to_node_id == ent_nodes.entity_id)
         .select(F.col("from_node_id").alias("paper_id"), "entity_id")
         .distinct()
     )

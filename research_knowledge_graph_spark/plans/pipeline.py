@@ -315,6 +315,7 @@ def run_pipeline_incremental(
     cross_link: bool = True,
     max_block_degree: int | None = 1000,
     compact_above: int | None = 8,
+    timings: dict | None = None,
 ) -> PipelineResult:
     """Ingest ONE batch of new pages into an existing graph — the engine's
     analog of the reference's continuous per-paper ingest loop
@@ -348,6 +349,17 @@ def run_pipeline_incremental(
     """
     io = TableIO(spark, workdir)
     fp = f"batch:{batch_id}:{mode}"
+
+    def _timed(name, fn, *a, **kw):
+        # same contract as run_pipeline's: wall time per materialization
+        # boundary, for localizing the per-batch fixed cost of the
+        # continuous-ingest path (stream startup + deltas + commits)
+        t0 = time.time()
+        out = fn(*a, **kw)
+        if timings is not None:
+            timings[name] = round(time.time() - t0, 2)
+        return out
+
     if io.is_committed(f"batch_complete@{fp}", fp):
         # whole batch already ingested (marker is committed LAST — after
         # cross_edges and the edges_all union — so a mid-batch crash never
@@ -370,26 +382,25 @@ def run_pipeline_incremental(
         mentions = X.extract_mentions_heuristic(docs)
         triples = X.extract_triples_heuristic(docs)
     mentions_v = V.validate_mentions(mentions).persist(StorageLevel.MEMORY_AND_DISK)
-    mentions_v.count()
+    _timed("extract", mentions_v.count)
     triples_v = V.validate_triples(triples)
 
     batch_nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
     batch_edges = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
 
-    nodes_all = io.append_rows(batch_nodes, "nodes", ["id"], fp, compact_above)
-    edges_base = io.append_rows(batch_edges, "edges", ["id"], fp, compact_above)
+    nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above)
+    edges_base = _timed("edges_delta", io.append_rows, batch_edges, "edges", ["id"], fp, compact_above)
 
     if cross_link:
         delta = L.cross_link_incremental(
             nodes_all, edges_base, batch_edges, max_block_degree
         )
-        io.append_rows(delta, "cross_edges", ["id"], fp, compact_above)
-        edges_all = io.commit_union("edges_all", ["edges", "cross_edges"], fp)
+        _timed("cross_delta", io.append_rows, delta, "cross_edges", ["id"], fp, compact_above)
+        edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges", "cross_edges"], fp)
     else:
-        edges_all = io.commit_union("edges_all", ["edges"], fp)
+        edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges"], fp)
 
-    io.flush_metrics()
-    io.mark(f"batch_complete@{fp}", fp)
+    _timed("metrics_mark", lambda: (io.flush_metrics(), io.mark(f"batch_complete@{fp}", fp)))
     for df in (docs, meta, mentions_v):
         df.unpersist()
     return PipelineResult(
