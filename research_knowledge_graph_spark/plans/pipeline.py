@@ -388,14 +388,21 @@ def run_pipeline_incremental(
     batch_nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
     batch_edges = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
 
-    nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above)
-    edges_base = _timed("edges_delta", io.append_rows, batch_edges, "edges", ["id"], fp, compact_above)
+    # assume_unique_key at all three delta commits — each frame is unique
+    # by id BY CONSTRUCTION, so the intra-batch first-wins aggregate would
+    # only re-shuffle the wide payload (measured as the dominant per-batch
+    # commit cost): paper nodes are one row per url, entity nodes one row
+    # per (type, canonical label) hash-aggregate, and the two id kinds
+    # cannot collide; edges come out of build_edges' (from,to,type) groupBy;
+    # cross edges are one row per DISTINCT unordered pair.
+    nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above, assume_unique_key=True)
+    edges_base = _timed("edges_delta", io.append_rows, batch_edges, "edges", ["id"], fp, compact_above, assume_unique_key=True)
 
     if cross_link:
         delta = L.cross_link_incremental(
             nodes_all, edges_base, batch_edges, max_block_degree
         )
-        _timed("cross_delta", io.append_rows, delta, "cross_edges", ["id"], fp, compact_above)
+        _timed("cross_delta", io.append_rows, delta, "cross_edges", ["id"], fp, compact_above, assume_unique_key=True)
         edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges", "cross_edges"], fp)
     else:
         edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges"], fp)

@@ -216,6 +216,7 @@ class TableIO:
         key: list[str],
         fingerprint: str,
         compact_above: int | None = None,
+        assume_unique_key: bool = False,
     ) -> DataFrame:
         """First-wins incremental MERGE, append-only: write ONLY the delta
         (rows of ``df`` whose key is not yet in the table — existing rows
@@ -233,7 +234,17 @@ class TableIO:
         ``compact_above``: auto-maintenance — when the member-path list
         exceeds this many snapshots after the append, the table is compacted
         to one snapshot (N batches otherwise = N delta files = read
-        amplification at every later read)."""
+        amplification at every later read).
+
+        ``assume_unique_key``: the caller asserts ``df`` is already unique
+        by ``key`` (e.g. the output of a deterministic hash-aggregate on the
+        key, or ids derived from a ``distinct`` pair set). Skips the
+        intra-batch first-wins aggregate — one full shuffle of the wide
+        delta payload, measured as the dominant per-batch commit cost on
+        the cross-edges table. A wrong assertion would commit duplicate
+        keys inside ONE snapshot (cross-snapshot dedup is unaffected: the
+        anti-join still runs), so only set it for frames whose plan
+        guarantees key uniqueness."""
         with self._table_lock(name):
             if self.is_committed(f"{name}@{fingerprint}", fingerprint):
                 return self.read(name)
@@ -241,7 +252,7 @@ class TableIO:
                 manifest = self._load_manifest()
                 t = manifest["tables"].get(name)
                 prior_paths = (t.get("paths") or [t["path"]]) if t else []
-            delta = self._dedup_first(df, key)
+            delta = df if assume_unique_key else self._dedup_first(df, key)
             if prior_paths:
                 existing = self.spark.read.parquet(prior_paths[0])
                 for p in prior_paths[1:]:
