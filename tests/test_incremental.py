@@ -109,6 +109,26 @@ def test_append_rows_deterministic_intra_batch_dedup(spark, tmp_path):
     assert got == {(1, "aaa", "aaa"), (2, "mmm", "mmm")}
 
 
+def test_append_rows_assume_unique_key_skips_only_intra_batch(spark, tmp_path):
+    """``assume_unique_key=True`` (used by the incremental pipeline for
+    unique-by-construction deltas) must skip ONLY the intra-batch
+    first-wins aggregate: the cross-snapshot anti-join still enforces
+    first-insertion-wins against prior batches, and idempotent re-runs of
+    a committed fingerprint stay no-ops."""
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "uniq"))
+    b1 = spark.createDataFrame([(1, "a"), (2, "c")], "id int, v string")
+    assert io.append_rows(b1, "t", ["id"], "b1", assume_unique_key=True).count() == 2
+    # second batch collides on id=2: existing row must win
+    b2 = spark.createDataFrame([(2, "z"), (3, "d")], "id int, v string")
+    assert io.append_rows(b2, "t", ["id"], "b2", assume_unique_key=True).count() == 3
+    got = {(r.id, r.v) for r in io.read("t").collect()}
+    assert got == {(1, "a"), (2, "c"), (3, "d")}
+    # idempotent re-run of a committed batch fingerprint is a no-op
+    assert io.append_rows(b2, "t", ["id"], "b2", assume_unique_key=True).count() == 3
+
+
 def test_append_rows_concurrent_same_table(spark, tmp_path):
     """ADVICE round-2 (low): concurrent appends to ONE table serialize on a
     per-table lock — no snapshot path is dropped from the member list and
