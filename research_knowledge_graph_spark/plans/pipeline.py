@@ -41,6 +41,21 @@ class PipelineResult:
     lineage: DataFrame
 
 
+def _make_timed(timings: dict | None):
+    """Shared per-boundary wall-clock recorder for both pipeline variants:
+    each materialization boundary's elapsed seconds land under its stage
+    name in ``timings`` (no-op recorder when ``timings`` is None)."""
+
+    def _timed(name, fn, *a, **kw):
+        t0 = time.time()
+        out = fn(*a, **kw)
+        if timings is not None:
+            timings[name] = round(time.time() - t0, 2)
+        return out
+
+    return _timed
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -100,13 +115,7 @@ def run_pipeline(
     fp = f"{run_fingerprint}:{mode}:{canonicalize}"
     minimal = checkpoint_level == "minimal"
     _cached: list[DataFrame] = []
-
-    def _timed(name, fn, *a, **kw):
-        t0 = time.time()
-        out = fn(*a, **kw)
-        if timings is not None:
-            timings[name] = round(time.time() - t0, 2)
-        return out
+    _timed = _make_timed(timings)
 
     def _stage(df: DataFrame, name: str, eager: bool = False) -> DataFrame:
         """Checkpoint boundary: snapshot commit (full) or executor-local
@@ -350,15 +359,7 @@ def run_pipeline_incremental(
     io = TableIO(spark, workdir)
     fp = f"batch:{batch_id}:{mode}"
 
-    def _timed(name, fn, *a, **kw):
-        # same contract as run_pipeline's: wall time per materialization
-        # boundary, for localizing the per-batch fixed cost of the
-        # continuous-ingest path (stream startup + deltas + commits)
-        t0 = time.time()
-        out = fn(*a, **kw)
-        if timings is not None:
-            timings[name] = round(time.time() - t0, 2)
-        return out
+    _timed = _make_timed(timings)
 
     if io.is_committed(f"batch_complete@{fp}", fp):
         # whole batch already ingested (marker is committed LAST — after
@@ -388,14 +389,16 @@ def run_pipeline_incremental(
     batch_nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
     batch_edges = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
 
-    # assume_unique_key at all three delta commits — each frame is unique
-    # by id BY CONSTRUCTION, so the intra-batch first-wins aggregate would
-    # only re-shuffle the wide payload (measured as the dominant per-batch
-    # commit cost): paper nodes are one row per url, entity nodes one row
-    # per (type, canonical label) hash-aggregate, and the two id kinds
-    # cannot collide; edges come out of build_edges' (from,to,type) groupBy;
-    # cross edges are one row per DISTINCT unordered pair.
-    nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above, assume_unique_key=True)
+    # assume_unique_key on the edges/cross-edges commits — those frames are
+    # unique by id BY CONSTRUCTION REGARDLESS of the input batch (build_edges
+    # ends in a (from,to,type) groupBy, cross edges in a DISTINCT pair set),
+    # so the intra-batch first-wins aggregate would only re-shuffle the wide
+    # payload (measured as the dominant per-batch commit cost). The NODES
+    # commit keeps the default dedup: paper nodes are one row per input ROW,
+    # and a batch may legitimately carry the same url twice (a re-crawl
+    # landing in two files drained by one micro-batch) — entity nodes are
+    # hash-aggregated, but the paper side needs the first-wins collapse.
+    nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above)
     edges_base = _timed("edges_delta", io.append_rows, batch_edges, "edges", ["id"], fp, compact_above, assume_unique_key=True)
 
     if cross_link:

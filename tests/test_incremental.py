@@ -58,6 +58,26 @@ def test_incremental_rerun_and_duplicate_batch(spark, tmp_path):
     assert _node_set(r3.nodes) == _node_set(r1.nodes)
 
 
+def test_incremental_duplicate_url_within_batch(spark, tmp_path):
+    """A batch may carry the same url twice (a re-crawl landing in two
+    files drained by one micro-batch). Paper nodes are one row per input
+    ROW, so the nodes commit must keep the intra-batch first-wins dedup:
+    no duplicate node ids may ever land inside one snapshot (review
+    finding on the assume_unique_key change)."""
+    pages = synthesize_pages(spark, 30)
+    doubled = pages.unionByName(pages)  # every url twice in ONE batch
+    inc_dir = str(tmp_path / "inc_dup")
+    r = run_pipeline_incremental(spark, doubled, inc_dir, "b1")
+    assert r.nodes.count() == r.nodes.select("id").distinct().count()
+    assert r.edges.count() == r.edges.select("id").distinct().count()
+    # and the graph equals the unduplicated ingest
+    r_clean = run_pipeline_incremental(
+        spark, pages, str(tmp_path / "inc_clean"), "b1"
+    )
+    assert _node_set(r.nodes) == _node_set(r_clean.nodes)
+    assert _edge_struct(r.edges) == _edge_struct(r_clean.edges)
+
+
 def test_incremental_resume_after_mid_batch_crash(spark, tmp_path, monkeypatch):
     """ADVICE round-2 (medium): a crash BETWEEN the edges append and the
     cross_edges/edges_all commits must NOT make the batch re-run a no-op —
