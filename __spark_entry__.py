@@ -424,6 +424,26 @@ def g16_pagerank(spark, sf_dir):
     )
 
 
+def g29_hits(spark, sf_dir):
+    """Fixed-iteration unnormalized HITS over FOLLOWS∪PLACED
+    (operators/pagerank.py::hits): hub/authority after 2 h-then-a rounds
+    from a₀≡1 are exact integer sums (rankings identical to normalized
+    HITS — the per-iteration norm is a positive scalar), so the DuckDB
+    oracle unrolls both rounds as a CTE cascade and checks values
+    bit-exactly — the g20 integer-vote trick applied to centrality.
+    Simple-graph semantics: the (src, dst) set is de-duplicated before
+    iterating."""
+    from research_knowledge_graph_spark.operators.pagerank import hits
+
+    edges = (
+        TG.derive_edges(spark, sf_dir)
+        .filter(F.col("edge_type").isin("FOLLOWS", "PLACED"))
+        .select("from_node_id", "to_node_id")
+        .distinct()
+    )
+    return hits(edges, iters=2)
+
+
 def t01_normalize_labels(spark, sf_dir):
     """F3 label normalization at scale (the pinned expression)."""
     d = _t(spark, sf_dir, "documents")
@@ -1469,11 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v06_asof_forward": v06_asof_forward,
         "e07_hybrid_search_rrf": e07_hybrid_search_rrf,
         "g23_louvain_refine": g23_louvain_refine,
+        "g29_hits": g29_hits,
         "g04_influence_topk": g04_influence_topk,
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
         "g08_recursive_chain": g08_recursive_chain,
-        "g15_connected_components": g15_connected_components,
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
         "t04_exact_dedup": t04_exact_dedup,
@@ -1500,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
         # new/never-driver-green entries must sit above this line)
+        "g15_connected_components": g15_connected_components,
         "v01_hourly_rollup": v01_hourly_rollup,
         "g14_motif_triangle": g14_motif_triangle,
         "t15_pii_redaction": t15_pii_redaction,
@@ -2269,6 +2290,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "t17_bm25_indexed": bm25_sql(["spark", "hash", "vector"]),
+        # unnormalized fixed-iteration HITS: exact integer sums, both
+        # h-then-a rounds unrolled (a0≡1 ⇒ h1 = out-degree). CASTs keep
+        # DuckDB's SUM(BIGINT)→HUGEINT promotion out of the compared schema.
+        "g29_hits": f"""
+            WITH {GRAPH_CTE},
+            e AS (
+                SELECT DISTINCT from_node_id AS s, to_node_id AS d FROM edges
+                WHERE edge_type IN ('FOLLOWS', 'PLACED')
+            ),
+            n AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+            h1 AS (SELECT s, CAST(count(*) AS BIGINT) AS v FROM e GROUP BY s),
+            a1 AS (
+                SELECT e.d, CAST(sum(h1.v) AS BIGINT) AS v
+                FROM e JOIN h1 ON e.s = h1.s GROUP BY e.d
+            ),
+            h2 AS (
+                SELECT e.s, CAST(sum(a1.v) AS BIGINT) AS v
+                FROM e JOIN a1 ON e.d = a1.d GROUP BY e.s
+            ),
+            a2 AS (
+                SELECT e.d, CAST(sum(h2.v) AS BIGINT) AS v
+                FROM e JOIN h2 ON e.s = h2.s GROUP BY e.d
+            )
+            SELECT n.node_id,
+                   COALESCE(h2.v, 0) AS hub_score,
+                   COALESCE(a2.v, 0) AS auth_score
+            FROM n
+            LEFT JOIN h2 ON n.node_id = h2.s
+            LEFT JOIN a2 ON n.node_id = a2.d
+        """,
         "g17_shortest_paths": f"""
             WITH RECURSIVE {GRAPH_CTE},
             g AS (

@@ -185,3 +185,71 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "from_node_id",
+    dst_col: str = "to_node_id",
+) -> DataFrame:
+    """Unnormalized fixed-iteration HITS (Kleinberg): per iteration the hub
+    update runs first from the CURRENT authorities, then authorities from
+    the NEW hubs — ``h_k(u) = Σ_{u→v} a_{k-1}(v)``, ``a_k(v) = Σ_{u→v}
+    h_k(u)`` — starting from ``a_0 ≡ 1``.
+
+    Why unnormalized + fixed ``iters``: dropping the per-iteration norm
+    (a positive scalar, so RANKINGS are identical to normalized HITS at
+    every step) makes every score an exact integer — a sum of products of
+    1s — so the result is bit-reproducible across engines and
+    partitionings, and an unrolled-CTE DuckDB oracle can check it exactly
+    (the same trick as integer-vote LPA). Magnitudes grow like
+    ``(d_max²)^iters``; keep ``iters`` small (2-3) or the scores overflow
+    int64 long before the ranking stabilizes anyway.
+
+    Multigraph semantics: sums run over EDGE ROWS, so parallel edges count
+    with multiplicity — pass a de-duplicated (src, dst) set for simple-graph
+    semantics.
+
+    Per iteration: two edge-sized joins + hash aggregates (map-side partial
+    sums, same skew posture as :func:`pagerank` — a celebrity authority's
+    sum receives one partial per map partition, not one row per edge).
+    Reference analog: hub/authority-style influence over the graph store
+    (``sql/example_queries.sql`` q8 family); the reference has no
+    iterative variant.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    # a_0 ≡ 1  ⇒  h_1 = out-degree (one aggregate, no join needed)
+    h = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("score"))
+    a = (
+        e.join(h, "src")
+        .groupBy("dst")
+        .agg(F.sum("score").cast("long").alias("score"))
+    )
+    for _ in range(iters - 1):
+        h = (
+            e.join(a, "dst")
+            .groupBy("src")
+            .agg(F.sum("score").cast("long").alias("score"))
+        )
+        a = (
+            e.join(h, "src")
+            .groupBy("dst")
+            .agg(F.sum("score").cast("long").alias("score"))
+        )
+    return (
+        nodes.join(h.withColumnRenamed("src", "node_id"), "node_id", "left")
+        .withColumnRenamed("score", "hub_score")
+        .join(a.withColumnRenamed("dst", "node_id"), "node_id", "left")
+        .withColumnRenamed("score", "auth_score")
+        .select(
+            "node_id",
+            F.coalesce("hub_score", F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce("auth_score", F.lit(0)).cast("long").alias("auth_score"),
+        )
+    )

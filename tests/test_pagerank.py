@@ -269,3 +269,32 @@ def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
     }
     assert got["a"] > got["b"] > got["c"] > 0
     assert got["d"] == 0.0 and got["e"] == 0.0
+
+
+def test_hits_hand_computed_exact(spark):
+    """Unnormalized 2-iteration HITS against hand-computed integer values
+    (h-then-a order, a0=1): on a->b, a->c, b->c, c->a, c->d the cascade is
+    h1 = out-degree {a:2,b:1,c:2}; a1 {a:2,b:2,c:3,d:2};
+    h2 {a:5,b:3,c:4,d:0}; a2 {a:4,b:5,c:8,d:4}."""
+    from research_knowledge_graph_spark.operators.pagerank import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "from_node_id string, to_node_id string",
+    )
+    got = {r.node_id: (r.hub_score, r.auth_score) for r in hits(edges, iters=2).collect()}
+    assert got == {"a": (5, 4), "b": (3, 5), "c": (4, 8), "d": (0, 4)}
+
+
+def test_hits_multigraph_multiplicity(spark):
+    """Parallel edges count with multiplicity (documented contract): a->b
+    twice doubles a's hub mass and b's authority at every round."""
+    from research_knowledge_graph_spark.operators.pagerank import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b")], "from_node_id string, to_node_id string"
+    )
+    got = {r.node_id: (r.hub_score, r.auth_score) for r in hits(edges, iters=2).collect()}
+    # h1(a)=2, a1(b)=2+2=4 (two edge rows each carrying h1(a)=2)... iter2:
+    # h2(a)=a1(b)*2=8, a2(b)=h2(a)*2=16
+    assert got == {"a": (8, 0), "b": (0, 16)}
