@@ -985,6 +985,23 @@ def g26_node_similarity(spark, sf_dir):
     )
 
 
+def g30_resource_allocation(spark, sf_dir):
+    """Resource-allocation link prediction (operators/graph_queries.py::
+    resource_allocation_topk): common neighbors weighted 1/deg(z) over the
+    order co-usage graph — the degree-weighted sibling of g26, predicting
+    which unlinked orders are most likely related (the reference's
+    SIMILAR_TO derivation, graph_service.py:403-458, recast structurally).
+    Weights are exact integer nanos (10^9 div deg — floor integer
+    division, no floats anywhere), so the top-100 cut on (ra_nano DESC,
+    ids) is a total order and the whole result is bit-reproducible: fully
+    hash-checked against a plain-SQL wedge oracle. Same degree-aware
+    salted self-join as g06/g26."""
+    pairs = _couse_pairs(spark, sf_dir)
+    return G.resource_allocation_topk(
+        pairs.select("node_a", "node_b"), min_shared=1, top_k=100
+    )
+
+
 def g27_k_truss(spark, sf_dir):
     """k-truss (k=3) of the order co-usage graph (operators/
     communities.py::k_truss): the maximal subgraph where every edge sits
@@ -1490,7 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e07_hybrid_search_rrf": e07_hybrid_search_rrf,
         "g23_louvain_refine": g23_louvain_refine,
         "g29_hits": g29_hits,
-        "g04_influence_topk": g04_influence_topk,
+        "g30_resource_allocation": g30_resource_allocation,
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
         "g08_recursive_chain": g08_recursive_chain,
@@ -1520,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
         # new/never-driver-green entries must sit above this line)
+        "g04_influence_topk": g04_influence_topk,
         "g15_connected_components": g15_connected_components,
         "v01_hourly_rollup": v01_hourly_rollup,
         "g14_motif_triangle": g14_motif_triangle,
@@ -1827,6 +1845,29 @@ def _node_sim_sql(min_shared: int = 2, top_k: int = 100) -> str:
         " FROM cn JOIN deg dx ON dx.node_id = node_a"
         " JOIN deg dy ON dy.node_id = node_b"
         f" ORDER BY jaccard DESC, node_a, node_b LIMIT {top_k}"
+    )
+
+
+def _resource_allocation_sql(min_shared: int = 1, top_k: int = 100) -> str:
+    """g30's oracle: resource-allocation index over the co-usage graph.
+    Same pe/co/e blocks as g26; the weight is pure integer floor division
+    (DuckDB ``//`` == Spark ``div`` on bigints), so count and nano-sum are
+    both exact bigints — no float tolerance anywhere."""
+    parts = _lpa_parts(False, 0)[:3]  # pe, co, e blocks
+    parts.append("deg AS (SELECT u AS node_id, count(*) AS degree FROM e GROUP BY u)")
+    parts.append(
+        "cn AS (SELECT a.u AS node_a, b.u AS node_b,"
+        " CAST(count(*) AS BIGINT) AS shared_neighbors,"
+        " CAST(sum(1000000000 // d.degree) AS BIGINT) AS ra_nano"
+        " FROM e a JOIN e b ON a.v = b.v AND a.u < b.u"
+        " JOIN deg d ON d.node_id = a.v"
+        f" GROUP BY a.u, b.u HAVING count(*) >= {min_shared})"
+    )
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(parts)
+        + " SELECT node_a, node_b, shared_neighbors, ra_nano FROM cn"
+        f" ORDER BY ra_nano DESC, node_a, node_b LIMIT {top_k}"
     )
 
 
@@ -2264,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "g23_louvain_refine": _louvain_sql(),
         "g25_k_core": _kcore_sql(k=2),
         "g26_node_similarity": _node_sim_sql(min_shared=1, top_k=100),
+        "g30_resource_allocation": _resource_allocation_sql(min_shared=1, top_k=100),
         "g27_k_truss": _ktruss_sql(k=3, iters=8),
         "t18_token_stats": f"""
             SELECT doc_id,

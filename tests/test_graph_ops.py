@@ -166,3 +166,71 @@ def test_degree_assortativity_star_is_minus_one(spark):
     row = degree_assortativity(pairs).collect()[0]
     assert row.n_directed_edges == 6
     assert row.assortativity == -1.0
+
+
+def test_resource_allocation_hand_computed(spark):
+    """Exact integer-nano RA on the same a-b-c-d(+a-c) graph as the
+    Jaccard pin. Degrees a:2 b:2 c:3 d:1; w = 10^9 div deg: the two
+    pairs sharing degree-2 b or a score 500000000, the three sharing
+    the deg-3 hub c score 333333333."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        resource_allocation_topk,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "node_a string, node_b string",
+    )
+    got = {
+        (r.node_a, r.node_b): (r.shared_neighbors, r.ra_nano)
+        for r in resource_allocation_topk(pairs, min_shared=1, top_k=10).collect()
+    }
+    assert got == {
+        ("a", "c"): (1, 500000000),
+        ("b", "c"): (1, 500000000),
+        ("a", "b"): (1, 333333333),
+        ("a", "d"): (1, 333333333),
+        ("b", "d"): (1, 333333333),
+    }
+    # duplicate / reversed input edges change nothing (canonicalized)
+    noisy = pairs.unionByName(
+        spark.createDataFrame(
+            [("b", "a"), ("c", "b")], "node_a string, node_b string"
+        )
+    )
+    got2 = {
+        (r.node_a, r.node_b): (r.shared_neighbors, r.ra_nano)
+        for r in resource_allocation_topk(noisy, min_shared=1, top_k=10).collect()
+    }
+    assert got2 == got
+    # top_k cuts on the (ra_nano DESC, ids) total order
+    top2 = resource_allocation_topk(pairs, min_shared=1, top_k=2).collect()
+    assert [(r.node_a, r.node_b) for r in top2] == [("a", "c"), ("b", "c")]
+
+
+def test_resource_allocation_salted_parity(spark):
+    """Hot-hub graph (star K_{1,40} + a clique rim): the salted wedge
+    (salt_above=8 forces real splitting) must equal the unsalted plan
+    bit-for-bit — every pair meets in exactly one salt slot, so the
+    integer count and nano sums are preserved."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        resource_allocation_topk,
+    )
+
+    rows = [("hub", f"l{i}") for i in range(40)]
+    rows += [(f"l{i}", f"l{i+1}") for i in range(0, 38, 2)]
+    pairs = spark.createDataFrame(rows, "node_a string, node_b string")
+    key = lambda r: (r.node_a, r.node_b)  # noqa: E731
+    salted = {
+        key(r): (r.shared_neighbors, r.ra_nano)
+        for r in resource_allocation_topk(
+            pairs, min_shared=1, top_k=10000, salt_above=8, max_salts=16
+        ).collect()
+    }
+    plain = {
+        key(r): (r.shared_neighbors, r.ra_nano)
+        for r in resource_allocation_topk(
+            pairs, min_shared=1, top_k=10000, salt_above=None
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 700  # C(40,2)=780 hub wedges
