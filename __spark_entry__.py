@@ -989,13 +989,14 @@ def g30_resource_allocation(spark, sf_dir):
     """Resource-allocation link prediction (operators/graph_queries.py::
     resource_allocation_topk): common neighbors weighted 1/deg(z) over the
     order co-usage graph — the degree-weighted sibling of g26, predicting
-    which unlinked orders are most likely related (the reference's
-    SIMILAR_TO derivation, graph_service.py:403-458, recast structurally).
-    Weights are exact integer nanos (10^9 div deg — floor integer
-    division, no floats anywhere), so the top-100 cut on (ra_nano DESC,
-    ids) is a total order and the whole result is bit-reproducible: fully
+    which UNLINKED orders are most likely related (already-adjacent pairs
+    are anti-joined out — prediction proper; the reference's SIMILAR_TO
+    derivation, graph_service.py:403-458, recast structurally). Weights
+    are exact integer nanos (10^9 div deg — floor integer division, no
+    floats anywhere), so the top-100 cut on (ra_nano DESC, ids) is a
+    total order and the whole result is bit-reproducible: fully
     hash-checked against a plain-SQL wedge oracle. Same degree-aware
-    salted self-join as g06/g26."""
+    salted self-join as g06/g26 (shared via _wedge_pair_agg)."""
     pairs = _couse_pairs(spark, sf_dir)
     return G.resource_allocation_topk(
         pairs.select("node_a", "node_b"), min_shared=1, top_k=100
@@ -1536,7 +1537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver 50-entry window boundary ----
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
-        # new/never-driver-green entries must sit above this line)
+        # new/never-driver-green entries must sit above this line.
+        # Rotated out in round 5 to make room for g29/g30: g04, g15 —
+        # both r3+r4 driver-green; local test_entry_oracle.py still
+        # gates every entry regardless of position)
         "g04_influence_topk": g04_influence_topk,
         "g15_connected_components": g15_connected_components,
         "v01_hourly_rollup": v01_hourly_rollup,
@@ -1867,6 +1871,10 @@ def _resource_allocation_sql(min_shared: int = 1, top_k: int = 100) -> str:
         f"WITH {GRAPH_CTE}, "
         + ", ".join(parts)
         + " SELECT node_a, node_b, shared_neighbors, ra_nano FROM cn"
+        # prediction proper: already-adjacent pairs excluded (co is the
+        # canonical u<v edge set, same as the operator's anti-join side)
+        " WHERE NOT EXISTS (SELECT 1 FROM co"
+        " WHERE co.u = cn.node_a AND co.v = cn.node_b)"
         f" ORDER BY ra_nano DESC, node_a, node_b LIMIT {top_k}"
     )
 

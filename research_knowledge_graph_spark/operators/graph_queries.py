@@ -119,17 +119,45 @@ def shared_entity_pairs(
     the set is actually small (the normal case), and degrades to a
     shuffle join on a pathological many-moderately-hot-keys corpus where
     a forced broadcast would OOM the driver."""
-    from research_knowledge_graph_spark.functions.salt import salted_self_join_sides
-
     e = edges
     if entity_edge_types:
         e = e.filter(F.col("edge_type").isin(*entity_edge_types))
     pe = e.select(F.col("from_node_id").alias("src"), F.col("to_node_id").alias("tgt")).distinct()
-    if salt_above is not None:
-        from research_knowledge_graph_spark.functions.salt import attach_hot_degrees
+    return _wedge_pair_agg(
+        pe,
+        [F.count(F.lit(1)).alias("shared_count")],
+        salt_above,
+        max_salts,
+    )
 
-        pe_deg = attach_hot_degrees(pe, "tgt", salt_above)
-        sa, sb = salted_self_join_sides(pe_deg, "src", salt_above, max_salts)
+
+def _wedge_pair_agg(
+    pe: DataFrame,
+    aggs: list,
+    salt_above: int | None,
+    max_salts: int,
+    deg_attached: bool = False,
+) -> DataFrame:
+    """The ONE copy of the salted wedge self-join (postings (src, tgt
+    [, extras]) → per-(node_a < node_b) aggregate), shared by
+    :func:`shared_entity_pairs` and :func:`resource_allocation_topk` so the
+    skew defense can't drift between them. ``aggs`` run under
+    ``groupBy(a.src AS node_a, b.src AS node_b)`` — qualify extra columns
+    with the ``a.``/``b.`` alias. ``deg_attached=True`` means ``pe``
+    already carries the EXACT per-tgt degree as ``deg`` (a caller that
+    joined degrees anyway, e.g. for weights); the salt-slot count
+    ``min(max_salts, ceil(deg/salt_above))`` is bit-identical to the
+    hot-key-only attach since every cold key (true deg ≤ salt_above, or
+    attach default 1) lands on nsalt = 1 either way."""
+    from research_knowledge_graph_spark.functions.salt import (
+        attach_hot_degrees,
+        salted_self_join_sides,
+    )
+
+    if salt_above is not None:
+        if not deg_attached:
+            pe = attach_hot_degrees(pe, "tgt", salt_above)
+        sa, sb = salted_self_join_sides(pe, "src", salt_above, max_salts)
         a, b = sa.alias("a"), sb.alias("b")
         cond = (
             (F.col("a.tgt") == F.col("b.tgt"))
@@ -142,7 +170,7 @@ def shared_entity_pairs(
     return (
         a.join(b, cond)
         .groupBy(F.col("a.src").alias("node_a"), F.col("b.src").alias("node_b"))
-        .agg(F.count(F.lit(1)).alias("shared_count"))
+        .agg(*aggs)
     )
 
 
@@ -570,6 +598,7 @@ def resource_allocation_topk(
     top_k: int = 100,
     salt_above: int | None = 256,
     max_salts: int = 16,
+    exclude_existing: bool = True,
 ) -> DataFrame:
     """Resource-allocation link prediction (Zhou/Lü/Zhang 2009): for node
     pairs x < y of an undirected graph, ``RA(x,y) = Σ_{z ∈ N(x)∩N(y)}
@@ -578,6 +607,11 @@ def resource_allocation_topk(
     degree-weighted sibling of :func:`node_similarity_jaccard`, and the
     graph-native analog of the reference's SIMILAR_TO edge derivation
     (``graph_service.py:403-458``, there embedding-cosine).
+
+    ``exclude_existing`` (default True — prediction proper) anti-joins
+    already-adjacent pairs out before the cut, so the top-k holds only
+    candidate NEW links; False scores every co-neighbored pair (the
+    similarity-scoreboard reading, adjacent pairs included).
 
     Exactness: weights are integer nanos ``w(z) = 10⁹ div deg(z)`` (floor
     integer division — no floating point anywhere), so ``ra_nano = Σ w(z)``
@@ -588,51 +622,41 @@ def resource_allocation_topk(
     Returns top ``top_k`` (node_a, node_b, shared_neighbors, ra_nano) by
     (ra_nano DESC, node_a, node_b) — a total order, deterministic cut.
 
-    Scale: the wedge join reuses the degree-aware salted self-join
-    (:func:`shared_entity_pairs` defense — a hot shared neighbor's d²/2
-    pairs spread over salt slots, every pair meeting in exactly ONE slot,
-    so the integer sums are preserved bit-for-bit). The weight attach
-    joins the posting list to the degree dim on ``tgt`` — the same key
-    the wedge join shuffles on next, so the attach adds no extra shuffle
-    of the postings; the final top-k is a TakeOrdered (no full sort)."""
+    Scale: the wedge join shares :func:`_wedge_pair_agg` (the
+    :func:`shared_entity_pairs` skew defense — a hot shared neighbor's
+    d²/2 pairs spread over salt slots, every pair meeting in exactly ONE
+    slot, so the integer sums are preserved bit-for-bit). The weight
+    attach joins the posting list to the degree dim on ``tgt`` — the same
+    key the wedge join shuffles on next — and that exact degree doubles
+    as the salter's ``deg`` column, so no second degree pass runs. The
+    existing-edge anti-join is edge-sized, before the top-k TakeOrdered
+    (no full sort)."""
     e0 = _canonical_undirected(pairs)
     und = e0.select("u", "v").unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = und.groupBy(F.col("u").alias("tgt")).agg(
-        F.count(F.lit(1)).cast("long").alias("_tdeg")
+        F.count(F.lit(1)).cast("long").alias("deg")
     )
     pe = (
         und.select(F.col("u").alias("src"), F.col("v").alias("tgt"))
         .join(deg, "tgt")
-        .withColumn("w", F.expr("1000000000 div _tdeg"))
-        .drop("_tdeg")
+        .withColumn("w", F.expr("1000000000 div deg"))
     )
-    if salt_above is not None:
-        from research_knowledge_graph_spark.functions.salt import (
-            attach_hot_degrees,
-            salted_self_join_sides,
-        )
-
-        pe_deg = attach_hot_degrees(pe, "tgt", salt_above)
-        sa, sb = salted_self_join_sides(pe_deg, "src", salt_above, max_salts)
-        a, b = sa.alias("a"), sb.alias("b")
-        cond = (
-            (F.col("a.tgt") == F.col("b.tgt"))
-            & (F.col("a._salt") == F.col("b._salt"))
-            & (F.col("a.src") < F.col("b.src"))
-        )
-    else:
-        a, b = pe.alias("a"), pe.alias("b")
-        cond = (F.col("a.tgt") == F.col("b.tgt")) & (F.col("a.src") < F.col("b.src"))
-    return (
-        a.join(b, cond)
-        .groupBy(F.col("a.src").alias("node_a"), F.col("b.src").alias("node_b"))
-        .agg(
+    scored = _wedge_pair_agg(
+        pe,
+        [
             F.count(F.lit(1)).cast("long").alias("shared_neighbors"),
             F.sum("a.w").cast("long").alias("ra_nano"),
+        ],
+        salt_above,
+        max_salts,
+        deg_attached=True,
+    ).filter(F.col("shared_neighbors") >= min_shared)
+    if exclude_existing:
+        scored = scored.join(
+            e0,
+            (F.col("node_a") == F.col("u")) & (F.col("node_b") == F.col("v")),
+            "left_anti",
         )
-        .filter(F.col("shared_neighbors") >= min_shared)
-        .orderBy(F.desc("ra_nano"), "node_a", "node_b")
-        .limit(top_k)
-    )
+    return scored.orderBy(F.desc("ra_nano"), "node_a", "node_b").limit(top_k)

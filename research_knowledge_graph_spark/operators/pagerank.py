@@ -214,10 +214,18 @@ def hits(
     Per iteration: two edge-sized joins + hash aggregates (map-side partial
     sums, same skew posture as :func:`pagerank` — a celebrity authority's
     sum receives one partial per map partition, not one row per edge).
+    Unlike :func:`pagerank` this does NOT localCheckpoint per iteration:
+    at the small fixed ``iters`` this operator is for, one declarative
+    query lets ReuseExchange share the repeated edge/score subplans, and
+    an A/B at 2M edges / iters=2 measured the per-iteration
+    eager-checkpoint form 3.8× SLOWER (9.1 s vs 2.4 s min-of-2) because
+    every checkpoint job re-derives the edge dedup from scratch.
     Reference analog: hub/authority-style influence over the graph store
     (``sql/example_queries.sql`` q8 family); the reference has no
     iterative variant.
     """
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node_id"))

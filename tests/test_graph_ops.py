@@ -170,9 +170,11 @@ def test_degree_assortativity_star_is_minus_one(spark):
 
 def test_resource_allocation_hand_computed(spark):
     """Exact integer-nano RA on the same a-b-c-d(+a-c) graph as the
-    Jaccard pin. Degrees a:2 b:2 c:3 d:1; w = 10^9 div deg: the two
-    pairs sharing degree-2 b or a score 500000000, the three sharing
-    the deg-3 hub c score 333333333."""
+    Jaccard pin. Degrees a:2 b:2 c:3 d:1; w = 10^9 div deg. With the
+    default exclude_existing=True only the non-adjacent pairs (a,d)/(b,d)
+    survive (both share the deg-3 hub c → 333333333); with False the full
+    scoreboard includes the adjacent pairs sharing degree-2 b or a at
+    500000000."""
     from research_knowledge_graph_spark.operators.graph_queries import (
         resource_allocation_topk,
     )
@@ -186,6 +188,16 @@ def test_resource_allocation_hand_computed(spark):
         for r in resource_allocation_topk(pairs, min_shared=1, top_k=10).collect()
     }
     assert got == {
+        ("a", "d"): (1, 333333333),
+        ("b", "d"): (1, 333333333),
+    }
+    full = {
+        (r.node_a, r.node_b): (r.shared_neighbors, r.ra_nano)
+        for r in resource_allocation_topk(
+            pairs, min_shared=1, top_k=10, exclude_existing=False
+        ).collect()
+    }
+    assert full == {
         ("a", "c"): (1, 500000000),
         ("b", "c"): (1, 500000000),
         ("a", "b"): (1, 333333333),
@@ -204,7 +216,9 @@ def test_resource_allocation_hand_computed(spark):
     }
     assert got2 == got
     # top_k cuts on the (ra_nano DESC, ids) total order
-    top2 = resource_allocation_topk(pairs, min_shared=1, top_k=2).collect()
+    top2 = resource_allocation_topk(
+        pairs, min_shared=1, top_k=2, exclude_existing=False
+    ).collect()
     assert [(r.node_a, r.node_b) for r in top2] == [("a", "c"), ("b", "c")]
 
 
