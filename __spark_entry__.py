@@ -444,6 +444,25 @@ def g29_hits(spark, sf_dir):
     return hits(edges, iters=2)
 
 
+def g31_katz_centrality(spark, sf_dir):
+    """Truncated Katz centrality (operators/pagerank.py::katz_centrality)
+    over FOLLOWS∪PLACED: attenuated directed-walk counts, iters=3,
+    β=1/4. Scores come back scaled by 4³ so every value is an exact
+    integer sum of walk counts — the DuckDB oracle unrolls the three hop
+    aggregates as CTEs and checks bit-exactly (g29's integer-cascade
+    trick on a third centrality family). Simple-graph semantics: the
+    (src, dst) set is de-duplicated before counting."""
+    from research_knowledge_graph_spark.operators.pagerank import katz_centrality
+
+    edges = (
+        TG.derive_edges(spark, sf_dir)
+        .filter(F.col("edge_type").isin("FOLLOWS", "PLACED"))
+        .select("from_node_id", "to_node_id")
+        .distinct()
+    )
+    return katz_centrality(edges, iters=3, beta_inv=4)
+
+
 def t01_normalize_labels(spark, sf_dir):
     """F3 label normalization at scale (the pinned expression)."""
     d = _t(spark, sf_dir, "documents")
@@ -1509,7 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g23_louvain_refine": g23_louvain_refine,
         "g29_hits": g29_hits,
         "g30_resource_allocation": g30_resource_allocation,
-        "g05_supplier_stats": g05_supplier_stats,
+        "g31_katz_centrality": g31_katz_centrality,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
         "g08_recursive_chain": g08_recursive_chain,
         "t01_normalize_labels": t01_normalize_labels,
@@ -1538,10 +1557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
         # new/never-driver-green entries must sit above this line.
-        # Rotated out in round 5 to make room for g29/g30: g04, g15 —
-        # both r3+r4 driver-green; local test_entry_oracle.py still
+        # Rotated out in round 5 to make room for g29/g30/g31: g04, g05,
+        # g15 — all r3+r4 driver-green; local test_entry_oracle.py still
         # gates every entry regardless of position)
         "g04_influence_topk": g04_influence_topk,
+        "g05_supplier_stats": g05_supplier_stats,
         "g15_connected_components": g15_connected_components,
         "v01_hourly_rollup": v01_hourly_rollup,
         "g14_motif_triangle": g14_motif_triangle,
@@ -2369,6 +2389,33 @@ def oracle_sql() -> dict[str, str]:
             FROM n
             LEFT JOIN h2 ON n.node_id = h2.s
             LEFT JOIN a2 ON n.node_id = a2.d
+        """,
+        # truncated Katz, beta_inv=4, iters=3: katz_scaled = 16*p1 +
+        # 4*p2 + p3 over exact directed-walk counts (p0≡1 ⇒ p1 =
+        # in-degree); all-integer, so checked bit-exactly like g29.
+        "g31_katz_centrality": f"""
+            WITH {GRAPH_CTE},
+            e AS (
+                SELECT DISTINCT from_node_id AS s, to_node_id AS d FROM edges
+                WHERE edge_type IN ('FOLLOWS', 'PLACED')
+            ),
+            n AS (SELECT s AS node_id FROM e UNION SELECT d FROM e),
+            p1 AS (SELECT d, CAST(count(*) AS BIGINT) AS v FROM e GROUP BY d),
+            p2 AS (
+                SELECT e.d, CAST(sum(p1.v) AS BIGINT) AS v
+                FROM e JOIN p1 ON e.s = p1.d GROUP BY e.d
+            ),
+            p3 AS (
+                SELECT e.d, CAST(sum(p2.v) AS BIGINT) AS v
+                FROM e JOIN p2 ON e.s = p2.d GROUP BY e.d
+            )
+            SELECT n.node_id,
+                   CAST(16 * COALESCE(p1.v, 0) + 4 * COALESCE(p2.v, 0)
+                        + COALESCE(p3.v, 0) AS BIGINT) AS katz_scaled
+            FROM n
+            LEFT JOIN p1 ON n.node_id = p1.d
+            LEFT JOIN p2 ON n.node_id = p2.d
+            LEFT JOIN p3 ON n.node_id = p3.d
         """,
         "g17_shortest_paths": f"""
             WITH RECURSIVE {GRAPH_CTE},

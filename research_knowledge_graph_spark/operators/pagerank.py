@@ -261,3 +261,69 @@ def hits(
             F.coalesce("auth_score", F.lit(0)).cast("long").alias("auth_score"),
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iters: int = 3,
+    beta_inv: int = 4,
+    src_col: str = "from_node_id",
+    dst_col: str = "to_node_id",
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953): ``katz(v) = Σ_{t=1..K}
+    β^t · p_t(v)`` where ``p_t(v)`` counts directed WALKS of length ``t``
+    ending at ``v`` (``p_0 ≡ 1``, ``p_t(v) = Σ_{u→v} p_{t-1}(u)``) and the
+    attenuation is ``β = 1/beta_inv``. Unlike in-degree it credits nodes
+    reachable through long chains; unlike :func:`pagerank` nothing is
+    normalized away, so prolific pointers count fully.
+
+    Exactness: scores are returned scaled by ``beta_inv^iters`` —
+    ``katz_scaled(v) = Σ_t beta_inv^(K-t) · p_t(v)``, a sum of products of
+    non-negative integers — so the result is an exact bigint,
+    bit-reproducible across engines/partitionings, and an unrolled-CTE
+    oracle checks it exactly (the g29 trick; the true Katz value is
+    ``katz_scaled / beta_inv^iters``, same ranking). Convergence of the
+    infinite series needs β < 1/λ_max; the truncated form is total
+    regardless — keep ``iters`` small (walk counts grow like d_max^K and
+    overflow int64 otherwise; iters=3, beta_inv=4 is the classic
+    three-hop-attenuated setting).
+
+    Multigraph semantics: walk counts run over EDGE ROWS (parallel edges
+    multiply); pass a de-duplicated edge set for simple-graph semantics.
+    Same execution shape as :func:`hits`: one edge-sized join + map-side
+    partial-sum aggregate per hop, single declarative query (no
+    per-iteration checkpoint — the measured 3.8× lesson in :func:`hits`
+    applies verbatim)."""
+    if iters < 1:
+        raise ValueError(f"katz_centrality() needs iters >= 1, got {iters}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    # p_1 = in-degree (p_0 ≡ 1 ⇒ one aggregate, no join)
+    p = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("p"))
+    katz = p.select("dst", (F.lit(beta_inv ** (iters - 1)) * F.col("p")).alias("k"))
+    for t in range(2, iters + 1):
+        p = (
+            e.join(p.withColumnRenamed("dst", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("p").cast("long").alias("p"))
+        )
+        katz = (
+            katz.unionByName(
+                p.select(
+                    "dst", (F.lit(beta_inv ** (iters - t)) * F.col("p")).alias("k")
+                )
+            )
+            .groupBy("dst")
+            .agg(F.sum("k").cast("long").alias("k"))
+        )
+    return (
+        nodes.join(katz.withColumnRenamed("dst", "node_id"), "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("k", F.lit(0)).cast("long").alias("katz_scaled"),
+        )
+    )

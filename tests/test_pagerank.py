@@ -298,3 +298,47 @@ def test_hits_multigraph_multiplicity(spark):
     # h1(a)=2, a1(b)=2+2=4 (two edge rows each carrying h1(a)=2)... iter2:
     # h2(a)=a1(b)*2=8, a2(b)=h2(a)*2=16
     assert got == {"a": (8, 0), "b": (0, 16)}
+
+
+def test_katz_hand_computed_exact(spark):
+    """Truncated Katz (iters=3, beta_inv=4 => katz_scaled = 16*p1 + 4*p2
+    + p3) against the hand-unrolled walk counts on a->b, a->c, b->c,
+    c->a, c->d: p1 {a:1,b:1,c:2,d:1}; p2 {a:2,b:1,c:2,d:2};
+    p3 {a:2,b:2,c:3,d:2} => {a:26, b:22, c:43, d:26}."""
+    from research_knowledge_graph_spark.operators.pagerank import katz_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "from_node_id string, to_node_id string",
+    )
+    got = {
+        r.node_id: r.katz_scaled
+        for r in katz_centrality(edges, iters=3, beta_inv=4).collect()
+    }
+    assert got == {"a": 26, "b": 22, "c": 43, "d": 26}
+    # iters=1 degenerates to in-degree (beta_inv^0 = 1)
+    got1 = {
+        r.node_id: r.katz_scaled
+        for r in katz_centrality(edges, iters=1, beta_inv=4).collect()
+    }
+    assert got1 == {"a": 1, "b": 1, "c": 2, "d": 1}
+
+
+def test_katz_multigraph_and_validation(spark):
+    """Parallel edges multiply walk counts (documented contract); iters<1
+    fails fast. On a->b twice with iters=3: p1(b)=2, p2/p3 empty (a has
+    no in-walks), so katz_scaled(b)=16*2=32 and a scores 0."""
+    import pytest as _pytest
+
+    from research_knowledge_graph_spark.operators.pagerank import katz_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b")], "from_node_id string, to_node_id string"
+    )
+    got = {
+        r.node_id: r.katz_scaled
+        for r in katz_centrality(edges, iters=3, beta_inv=4).collect()
+    }
+    assert got == {"a": 0, "b": 32}
+    with _pytest.raises(ValueError):
+        katz_centrality(edges, iters=0)
