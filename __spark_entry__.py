@@ -444,6 +444,22 @@ def g29_hits(spark, sf_dir):
     return hits(edges, iters=2)
 
 
+def t24_frequent_kgrams(spark, sf_dir):
+    """Duplicated-passage mining (operators/curation.py::frequent_kgrams):
+    word 8-grams shared by ≥2 distinct documents of the same source —
+    the contamination/boilerplate/memorization audit over the corpus
+    (t19/t20 find near-dup pairs; this surfaces the shared passages
+    themselves). Map-only Catalyst tokenize+window, two-phase salted
+    countDistinct (a true boilerplate gram is by definition a hot key),
+    top-200 on the (n_docs DESC, source, gram) total order — fully
+    hash-checked."""
+    from research_knowledge_graph_spark.operators.curation import frequent_kgrams
+
+    return frequent_kgrams(
+        _t(spark, sf_dir, "documents"), k=8, min_docs=2, top_n=200
+    )
+
+
 def g31_katz_centrality(spark, sf_dir):
     """Truncated Katz centrality (operators/pagerank.py::katz_centrality)
     over FOLLOWS∪PLACED: attenuated directed-walk counts, iters=3,
@@ -1529,7 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g29_hits": g29_hits,
         "g30_resource_allocation": g30_resource_allocation,
         "g31_katz_centrality": g31_katz_centrality,
-        "g06_shared_entity_pairs": g06_shared_entity_pairs,
+        "t24_frequent_kgrams": t24_frequent_kgrams,
         "g08_recursive_chain": g08_recursive_chain,
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
@@ -1557,11 +1573,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
         # new/never-driver-green entries must sit above this line.
-        # Rotated out in round 5 to make room for g29/g30/g31: g04, g05,
-        # g15 — all r3+r4 driver-green; local test_entry_oracle.py still
-        # gates every entry regardless of position)
+        # Rotated out in round 5 to make room for g29/g30/g31/t24: g04,
+        # g05, g06, g15 — all r3+r4 driver-green (and g06's machinery is
+        # still driver-exercised through g26/g30); local
+        # test_entry_oracle.py still gates every entry regardless of
+        # position)
         "g04_influence_topk": g04_influence_topk,
         "g05_supplier_stats": g05_supplier_stats,
+        "g06_shared_entity_pairs": g06_shared_entity_pairs,
         "g15_connected_components": g15_connected_components,
         "v01_hourly_rollup": v01_hourly_rollup,
         "g14_motif_triangle": g14_motif_triangle,
@@ -2667,6 +2686,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM v) AS n_viewed,
                    (SELECT count(*) FROM c) AS n_clicked_after_view,
                    (SELECT count(*) FROM p) AS n_purchased_after_click
+        """,
+        # duplicated-passage audit: same lower+whitespace tokenizer as the
+        # Spark side; DuckDB range(1, L-6) is empty for L<8 (the operator's
+        # explicit short-doc guard), slice ts[i:i+7] is 1-based inclusive =
+        # 8 tokens. countDistinct is exact on both sides (two-phase salted
+        # partials are slot-disjoint in Spark).
+        "t24_frequent_kgrams": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   w -> w != '') AS ts
+                FROM documents
+            ), starts AS (
+                SELECT doc_id, source, ts,
+                       unnest(range(1, greatest(len(ts) - 6, 1))) AS i
+                FROM toks
+            ), grams AS (
+                SELECT source, doc_id,
+                       array_to_string(ts[i : i + 7], ' ') AS gram
+                FROM starts
+            )
+            SELECT source, gram,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM grams GROUP BY source, gram
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, source, gram LIMIT 200
         """,
         "t22_tfidf_keywords": f"""
             WITH {_TOK3_CTE},

@@ -126,3 +126,56 @@ def source_curation_report(
             6,
         ).alias("en_share"),
     )
+
+
+def frequent_kgrams(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    top_n: int = 200,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Duplicated-passage mining: the word k-grams that appear in ≥
+    ``min_docs`` DISTINCT documents of the same source — the corpus-level
+    contamination / boilerplate / memorization audit every web-scale
+    training-data pipeline runs (t19/t20 find near-dup PAIRS; this
+    surfaces the shared passages themselves, ranked by reach).
+
+    Returns (source, gram, n_docs), top ``top_n`` by (n_docs DESC,
+    source, gram) — (source, gram) is unique after the aggregate, so the
+    cut is a total order and fully hash-checkable.
+
+    Scale: tokenize + k-gram windowing is a map-only Catalyst projection
+    (lower → whitespace split → slice/array_join per start offset — no
+    Python, no shuffle). The distinct-doc count is the textbook hot-key
+    aggregation — a true boilerplate gram appears in MOST docs of its
+    source, so a plain countDistinct would ship that gram's whole doc-id
+    set to one reducer; it runs through
+    :func:`~research_knowledge_graph_spark.functions.salt.two_phase_count_distinct`
+    (partial distincts per (key, hash(doc_id) mod n_salts) slot, exact by
+    slot-disjointness). Final top-n is a TakeOrdered."""
+    from research_knowledge_graph_spark.functions.salt import two_phase_count_distinct
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda w: w != F.lit("")
+    )
+    # start offsets 1..len-k+1 (1-based for F.slice); docs shorter than k
+    # tokens contribute nothing (sequence() would count DOWN on a negative
+    # span — guard explicitly)
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ).alias("gram"),
+    )
+    counted = two_phase_count_distinct(grams, ["source", "gram"], "doc_id", n_salts)
+    return (
+        counted.filter(F.col("n_distinct") >= min_docs)
+        .select("source", "gram", F.col("n_distinct").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "source", "gram")
+        .limit(top_n)
+    )

@@ -77,3 +77,33 @@ def test_source_curation_report(spark):
     assert a.total_tokens == 5 + 5 + 7
     assert a.en_share == 1.0
     assert (b.n_docs, b.n_unique, b.dup_rate, b.en_share) == (1, 1, 0.0, 0.0)
+
+
+def test_frequent_kgrams_hand_computed(spark):
+    """k=3, min_docs=2: grams shared by >=2 DISTINCT docs of one source
+    survive; repeats within one doc count once; short docs contribute
+    nothing; sources don't pool."""
+    from research_knowledge_graph_spark.operators.curation import frequent_kgrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c d"),
+            (2, "s", "a b c x"),
+            (3, "s", "a b c d"),
+            (4, "t", "a b c"),                  # lone doc in source t
+            (5, "s", "zz"),                     # shorter than k
+            (6, "s", "p q r p q r p q r"),      # same gram 3x, ONE doc
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = [
+        (r.source, r.gram, r.n_docs)
+        for r in frequent_kgrams(docs, k=3, min_docs=2, top_n=10).collect()
+    ]
+    assert got == [("s", "a b c", 3), ("s", "b c d", 2)]
+    # n_salts must not change the exact counts (slot-disjoint partials)
+    got1 = [
+        (r.source, r.gram, r.n_docs)
+        for r in frequent_kgrams(docs, k=3, min_docs=2, top_n=10, n_salts=3).collect()
+    ]
+    assert got1 == got
