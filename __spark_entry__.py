@@ -1418,6 +1418,35 @@ def v11_event_transition_matrix(spark, sf_dir):
     )
 
 
+def t25_ngram_novelty(spark, sf_dir):
+    """Per-document cross-doc duplication exposure
+    (operators/curation.py::ngram_novelty): distinct 8-grams per doc, how
+    many appear in ≥2 distinct docs, shared fraction in exact ppm
+    (integer floor division — no floats). The per-doc decontamination
+    audit; t24 mines the shared passages, this scores each document's
+    derivativeness. DF counting is the two-phase salted countDistinct;
+    the gram-keyed DF attach is AQE-skew-join-defended (never
+    broadcast — the dim is the gram vocabulary)."""
+    from research_knowledge_graph_spark.operators.curation import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), k=8)
+
+
+def v12_interarrival_stats(spark, sf_dir):
+    """Per-user inter-event gap statistics
+    (operators/sessions.py::interarrival_stats): exact integer
+    microsecond gaps via one lag window (same single-shuffle shape as
+    v03), min/max/count exact bigints, mean published as sum div count
+    (floor) — the event-cadence profile behind bot/rate-limit
+    curation."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.sessions import (
+        interarrival_stats,
+    )
+
+    return interarrival_stats(_t(spark, sf_dir, "events"))
+
+
 def g28_degree_assortativity(spark, sf_dir):
     """Degree assortativity of the co-usage graph — delegates to
     operators/graph_queries.py::degree_assortativity (six exact bigint
@@ -1519,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "t25_ngram_novelty": t25_ngram_novelty,
+        "v12_interarrival_stats": v12_interarrival_stats,
         "g26_node_similarity": g26_node_similarity,
         "t21_source_curation": t21_source_curation,
         "g27_k_truss": g27_k_truss,
@@ -1550,8 +1581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
         "t04_exact_dedup": t04_exact_dedup,
-        "t05_jaccard_pairs": t05_jaccard_pairs,
-        "t06_simhash": t06_simhash,
         "g11_undirected_degree": g11_undirected_degree,
         "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "e01_knn_bruteforce": e01_knn_bruteforce,
@@ -1575,9 +1604,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new/never-driver-green entries must sit above this line.
         # Rotated out in round 5 to make room for g29/g30/g31/t24: g04,
         # g05, g06, g15 — all r3+r4 driver-green (and g06's machinery is
-        # still driver-exercised through g26/g30); local
-        # test_entry_oracle.py still gates every entry regardless of
-        # position)
+        # still driver-exercised through g26/g30); then t05/t06 (also
+        # r3+r4 driver-green; the minhash/simhash machinery stays
+        # driver-exercised through t07/t10) to make room for t25/v12;
+        # local test_entry_oracle.py still gates every entry regardless
+        # of position)
+        "t05_jaccard_pairs": t05_jaccard_pairs,
+        "t06_simhash": t06_simhash,
         "g04_influence_topk": g04_influence_topk,
         "g05_supplier_stats": g05_supplier_stats,
         "g06_shared_entity_pairs": g06_shared_entity_pairs,
@@ -2692,6 +2725,48 @@ def oracle_sql() -> dict[str, str]:
         # explicit short-doc guard), slice ts[i:i+7] is 1-based inclusive =
         # 8 tokens. countDistinct is exact on both sides (two-phase salted
         # partials are slot-disjoint in Spark).
+        "t25_ngram_novelty": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   w -> w != '') AS ts
+                FROM documents
+            ), starts AS (
+                SELECT doc_id, ts,
+                       unnest(range(1, greatest(len(ts) - 6, 1))) AS i
+                FROM toks
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[i : i + 7], ' ') AS gram
+                FROM starts
+            ), gdf AS (
+                SELECT gram, count(*) AS df FROM grams GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE d.df >= 2) AS BIGINT)
+                       AS n_shared,
+                   CAST((1000000 * count(*) FILTER (WHERE d.df >= 2))
+                        // count(*) AS BIGINT) AS shared_ppm
+            FROM grams g JOIN gdf d USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "v12_interarrival_stats": """
+            WITH lagged AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gap_us) // count(*) AS BIGINT) AS avg_gap_us
+            FROM lagged WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+        """,
         "t24_frequent_kgrams": r"""
             WITH toks AS (
                 SELECT doc_id, source,

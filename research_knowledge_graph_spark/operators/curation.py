@@ -156,21 +156,8 @@ def frequent_kgrams(
     slot-disjointness). Final top-n is a TakeOrdered."""
     from research_knowledge_graph_spark.functions.salt import two_phase_count_distinct
 
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "\\s+"), lambda w: w != F.lit("")
-    )
-    # start offsets 1..len-k+1 (1-based for F.slice); docs shorter than k
-    # tokens contribute nothing (sequence() would count DOWN on a negative
-    # span — guard explicitly)
-    starts = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
-        ).alias("gram"),
+        "doc_id", "source", F.explode(_kgrams_col("text", k)).alias("gram")
     )
     counted = two_phase_count_distinct(grams, ["source", "gram"], "doc_id", n_salts)
     return (
@@ -178,4 +165,69 @@ def frequent_kgrams(
         .select("source", "gram", F.col("n_distinct").cast("long").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "source", "gram")
         .limit(top_n)
+    )
+
+
+def _kgrams_col(text_col: str, k: int):
+    """Array of word k-grams of ``text_col`` (lowercased, whitespace-split) —
+    the ONE copy of the gram windowing shared by :func:`frequent_kgrams`
+    and :func:`ngram_novelty` so the tokenizer can't drift between the
+    corpus-level and per-doc contamination audits. Pure Catalyst (lower →
+    split → slice/array_join per start offset): map-only, no Python.
+    Start offsets are 1..len-k+1 (1-based for F.slice); docs shorter than
+    k tokens yield an empty array (sequence() would count DOWN on a
+    negative span — guarded explicitly)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != F.lit("")
+    )
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def ngram_novelty(docs: DataFrame, k: int = 8, n_salts: int = 32) -> DataFrame:
+    """Per-document cross-doc duplication exposure — for each document, how
+    much of its k-gram inventory also appears in at least one OTHER
+    document. The per-doc decontamination / memorization-risk audit
+    (t24's :func:`frequent_kgrams` surfaces the shared passages
+    corpus-wide; this scores each DOCUMENT by how derivative it is — the
+    signal a training-data pipeline thresholds to quarantine
+    benchmark-contaminated or boilerplate-heavy pages).
+
+    Returns (doc_id, n_grams, n_shared, shared_ppm): distinct k-grams in
+    the doc, how many of those occur in ≥2 distinct docs, and the shared
+    fraction in exact parts-per-million (``1e6 * n_shared div n_grams`` —
+    floor integer division, the t23/g30 fixed-point pattern; no floats).
+    Docs with fewer than k tokens have no grams and are absent from the
+    output (documented; the oracle filters identically).
+
+    Scale & shuffle shape: gram windowing is the shared map-only
+    projection (:func:`_kgrams_col`); per-doc distinct grams is one
+    composite-key shuffle; the gram document-frequency runs through
+    :func:`~research_knowledge_graph_spark.functions.salt.two_phase_count_distinct`
+    (a stop-gram's doc set never ships to one reducer). The DF attach is
+    a gram-keyed join of the posting rows against the one-row-per-gram
+    count dim — never broadcast (|dim| = |gram vocabulary|, unbounded);
+    a stop-gram's posting rows pile onto one join partition, which AQE
+    skew-join splits (session-wide). Final per-doc rollup is an ordinary
+    hash-agg on doc_id."""
+    from research_knowledge_graph_spark.functions.salt import two_phase_count_distinct
+
+    grams = docs.select(
+        "doc_id", F.explode(_kgrams_col("text", k)).alias("gram")
+    ).distinct()
+    df_per_gram = two_phase_count_distinct(grams, ["gram"], "doc_id", n_salts)
+    return (
+        grams.join(df_per_gram, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_distinct") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ppm", F.expr("(1000000 * n_shared) div n_grams").cast("long")
+        )
     )

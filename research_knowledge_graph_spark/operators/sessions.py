@@ -103,3 +103,44 @@ def session_stats(
         "user_id", "session_day", "session_idx"
     ]
     return s.groupBy(*keys).agg(*aggs)
+
+
+def interarrival_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-arrival gap statistics — the event-cadence profile a
+    telemetry/abuse pipeline reads before rate-limiting or bot filtering
+    (a burst of sub-second gaps is the classic automation signature; the
+    reference's ingest scheduler reasons about paper-arrival cadence the
+    same way, ``src/services/ingestion_service.py`` pacing).
+
+    One window pass (lag over (user, ts, id) — the same single shuffle +
+    sort shape as :func:`sessionize`) followed by an ordinary hash-agg.
+    Users with a single event have no gap and are excluded (documented;
+    the oracle filters identically).
+
+    Exactness: gaps are integer MICROSECONDS (``unix_micros``), so min /
+    max / count / sum are exact bigints and the mean is published as
+    ``avg_gap_us = sum div count`` — floor integer division, the t23/g30
+    fixed-point pattern, bit-reproducible across engines. Ties on ts are
+    broken by ``id_col``; equal-timestamp neighbors yield gap 0, which is
+    order-insensitive under the tie-break.
+
+    Skew: the shuffle key is the user — a hot bot user serializes one
+    reducer's sort, the same bound (and the same ``split_by``-style
+    mitigation path) documented on :func:`sessionize`."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    gaps = events.select(F.col(user_col).alias("user_id"), gap).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.expr("sum(gap_us) div count(1)").cast("long").alias("avg_gap_us"),
+    )

@@ -107,3 +107,34 @@ def test_frequent_kgrams_hand_computed(spark):
         for r in frequent_kgrams(docs, k=3, min_docs=2, top_n=10, n_salts=3).collect()
     ]
     assert got1 == got
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """k=3: shared means the gram occurs in >=2 DISTINCT docs; within-doc
+    repeats count once (distinct grams per doc); sub-k docs are absent;
+    shared_ppm is exact floor ppm."""
+    from research_knowledge_graph_spark.operators.curation import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            # doc1 grams: {a b c, b c d} — both also in doc2 → 2/2 shared
+            (1, "a b c d"),
+            # doc2 grams: {a b c, b c d, c d e} — c d e unique → 2/3
+            (2, "a b c d e"),
+            # doc3: one gram, repeated twice, unique to doc3 → 0/1
+            (3, "p q r p q r"[:11]),  # "p q r p q r"[:11] = "p q r p q "
+            (4, "zz"),  # shorter than k → absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(docs, k=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_grams, rows[1].n_shared, rows[1].shared_ppm) == (2, 2, 1000000)
+    assert (rows[2].n_grams, rows[2].n_shared, rows[2].shared_ppm) == (3, 2, 666666)
+    # doc3 text "p q r p q " → tokens [p,q,r,p,q] → grams {p q r, q r p, r p q}
+    assert (rows[3].n_grams, rows[3].n_shared, rows[3].shared_ppm) == (3, 0, 0)
+    # salt count must not change exact results (slot-disjoint partials)
+    rows2 = {r.doc_id: r for r in ngram_novelty(docs, k=3, n_salts=3).collect()}
+    assert {k: (v.n_grams, v.n_shared, v.shared_ppm) for k, v in rows.items()} == {
+        k: (v.n_grams, v.n_shared, v.shared_ppm) for k, v in rows2.items()
+    }

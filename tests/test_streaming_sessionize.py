@@ -97,3 +97,33 @@ def test_streaming_sessions_null_user_group(spark, tmp_path):
     assert (None, 2, 3.0) in got  # null user's first (closed-in-batch) session
     assert (None, 1, 4.0) in got  # and the watermark-closed one
     assert (7, 1, 8.0) in got
+
+
+def test_interarrival_stats_hand_computed(spark):
+    """Gaps in exact integer micros; single-event users excluded; mean is
+    floor(sum/count); equal-ts ties give a 0 gap (event_id tie-break)."""
+    from research_knowledge_graph_spark.operators.sessions import interarrival_stats
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: ts 0s, 1s, 4s → gaps 1_000_000, 3_000_000
+            (1, 1, "1970-01-01 00:00:00"),
+            (2, 1, "1970-01-01 00:00:01"),
+            (3, 1, "1970-01-01 00:00:04"),
+            # user 2: single event → excluded
+            (4, 2, "1970-01-01 00:00:09"),
+            # user 3: tie on ts (ids 5,6) then +1s → gaps 0, 1_000_000
+            (5, 3, "1970-01-01 00:00:02"),
+            (6, 3, "1970-01-01 00:00:02"),
+            (7, 3, "1970-01-01 00:00:03"),
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r.user_id: r for r in interarrival_stats(ev).collect()}
+    assert set(rows) == {1, 3}
+    assert (rows[1].n_gaps, rows[1].min_gap_us, rows[1].max_gap_us, rows[1].avg_gap_us) == (
+        2, 1_000_000, 3_000_000, 2_000_000,
+    )
+    assert (rows[3].n_gaps, rows[3].min_gap_us, rows[3].max_gap_us, rows[3].avg_gap_us) == (
+        2, 0, 1_000_000, 500_000,
+    )
