@@ -1432,6 +1432,44 @@ def t25_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_t(spark, sf_dir, "documents"), k=8)
 
 
+def t26_repetition_signals(spark, sf_dir):
+    """Per-document internal-repetition quality signals
+    (operators/curation.py::repetition_signals): Gopher-rules family —
+    top-word ppm, duplicate-2-gram ppm, max 2-gram repeat — all exact
+    integers via the floor-ppm fixed-point pattern. t25 measures
+    CROSS-doc duplication; this measures WITHIN-doc repetition (the
+    machine-generated/boilerplate axis). Both histograms are keyed by
+    (doc_id, token) composites — per-doc keys, no hot key by
+    construction."""
+    from research_knowledge_graph_spark.operators.curation import (
+        repetition_signals,
+    )
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def t27_decontaminate(spark, sf_dir):
+    """Benchmark decontamination audit
+    (operators/curation.py::decontaminate): corpus docs (doc_id % 10 != 0)
+    flagged for sharing any word 8-gram with the held-out benchmark split
+    (doc_id % 10 == 0) — the GPT-3-appendix-C n-gram-collision scrub as a
+    gram-keyed LEFT join (no broadcast hint: AQE broadcasts the benchmark
+    gram set when it is actually small; AQE skew-join splits stop-gram
+    posting rows). Every corpus row present in the output (audit
+    semantics), n_grams/n_hit_grams exact bigints."""
+    from research_knowledge_graph_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=8,
+    )
+    # driver hash-compares values: publish the flag as 0/1 bigint (bool
+    # repr is the one engine-divergent scalar class in the gate)
+    return out.withColumn("contaminated", F.col("contaminated").cast("long"))
+
+
 def v12_interarrival_stats(spark, sf_dir):
     """Per-user inter-event gap statistics
     (operators/sessions.py::interarrival_stats): exact integer
@@ -1548,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "t26_repetition_signals": t26_repetition_signals,
+        "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
         "v12_interarrival_stats": v12_interarrival_stats,
         "g26_node_similarity": g26_node_similarity,
@@ -1588,8 +1628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
-        "t09_quality_quantiles": t09_quality_quantiles,
-        "g17_shortest_paths": g17_shortest_paths,
         "g18_triangle_count": g18_triangle_count,
         "g19_clustering_coefficient": g19_clustering_coefficient,
         "g20_label_propagation": g20_label_propagation,
@@ -1607,8 +1645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still driver-exercised through g26/g30); then t05/t06 (also
         # r3+r4 driver-green; the minhash/simhash machinery stays
         # driver-exercised through t07/t10) to make room for t25/v12;
+        # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
         # local test_entry_oracle.py still gates every entry regardless
         # of position)
+        "t09_quality_quantiles": t09_quality_quantiles,
+        "g17_shortest_paths": g17_shortest_paths,
         "t05_jaccard_pairs": t05_jaccard_pairs,
         "t06_simhash": t06_simhash,
         "g04_influence_topk": g04_influence_topk,
@@ -2750,6 +2791,77 @@ def oracle_sql() -> dict[str, str]:
                         // count(*) AS BIGINT) AS shared_ppm
             FROM grams g JOIN gdf d USING (gram)
             GROUP BY g.doc_id
+        """,
+        "t26_repetition_signals": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   w -> w != '') AS ts
+                FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(ts) AS word FROM toks
+            ), wh AS (
+                SELECT doc_id, word, count(*) AS c
+                FROM words GROUP BY doc_id, word
+            ), pw AS (
+                SELECT doc_id, sum(c) AS n_words, max(c) AS topc
+                FROM wh GROUP BY doc_id
+            ), starts AS (
+                SELECT doc_id, ts,
+                       unnest(range(1, greatest(len(ts), 1))) AS i
+                FROM toks
+            ), grams AS (
+                SELECT doc_id, array_to_string(ts[i : i + 1], ' ') AS gram
+                FROM starts
+            ), gh AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM grams GROUP BY doc_id, gram
+            ), pg AS (
+                SELECT doc_id, sum(c) AS n_2grams, count(*) AS nd,
+                       max(c) AS maxrep
+                FROM gh GROUP BY doc_id
+            )
+            SELECT pw.doc_id,
+                   CAST(pw.n_words AS BIGINT) AS n_words,
+                   CAST((1000000 * pw.topc) // pw.n_words AS BIGINT)
+                       AS top_word_ppm,
+                   CAST(pg.n_2grams AS BIGINT) AS n_2grams,
+                   CAST((1000000 * (pg.n_2grams - pg.nd)) // pg.n_2grams
+                        AS BIGINT) AS dup_2gram_ppm,
+                   CAST(pg.maxrep AS BIGINT) AS max_2gram_repeat
+            FROM pw JOIN pg USING (doc_id)
+        """,
+        "t27_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   w -> w != '') AS ts
+                FROM documents
+            ), starts AS (
+                SELECT doc_id, ts,
+                       unnest(range(1, greatest(len(ts) - 6, 1))) AS i
+                FROM toks
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ts[i : i + 7], ' ') AS gram
+                FROM starts
+            ), bg AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+            ), cg AS (
+                SELECT doc_id, gram FROM grams WHERE doc_id % 10 != 0
+            ), hits AS (
+                SELECT cg.doc_id, count(*) AS n_grams,
+                       count(*) FILTER (WHERE bg.gram IS NOT NULL) AS n_hit
+                FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+                GROUP BY cg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+                   CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "v12_interarrival_stats": """
             WITH lagged AS (

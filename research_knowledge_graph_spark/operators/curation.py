@@ -186,6 +186,124 @@ def _kgrams_col(text_col: str, k: int):
     return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition quality signals — the Gopher-rules family
+    ("fraction of most-common word", "duplicate n-gram fraction") that
+    web-scale curation thresholds to drop machine-generated / boilerplate
+    pages. t25 scores CROSS-doc duplication; this scores INTERNAL
+    repetition, the orthogonal axis.
+
+    Returns one row per document with ≥2 tokens (shorter docs have no
+    2-grams and are absent; the oracle filters identically):
+    (doc_id, n_words, top_word_ppm, n_2grams, dup_2gram_ppm,
+    max_2gram_repeat) — all exact integers (the t23/g30 fixed-point
+    pattern: ``1e6 * x div total``), so the check is bit-exact.
+
+    - ``top_word_ppm``: occurrences of the doc's most frequent token per
+      million tokens (the "most common word fraction" rule).
+    - ``dup_2gram_ppm``: repeated 2-gram occurrences per million 2-grams
+      (``1e6 * (n - n_distinct) div n`` — a doc that loops one phrase
+      scores near 1e6).
+    - ``max_2gram_repeat``: occurrence count of the single most repeated
+      2-gram (the "how bad is the worst loop" audit column).
+
+    Scale: tokenize + 2-gram windowing is the shared map-only Catalyst
+    projection (:func:`_kgrams_col`). Both histograms aggregate on
+    composite keys that START with doc_id — per-doc keys, so there is no
+    hot key by construction and partial (map-side) combine bounds each
+    shuffle to the per-partition distinct count. The final per-doc rollups
+    and the doc_id equi-join are ordinary hash ops on a high-cardinality
+    uniform key. No Python anywhere."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != F.lit("")
+    )
+    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    word_hist = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_words = word_hist.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.max("c").cast("long").alias("_top_word_c"),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(_kgrams_col(text_col, 2)).alias("gram")
+    )
+    gram_hist = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_grams = gram_hist.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_2grams"),
+        F.count(F.lit(1)).alias("_n_distinct_2grams"),
+        F.max("c").cast("long").alias("max_2gram_repeat"),
+    )
+    return (
+        per_doc_words.join(per_doc_grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr("(1000000 * _top_word_c) div n_words")
+            .cast("long")
+            .alias("top_word_ppm"),
+            "n_2grams",
+            F.expr("(1000000 * (n_2grams - _n_distinct_2grams)) div n_2grams")
+            .cast("long")
+            .alias("dup_2gram_ppm"),
+            "max_2gram_repeat",
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination audit: flag every corpus document that
+    shares at least one word ``k``-gram with any document of an evaluation
+    ``benchmark`` set — the standard held-out-overlap scrub (GPT-3 appendix
+    C shape: n-gram collision against eval sets) a training-data pipeline
+    runs before a corpus ships.
+
+    Returns one row per corpus document:
+    (doc_id, n_grams, n_hit_grams, contaminated) — distinct k-grams in the
+    doc, how many of those occur anywhere in the benchmark, and the boolean
+    a mixture builder filters on. Docs shorter than k tokens have
+    n_grams = 0 and are clean by definition (they stay in the output —
+    an audit must account for every input row).
+
+    Scale & shuffle shape: gram windowing is the shared map-only
+    projection (:func:`_kgrams_col`) on both sides. The benchmark gram set
+    is deduplicated once; the corpus side joins it on the gram key with a
+    LEFT join + hit counting, never a broadcast hint (benchmarks are
+    usually tiny — AQE will broadcast them when they actually are — but
+    the operator stays correct when "benchmark" is another shard of the
+    corpus). A stop-gram duplicates once per containing doc on the corpus
+    side (the same posting-list skew as t25's DF attach), which AQE
+    skew-join splits; at 10^12 docs you would join on ``xxhash64(gram)``
+    to cut the shuffled key bytes ~8× (documented, not done here: the
+    oracle's bit-exactness contract favors the collision-free string key
+    at test scale)."""
+    bench_grams = (
+        benchmark.select(F.explode(_kgrams_col(text_col, k)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(_kgrams_col(text_col, k)).alias("gram")
+    ).distinct()
+    hits = corpus_grams.join(bench_grams, "gram", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit_grams"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def ngram_novelty(docs: DataFrame, k: int = 8, n_salts: int = 32) -> DataFrame:
     """Per-document cross-doc duplication exposure — for each document, how
     much of its k-gram inventory also appears in at least one OTHER

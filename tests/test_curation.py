@@ -138,3 +138,62 @@ def test_ngram_novelty_hand_computed(spark):
     assert {k: (v.n_grams, v.n_shared, v.shared_ppm) for k, v in rows.items()} == {
         k: (v.n_grams, v.n_shared, v.shared_ppm) for k, v in rows2.items()
     }
+
+
+def test_repetition_signals_hand_computed(spark):
+    """All-integer per-doc repetition metrics; sub-2-token docs absent."""
+    from research_knowledge_graph_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # tokens [a,b,a,b,a]: n_words=5, top word a ×3 → 600000 ppm;
+            # 2-grams [a b, b a, a b, b a]: n=4, distinct=2 → dup 500000 ppm,
+            # max repeat 2
+            (1, "a b A b a"),
+            # no repetition at all: [x,y,z] → grams [x y, y z] all unique
+            (2, "x y z"),
+            # pathological loop: [p,p,p,p] → top word 1e6 ppm;
+            # grams [p p]×3 → dup (3-1)/3 → 666666 ppm, max repeat 3
+            (3, "p p p p"),
+            (4, "solo"),  # 1 token → no 2-grams → absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert (r1.n_words, r1.top_word_ppm) == (5, 600000)
+    assert (r1.n_2grams, r1.dup_2gram_ppm, r1.max_2gram_repeat) == (4, 500000, 2)
+    r2 = rows[2]
+    assert (r2.n_words, r2.top_word_ppm) == (3, 333333)
+    assert (r2.n_2grams, r2.dup_2gram_ppm, r2.max_2gram_repeat) == (2, 0, 1)
+    r3 = rows[3]
+    assert (r3.n_words, r3.top_word_ppm) == (4, 1000000)
+    assert (r3.n_2grams, r3.dup_2gram_ppm, r3.max_2gram_repeat) == (3, 666666, 3)
+
+
+def test_decontaminate_hand_computed(spark):
+    """k=3 gram overlap vs a benchmark set; short docs clean by definition
+    and PRESENT (audit covers every corpus row)."""
+    from research_knowledge_graph_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams {a b c, b c d}: a b c hits → contaminated
+            (2, "x y z w"),      # grams {x y z, y z w}: no hits
+            (3, "q q"),          # < k tokens → 0 grams, clean
+            (4, "b c d e a b c"),  # grams {b c d, c d e, d e a, e a b, a b c}:
+            # only "a b c" is in the benchmark → 1 hit
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "A B C"), (101, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, benchmark, k=3).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1].n_grams, rows[1].n_hit_grams, rows[1].contaminated) == (2, 1, True)
+    assert (rows[2].n_grams, rows[2].n_hit_grams, rows[2].contaminated) == (2, 0, False)
+    assert (rows[3].n_grams, rows[3].n_hit_grams, rows[3].contaminated) == (0, 0, False)
+    assert (rows[4].n_grams, rows[4].n_hit_grams, rows[4].contaminated) == (5, 1, True)
