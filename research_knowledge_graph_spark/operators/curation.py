@@ -134,6 +134,7 @@ def frequent_kgrams(
     min_docs: int = 2,
     top_n: int = 200,
     n_salts: int = 32,
+    text_col: str = "text",
 ) -> DataFrame:
     """Duplicated-passage mining: the word k-grams that appear in ≥
     ``min_docs`` DISTINCT documents of the same source — the corpus-level
@@ -157,7 +158,7 @@ def frequent_kgrams(
     from research_knowledge_graph_spark.functions.salt import two_phase_count_distinct
 
     grams = docs.select(
-        "doc_id", "source", F.explode(_kgrams_col("text", k)).alias("gram")
+        "doc_id", "source", F.explode(_kgrams_col(text_col, k)).alias("gram")
     )
     counted = two_phase_count_distinct(grams, ["source", "gram"], "doc_id", n_salts)
     return (
@@ -168,18 +169,30 @@ def frequent_kgrams(
     )
 
 
+def _tokens_col(text_col: str):
+    """Lowercased whitespace tokens of ``text_col`` — the ONE tokenizer
+    shared by every gram/word audit in this module (t24/t25/t26/t27) so the
+    token stream can't drift between them. Engine note: Java ``\\s``
+    includes vertical tab (\\x0B) while RE2 (DuckDB oracles) ``\\s`` does
+    not — identical on real whitespace; a \\x0B-bearing document would
+    tokenize differently between operator and oracle (none of the
+    deterministic generators emit one; documented, not defended)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != F.lit("")
+    )
+
+
 def _kgrams_col(text_col: str, k: int):
-    """Array of word k-grams of ``text_col`` (lowercased, whitespace-split) —
-    the ONE copy of the gram windowing shared by :func:`frequent_kgrams`
-    and :func:`ngram_novelty` so the tokenizer can't drift between the
+    """Array of word k-grams of ``text_col`` (tokens via :func:`_tokens_col`)
+    — the ONE copy of the gram windowing shared by :func:`frequent_kgrams`,
+    :func:`ngram_novelty`, :func:`repetition_signals` and
+    :func:`decontaminate` so the gram stream can't drift between the
     corpus-level and per-doc contamination audits. Pure Catalyst (lower →
     split → slice/array_join per start offset): map-only, no Python.
     Start offsets are 1..len-k+1 (1-based for F.slice); docs shorter than
     k tokens yield an empty array (sequence() would count DOWN on a
     negative span — guarded explicitly)."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != F.lit("")
-    )
+    toks = _tokens_col(text_col)
     starts = F.when(
         F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -214,10 +227,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle to the per-partition distinct count. The final per-doc rollups
     and the doc_id equi-join are ordinary hash ops on a high-cardinality
     uniform key. No Python anywhere."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != F.lit("")
-    )
-    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    words = docs.select("doc_id", F.explode(_tokens_col(text_col)).alias("word"))
     word_hist = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
     per_doc_words = word_hist.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_words"),
@@ -304,7 +314,9 @@ def decontaminate(
     )
 
 
-def ngram_novelty(docs: DataFrame, k: int = 8, n_salts: int = 32) -> DataFrame:
+def ngram_novelty(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
     """Per-document cross-doc duplication exposure — for each document, how
     much of its k-gram inventory also appears in at least one OTHER
     document. The per-doc decontamination / memorization-risk audit
@@ -322,20 +334,22 @@ def ngram_novelty(docs: DataFrame, k: int = 8, n_salts: int = 32) -> DataFrame:
 
     Scale & shuffle shape: gram windowing is the shared map-only
     projection (:func:`_kgrams_col`); per-doc distinct grams is one
-    composite-key shuffle; the gram document-frequency runs through
-    :func:`~research_knowledge_graph_spark.functions.salt.two_phase_count_distinct`
-    (a stop-gram's doc set never ships to one reducer). The DF attach is
-    a gram-keyed join of the posting rows against the one-row-per-gram
-    count dim — never broadcast (|dim| = |gram vocabulary|, unbounded);
-    a stop-gram's posting rows pile onto one join partition, which AQE
-    skew-join splits (session-wide). Final per-doc rollup is an ordinary
-    hash-agg on doc_id."""
-    from research_knowledge_graph_spark.functions.salt import two_phase_count_distinct
-
+    composite-key shuffle (per-doc keys — no hot key by construction).
+    After that distinct, each gram's row count IS its distinct-doc count,
+    so the document frequency is a plain ``groupBy(gram).count()`` —
+    map-side combinable with 8-byte state; no salted countDistinct needed
+    (a stop-gram's per-partition rows collapse to one partial count before
+    the shuffle). The DF attach is a gram-keyed join of the posting rows
+    against the one-row-per-gram count dim — never broadcast (|dim| =
+    |gram vocabulary|, unbounded); a stop-gram's posting rows pile onto
+    one join partition, which AQE skew-join splits (session-wide). Final
+    per-doc rollup is an ordinary hash-agg on doc_id."""
     grams = docs.select(
-        "doc_id", F.explode(_kgrams_col("text", k)).alias("gram")
+        "doc_id", F.explode(_kgrams_col(text_col, k)).alias("gram")
     ).distinct()
-    df_per_gram = two_phase_count_distinct(grams, ["gram"], "doc_id", n_salts)
+    df_per_gram = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
     return (
         grams.join(df_per_gram, "gram")
         .groupBy("doc_id")

@@ -296,6 +296,10 @@ def katz_centrality(
     applies verbatim)."""
     if iters < 1:
         raise ValueError(f"katz_centrality() needs iters >= 1, got {iters}")
+    if beta_inv < 1:
+        # beta_inv=0 silently degenerates to p_K only (0**0 == 1); negative
+        # values alternate signs — neither is a centrality
+        raise ValueError(f"katz_centrality() needs beta_inv >= 1, got {beta_inv}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node_id"))

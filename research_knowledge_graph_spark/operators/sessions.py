@@ -57,7 +57,11 @@ def sessionize(
     # NTZ→timestamp→long path equals DuckDB's epoch()
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     part = [user_col] if split_by is None else [user_col, "session_day"]
-    w = Window.partitionBy(*part).orderBy(ts_col, id_col)
+    # order by the SAME casted expression the gap is measured on — ordering
+    # by the raw column would sort string timestamps lexicographically while
+    # gaps compare epochs (ties still broken by id_col; for timestamp
+    # columns the two orders coincide)
+    w = Window.partitionBy(*part).orderBy(epoch.asc(), F.col(id_col).asc())
     prev_epoch = F.lag(epoch).over(w)
     is_new = F.when(
         prev_epoch.isNull() | (epoch - prev_epoch > gap_minutes * 60),
@@ -132,8 +136,10 @@ def interarrival_stats(
     Skew: the shuffle key is the user — a hot bot user serializes one
     reducer's sort, the same bound (and the same ``split_by``-style
     mitigation path) documented on :func:`sessionize`."""
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # order by the measured expression itself (see sessionize: a raw string
+    # ts column would sort lexicographically while gaps compare micros)
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col(id_col).asc())
     gap = (us - F.lag(us).over(w)).alias("gap_us")
     gaps = events.select(F.col(user_col).alias("user_id"), gap).filter(
         F.col("gap_us").isNotNull()

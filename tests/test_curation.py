@@ -121,8 +121,8 @@ def test_ngram_novelty_hand_computed(spark):
             (1, "a b c d"),
             # doc2 grams: {a b c, b c d, c d e} — c d e unique → 2/3
             (2, "a b c d e"),
-            # doc3: one gram, repeated twice, unique to doc3 → 0/1
-            (3, "p q r p q r"[:11]),  # "p q r p q r"[:11] = "p q r p q "
+            # doc3: grams all unique to doc3 → 0/3 shared
+            (3, "p q r p q r"),  # tokens [p,q,r,p,q,r]
             (4, "zz"),  # shorter than k → absent
         ],
         "doc_id long, text string",
@@ -131,12 +131,18 @@ def test_ngram_novelty_hand_computed(spark):
     assert set(rows) == {1, 2, 3}
     assert (rows[1].n_grams, rows[1].n_shared, rows[1].shared_ppm) == (2, 2, 1000000)
     assert (rows[2].n_grams, rows[2].n_shared, rows[2].shared_ppm) == (3, 2, 666666)
-    # doc3 text "p q r p q " → tokens [p,q,r,p,q] → grams {p q r, q r p, r p q}
+    # doc3 tokens [p,q,r,p,q,r] → distinct grams {p q r, q r p, r p q}
+    # ("p q r" occurs twice but counts once per doc)
     assert (rows[3].n_grams, rows[3].n_shared, rows[3].shared_ppm) == (3, 0, 0)
-    # salt count must not change exact results (slot-disjoint partials)
-    rows2 = {r.doc_id: r for r in ngram_novelty(docs, k=3, n_salts=3).collect()}
+    # text_col knob matches the module's other audits
+    renamed = {
+        r.doc_id: r
+        for r in ngram_novelty(
+            docs.withColumnRenamed("text", "body"), k=3, text_col="body"
+        ).collect()
+    }
     assert {k: (v.n_grams, v.n_shared, v.shared_ppm) for k, v in rows.items()} == {
-        k: (v.n_grams, v.n_shared, v.shared_ppm) for k, v in rows2.items()
+        k: (v.n_grams, v.n_shared, v.shared_ppm) for k, v in renamed.items()
     }
 
 
