@@ -1576,6 +1576,58 @@ def v05_range_join_errors(spark, sf_dir):
     )
 
 
+def v13_props_field_rollup(spark, sf_dir):
+    """Semi-structured JSON property extraction + rollup — the events
+    table's ``props`` column is a JSON string (the reference stores node
+    properties as JSONB, ``src/db/models.py`` — F8's query-side analog):
+    pull the numeric field ``$.k`` with ``get_json_object`` (pure Catalyst
+    JSON path, map-only, no Python) and aggregate per event type. All
+    outputs are exact bigints; ``avg_k = sum div count`` is floor integer
+    division over NON-NEGATIVE values (== DuckDB ``//``, the t23/g30
+    pattern). Events without the field parse to NULL and drop out of the
+    k-aggregates (count(k) counts non-null — both engines agree)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("k").cast("long").alias("n_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.expr("sum(k) div count(k)").cast("long").alias("avg_k"),
+    )
+
+
+def e09_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in exact fixed-point
+    (operators/similarity.py::label_centroids): each float component is
+    scaled to integer nanos map-side, so the per-(label, dim) sums are
+    exact bigints and the check is bit-exact under any partitioning.
+    Oracle: UNNEST WITH ORDINALITY + the same round(val*1e9) scaling."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def g32_truncated_closeness(spark, sf_dir):
+    """Truncated closeness centrality over FOLLOWS∪USES_PART
+    (operators/graph_queries.py::truncated_closeness): nodes reachable
+    within 3 directed hops + exact hop-distance sum per source, ranked by
+    closeness_ppm (integer floor division). Oracle: bounded recursive CTE
+    with min(dist) per (src, node), aggregated identically."""
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.truncated_closeness(
+        edges, max_depth=3, edge_types=["FOLLOWS", "USES_PART"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness caps at its first 50
     # dict entries. Newest / least-recently-driver-checked oracle entries go
@@ -1586,6 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "v13_props_field_rollup": v13_props_field_rollup,
+        "e09_label_centroids": e09_label_centroids,
+        "g32_truncated_closeness": g32_truncated_closeness,
         "t26_repetition_signals": t26_repetition_signals,
         "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
@@ -1618,9 +1673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "g08_recursive_chain": g08_recursive_chain,
-        "t01_normalize_labels": t01_normalize_labels,
-        "t02_quality": t02_quality,
-        "t04_exact_dedup": t04_exact_dedup,
         "g11_undirected_degree": g11_undirected_degree,
         "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "e01_knn_bruteforce": e01_knn_bruteforce,
@@ -1646,8 +1698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3+r4 driver-green; the minhash/simhash machinery stays
         # driver-exercised through t07/t10) to make room for t25/v12;
         # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
-        # local test_entry_oracle.py still gates every entry regardless
-        # of position)
+        # then t01/t02/t04 (r3+r4 driver-green) to make room for
+        # v13/e09/g32; local test_entry_oracle.py still gates every entry
+        # regardless of position)
+        "t01_normalize_labels": t01_normalize_labels,
+        "t02_quality": t02_quality,
+        "t04_exact_dedup": t04_exact_dedup,
         "t09_quality_quantiles": t09_quality_quantiles,
         "g17_shortest_paths": g17_shortest_paths,
         "t05_jaccard_pairs": t05_jaccard_pairs,
@@ -2151,6 +2207,36 @@ def oracle_sql() -> dict[str, str]:
     cos_qd = _cosine_sql("qv", "dv")
 
     sql = {
+        "v13_props_field_rollup": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(k) AS BIGINT) AS n_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k,
+                   CAST(sum(k) // count(k) AS BIGINT) AS avg_k
+            FROM (
+                SELECT event_type, user_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            GROUP BY event_type
+        """,
+        "e09_label_centroids": """
+            SELECT label, u.dim AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(u.nano) AS BIGINT) AS sum_nano,
+                   CAST(floor(sum(u.nano) / count(*)) AS BIGINT) AS mean_nano
+            FROM (
+                SELECT label,
+                       unnest(list_transform(range(len(embedding)),
+                           i -> {'dim': CAST(i AS INT),
+                                 'nano': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e9) AS BIGINT)})) AS u
+                FROM embeddings
+            )
+            GROUP BY label, u.dim
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2509,6 +2595,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN p1 ON n.node_id = p1.d
             LEFT JOIN p2 ON n.node_id = p2.d
             LEFT JOIN p3 ON n.node_id = p3.d
+        """,
+        "g32_truncated_closeness": f"""
+            WITH RECURSIVE {GRAPH_CTE},
+            g AS (
+                SELECT DISTINCT from_node_id AS u, to_node_id AS v FROM edges
+                WHERE edge_type IN ('FOLLOWS', 'USES_PART')
+            ),
+            sp AS (
+                SELECT u AS src, u AS node, 0 AS dist
+                FROM (SELECT DISTINCT u FROM g)
+                UNION
+                SELECT sp.src, g.v, sp.dist + 1
+                FROM sp JOIN g ON g.u = sp.node
+                WHERE sp.dist < 3
+            ),
+            md AS (
+                SELECT src, node, min(dist) AS dist FROM sp GROUP BY src, node
+            )
+            SELECT src AS node_id,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(dist) AS BIGINT) AS total_dist,
+                   CAST((1000000 * count(*)) // sum(dist) AS BIGINT) AS closeness_ppm
+            FROM md WHERE dist > 0 GROUP BY src
         """,
         "g17_shortest_paths": f"""
             WITH RECURSIVE {GRAPH_CTE},

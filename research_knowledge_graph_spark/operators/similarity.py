@@ -265,3 +265,48 @@ def mmr_rerank(
         _greedy,
         f"query_id {qt}, rank int, vec_id {vt}, relevance double",
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding centroid in exact fixed-point — the class-
+    prototype computation behind clustering audits, IVF coarse-quantizer
+    seeding (``ann_ivf``'s centroid table is exactly this shape), and
+    embedding-space drift monitoring between corpus snapshots.
+
+    Returns one row per (label, dim): (label, dim, n_vecs, sum_nano,
+    mean_nano). Each float component is scaled to integer NANOS once on
+    the map side (``round(val * 10^9)`` — float→double cast and the
+    multiply are IEEE-identical across engines, the t23 pattern), so
+    ``sum_nano`` is an exact bigint and the check is bit-exact regardless
+    of partitioning or aggregation order — a plain double sum would be
+    order-dependent and cross-engine flaky. ``mean_nano =
+    floor(sum_nano / n_vecs)`` computes the division in double (both
+    engines divide bigint/bigint in IEEE double): exact while
+    |sum_nano| < 2^53 — at larger corpora publish (sum, n) and divide at
+    the consumer.
+
+    Scale: posexplode is map-only; the aggregate keys on (label, dim) —
+    cardinality #labels × dim, uniform by construction (every vector
+    contributes one row per dim), with map-side partial sums bounding the
+    shuffle at #keys × #partitions rows. No Python anywhere."""
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    )
+    nano = F.round(F.col("val").cast("double") * F.lit(1e9)).cast("long")
+    return (
+        ex.select("label", "dim", nano.alias("nano"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("nano").cast("long").alias("sum_nano"),
+        )
+        .withColumn(
+            "mean_nano",
+            F.floor(F.col("sum_nano") / F.col("n_vecs")).cast("long"),
+        )
+    )

@@ -248,3 +248,57 @@ def test_resource_allocation_salted_parity(spark):
         ).collect()
     }
     assert salted == plain and len(plain) > 700  # C(40,2)=780 hub wedges
+
+
+def test_truncated_closeness_hand_computed(spark):
+    """Chain+branch at depth 2: exact n_reached/total_dist/ppm; parallel
+    edges collapse (distinct); sinks (no out-edges) are absent."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        truncated_closeness,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")],
+        "from_node_id string, to_node_id string",
+    )
+    rows = {
+        r.node_id: (r.n_reached, r.total_dist, r.closeness_ppm)
+        for r in truncated_closeness(edges, max_depth=2).collect()
+    }
+    # a: b@1, c@2, e@2 -> (3, 5, 600000); b: c@1, e@1, d@2 -> (3, 4, 750000)
+    # c: d@1 -> (1, 1, 1000000); d, e: sinks, absent
+    assert rows == {
+        "a": (3, 5, 600000),
+        "b": (3, 4, 750000),
+        "c": (1, 1, 1000000),
+    }
+
+
+def test_truncated_closeness_cycle_excludes_self(spark):
+    """A 2-cycle never counts the source itself (dist-0 visited blocks the
+    return step) and terminates within the horizon."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        truncated_closeness,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "from_node_id string, to_node_id string"
+    )
+    rows = {
+        r.node_id: (r.n_reached, r.total_dist)
+        for r in truncated_closeness(edges, max_depth=3).collect()
+    }
+    assert rows == {"a": (1, 1), "b": (1, 1)}
+
+
+def test_truncated_closeness_validates_depth(spark):
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        truncated_closeness,
+    )
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "from_node_id string, to_node_id string"
+    )
+    with _pytest.raises(ValueError):
+        truncated_closeness(edges, max_depth=0)

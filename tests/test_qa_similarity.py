@@ -94,3 +94,30 @@ def test_mmr_rerank_diversifies(spark):
     # λ=1.0 degenerates to pure relevance order
     pure = mmr_rerank(e, q, k=3, pool=10, lam=1.0).orderBy("rank").collect()
     assert [r.vec_id for r in pure] == [10, 11, 12]
+
+
+def test_label_centroids_hand_computed(spark):
+    """Exactly-representable floats: nano sums and floor means are exact
+    bigints (incl. negative-sum floor: floor(-2e9/2) = -1e9)."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.5], 0),
+            (2, [0.5, 0.5], 0),
+            (3, [2.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        (r.label, r.dim): (r.n_vecs, r.sum_nano, r.mean_nano)
+        for r in label_centroids(df).collect()
+    }
+    assert rows == {
+        (0, 0): (2, 1_500_000_000, 750_000_000),
+        (0, 1): (2, -2_000_000_000, -1_000_000_000),
+        (1, 0): (1, 2_000_000_000, 2_000_000_000),
+        (1, 1): (1, 0, 0),
+    }
