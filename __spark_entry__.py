@@ -1576,6 +1576,40 @@ def v05_range_join_errors(spark, sf_dir):
     )
 
 
+def t28_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — which crawl sources mirror each
+    other: MinHash-LSH near-dup candidate pairs (t07's machinery verbatim)
+    rolled up to unordered (source_a, source_b) counts. The
+    mixture-design diagnostic a web-scale curation run reads before
+    weighting domains (a high off-diagonal cell = two feeds syndicating
+    the same content; the diagonal = within-source duplication t10
+    collapses). Scale: the doc→source attach is two equi-joins against
+    the docs projection (high-cardinality uniform key); the rollup keys
+    on source pairs — map-side combinable, #sources² max. Oracle: the
+    identical pair CTE + least/greatest canonicalization."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        ).join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def v13_props_field_rollup(spark, sf_dir):
     """Semi-structured JSON property extraction + rollup — the events
     table's ``props`` column is a JSON string (the reference stores node
@@ -1641,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v13_props_field_rollup": v13_props_field_rollup,
         "e09_label_centroids": e09_label_centroids,
         "g32_truncated_closeness": g32_truncated_closeness,
+        "t28_cross_source_dup_matrix": t28_cross_source_dup_matrix,
         "t26_repetition_signals": t26_repetition_signals,
         "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
@@ -1673,7 +1708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "g08_recursive_chain": g08_recursive_chain,
-        "g11_undirected_degree": g11_undirected_degree,
         "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
@@ -1698,9 +1732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3+r4 driver-green; the minhash/simhash machinery stays
         # driver-exercised through t07/t10) to make room for t25/v12;
         # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
-        # then t01/t02/t04 (r3+r4 driver-green) to make room for
-        # v13/e09/g32; local test_entry_oracle.py still gates every entry
-        # regardless of position)
+        # then t01/t02/t04/g11 (r3+r4 driver-green) to make room for
+        # v13/e09/g32/t28; local test_entry_oracle.py still gates every
+        # entry regardless of position)
+        "g11_undirected_degree": g11_undirected_degree,
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
         "t04_exact_dedup": t04_exact_dedup,
@@ -2635,6 +2670,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT landmark, node_id, min(dist) AS dist
             FROM sp GROUP BY landmark, node_id
+        """,
+        "t28_cross_source_dup_matrix": f"""
+            WITH pairs AS (
+                SELECT * FROM ({_minhash_lsh_sql(k=8, shingle_k=4, bands=4)})
+            )
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs p
+            JOIN documents da ON p.doc_a = da.doc_id
+            JOIN documents db ON p.doc_b = db.doc_id
+            GROUP BY 1, 2
         """,
         "t10_dedup_cluster_survivors": f"""
             WITH RECURSIVE pairs AS (
