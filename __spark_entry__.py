@@ -1576,6 +1576,17 @@ def v05_range_join_errors(spark, sf_dir):
     )
 
 
+def g33_reciprocity(spark, sf_dir):
+    """Per-edge-type reciprocity over the full typed graph
+    (operators/graph_queries.py::reciprocity): distinct non-loop directed
+    edges vs how many have their reverse, in exact floor ppm. The audit
+    for both-direction edge invariants (the reference writes SIMILAR_TO
+    both ways — E4). Oracle: EXISTS twin over the same distinct edge
+    set."""
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.reciprocity(edges)
+
+
 def t28_cross_source_dup_matrix(spark, sf_dir):
     """Cross-source duplication matrix — which crawl sources mirror each
     other: MinHash-LSH near-dup candidate pairs (t07's machinery verbatim)
@@ -1676,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e09_label_centroids": e09_label_centroids,
         "g32_truncated_closeness": g32_truncated_closeness,
         "t28_cross_source_dup_matrix": t28_cross_source_dup_matrix,
+        "g33_reciprocity": g33_reciprocity,
         "t26_repetition_signals": t26_repetition_signals,
         "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
@@ -1708,7 +1720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "g08_recursive_chain": g08_recursive_chain,
-        "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
         "e03_knn_lsh": e03_knn_lsh,
@@ -1732,9 +1743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3+r4 driver-green; the minhash/simhash machinery stays
         # driver-exercised through t07/t10) to make room for t25/v12;
         # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
-        # then t01/t02/t04/g11 (r3+r4 driver-green) to make room for
-        # v13/e09/g32/t28; local test_entry_oracle.py still gates every
-        # entry regardless of position)
+        # then t01/t02/t04/g11/t07 (r3+r4 driver-green; t07's minhash
+        # machinery stays driver-exercised through t10/t28) to make room
+        # for v13/e09/g32/t28/g33; local test_entry_oracle.py still gates
+        # every entry regardless of position)
+        "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "g11_undirected_degree": g11_undirected_degree,
         "t01_normalize_labels": t01_normalize_labels,
         "t02_quality": t02_quality,
@@ -2630,6 +2643,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN p1 ON n.node_id = p1.d
             LEFT JOIN p2 ON n.node_id = p2.d
             LEFT JOIN p3 ON n.node_id = p3.d
+        """,
+        "g33_reciprocity": f"""
+            WITH {GRAPH_CTE},
+            e AS (
+                SELECT DISTINCT edge_type, from_node_id AS u, to_node_id AS v
+                FROM edges WHERE from_node_id <> to_node_id
+            ),
+            r AS (
+                SELECT e.edge_type, count(*) AS n_recip
+                FROM e
+                WHERE EXISTS (
+                    SELECT 1 FROM e e2
+                    WHERE e2.edge_type = e.edge_type
+                      AND e2.u = e.v AND e2.v = e.u
+                )
+                GROUP BY e.edge_type
+            ),
+            t AS (
+                SELECT edge_type, count(*) AS n_edges FROM e GROUP BY edge_type
+            )
+            SELECT t.edge_type,
+                   CAST(t.n_edges AS BIGINT) AS n_edges,
+                   CAST(COALESCE(r.n_recip, 0) AS BIGINT) AS n_reciprocal,
+                   CAST((1000000 * COALESCE(r.n_recip, 0)) // t.n_edges AS BIGINT)
+                       AS reciprocity_ppm
+            FROM t LEFT JOIN r USING (edge_type)
         """,
         "g32_truncated_closeness": f"""
             WITH RECURSIVE {GRAPH_CTE},

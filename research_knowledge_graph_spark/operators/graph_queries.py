@@ -734,3 +734,51 @@ def truncated_closeness(
             F.expr("(1000000 * n_reached) div total_dist").cast("long"),
         )
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-edge-type reciprocity: of the distinct directed non-loop edges,
+    how many have their reverse present — the mutual-link share (Newman's
+    reciprocity) that separates citation-like DAG-ish types from
+    conversation-like mutual types. The reference's SIMILAR_TO edges are
+    written in both directions by design (``graph_service.py`` E4 union);
+    this is the audit that verifies such invariants hold corpus-wide.
+
+    Returns (edge_type, n_edges, n_reciprocal, reciprocity_ppm) with
+    ``reciprocity_ppm = 10^6 * n_reciprocal div n_edges`` — all counts
+    over DISTINCT (type, from, to) triples with self-loops excluded
+    (a loop is trivially its own reverse), so every column is an exact
+    bigint. Scale: one distinct on the composite key, one self
+    LEFT SEMI join on the reversed key (equi-join, same shuffle
+    partitioning both sides), two map-side-combinable aggregates keyed by
+    edge_type (#types rows)."""
+    e = (
+        edges.select("edge_type", "from_node_id", "to_node_id")
+        .filter(F.col("from_node_id") != F.col("to_node_id"))
+        .distinct()
+    )
+    rev = e.select(
+        "edge_type",
+        F.col("to_node_id").alias("from_node_id"),
+        F.col("from_node_id").alias("to_node_id"),
+    )
+    recip = (
+        e.join(rev, ["edge_type", "from_node_id", "to_node_id"], "left_semi")
+        .groupBy("edge_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    totals = e.groupBy("edge_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return (
+        totals.join(recip, "edge_type", "left")
+        .select(
+            "edge_type",
+            "n_edges",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+        )
+        .withColumn(
+            "reciprocity_ppm",
+            F.expr("(1000000 * n_reciprocal) div n_edges").cast("long"),
+        )
+    )

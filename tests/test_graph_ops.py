@@ -302,3 +302,27 @@ def test_truncated_closeness_validates_depth(spark):
     )
     with _pytest.raises(ValueError):
         truncated_closeness(edges, max_depth=0)
+
+
+def test_reciprocity_hand_computed(spark):
+    """Mutual pair counts both directions; self-loops and duplicate rows
+    are excluded before counting; types with no mutuals read 0."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        reciprocity,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("T", "a", "b"), ("T", "b", "a"),  # mutual pair -> 2 reciprocal
+            ("T", "a", "c"),                    # one-way
+            ("T", "a", "c"),                    # duplicate row, collapses
+            ("T", "d", "d"),                    # self-loop, excluded
+            ("U", "x", "y"),                    # one-way only type
+        ],
+        "edge_type string, from_node_id string, to_node_id string",
+    )
+    rows = {
+        r.edge_type: (r.n_edges, r.n_reciprocal, r.reciprocity_ppm)
+        for r in reciprocity(edges).collect()
+    }
+    assert rows == {"T": (3, 2, 666666), "U": (1, 0, 0)}
