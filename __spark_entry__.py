@@ -1576,6 +1576,29 @@ def v05_range_join_errors(spark, sf_dir):
     )
 
 
+def t29_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/curation.py::snapshot_diff): status
+    of every doc between the documents table and a deterministically
+    mutated v2 of it (doc_id%10==0 removed, %7==0 changed, %13==0 cloned
+    as adds at doc_id+10^6) — the dataset-versioning audit. The mutation
+    is expressed identically in the oracle; the diff itself is one
+    full-outer join on (key, portable fingerprint)."""
+    from research_knowledge_graph_spark.operators.curation import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("added "), F.col("text")).alias("text"),
+    )
+    return snapshot_diff(d, base.unionByName(added))
+
+
 def g33_reciprocity(spark, sf_dir):
     """Per-edge-type reciprocity over the full typed graph
     (operators/graph_queries.py::reciprocity): distinct non-loop directed
@@ -1688,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g32_truncated_closeness": g32_truncated_closeness,
         "t28_cross_source_dup_matrix": t28_cross_source_dup_matrix,
         "g33_reciprocity": g33_reciprocity,
+        "t29_snapshot_diff": t29_snapshot_diff,
         "t26_repetition_signals": t26_repetition_signals,
         "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
@@ -1720,7 +1744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "g08_recursive_chain": g08_recursive_chain,
-        "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
@@ -1743,10 +1766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3+r4 driver-green; the minhash/simhash machinery stays
         # driver-exercised through t07/t10) to make room for t25/v12;
         # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
-        # then t01/t02/t04/g11/t07 (r3+r4 driver-green; t07's minhash
-        # machinery stays driver-exercised through t10/t28) to make room
-        # for v13/e09/g32/t28/g33; local test_entry_oracle.py still gates
-        # every entry regardless of position)
+        # then t01/t02/t04/g11/t07/e01 (r3+r4 driver-green; the minhash
+        # and brute-force-kNN machinery stays driver-exercised through
+        # t10/t28 and e02/e07) to make room for v13/e09/g32/t28/g33/t29;
+        # local test_entry_oracle.py still gates every entry regardless
+        # of position)
+        "e01_knn_bruteforce": e01_knn_bruteforce,
         "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "g11_undirected_degree": g11_undirected_degree,
         "t01_normalize_labels": t01_normalize_labels,
@@ -2709,6 +2734,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT landmark, node_id, min(dist) AS dist
             FROM sp GROUP BY landmark, node_id
+        """,
+        "t29_snapshot_diff": f"""
+            WITH newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, 'added ' || text
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            of AS (
+                SELECT doc_id AS key, {_fingerprint_sql('text')} AS fp FROM documents
+            ),
+            nf AS (
+                SELECT doc_id AS key, {_fingerprint_sql('text')} AS fp FROM newt
+            )
+            SELECT COALESCE(of.key, nf.key) AS key,
+                   CASE WHEN of.key IS NULL THEN 'added'
+                        WHEN nf.key IS NULL THEN 'removed'
+                        WHEN of.fp <> nf.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM of FULL OUTER JOIN nf ON of.key = nf.key
         """,
         "t28_cross_source_dup_matrix": f"""
             WITH pairs AS (

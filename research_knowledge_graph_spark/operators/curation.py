@@ -363,3 +363,46 @@ def ngram_novelty(
             "shared_ppm", F.expr("(1000000 * n_shared) div n_grams").cast("long")
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive a
+    training-data pipeline runs between two crawls / two releases of the
+    same corpus: which documents were added, removed, changed (same key,
+    different content fingerprint), or carried unchanged. The per-row
+    status stream feeds incremental re-processing (only added/changed
+    rows re-enter extraction — the exact contract of the incremental
+    pipeline's delta appends, ``plans/pipeline.py``) and the release
+    audit row (counts per status).
+
+    Returns one row per key present in EITHER snapshot:
+    (key, status ∈ {added, removed, changed, unchanged}). Content
+    identity is the engine-portable 60-bit text fingerprint
+    (:func:`~research_knowledge_graph_spark.functions.textops.fingerprint_col`
+    — whitespace-normalized, both engines bit-identical), so the status
+    column is exact and oracle-checkable.
+
+    Scale: fingerprints are map-side; the only shuffle is ONE full-outer
+    equi-join on the high-cardinality uniform key (both sides
+    pre-projected to (key, fp) — 16 bytes of payload per row, never the
+    text). At 10^12 docs the join partitions by key hash exactly as the
+    snapshots should already be bucketed; no skew term (keys are
+    unique per side by construction — enforce upstream with t04's exact
+    dedup if the source is unkeyed)."""
+    from research_knowledge_graph_spark.functions.textops import fingerprint_col
+
+    o = old.select(F.col(key_col).alias("key"), fingerprint_col(text_col).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("key"), fingerprint_col(text_col).alias("new_fp"))
+    return o.join(n, "key", "full_outer").select(
+        "key",
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -203,3 +203,26 @@ def test_decontaminate_hand_computed(spark):
     assert (rows[2].n_grams, rows[2].n_hit_grams, rows[2].contaminated) == (2, 0, False)
     assert (rows[3].n_grams, rows[3].n_hit_grams, rows[3].contaminated) == (0, 0, False)
     assert (rows[4].n_grams, rows[4].n_hit_grams, rows[4].contaminated) == (5, 1, True)
+
+
+def test_snapshot_diff_hand_computed(spark):
+    """All four statuses; whitespace-normalized fingerprint means a
+    whitespace-only edit reads unchanged."""
+    from research_knowledge_graph_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta"), (4, "kept  text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta"), (3, "delta CHANGED"), (4, "kept text"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    rows = {r.key: r.status for r in snapshot_diff(old, new).collect()}
+    assert rows == {
+        1: "unchanged",
+        2: "removed",
+        3: "changed",
+        4: "unchanged",  # whitespace-only edit
+        5: "added",
+    }
