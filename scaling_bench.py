@@ -117,7 +117,14 @@ def run_at(
         if pin:
             n_cpus = min(execs * cores + 4, os.cpu_count() or 32)
             cmd = ["taskset", "-c", f"0-{n_cpus - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        if out.returncode != 0:
+            # surface the inner Spark failure — check=True would swallow it
+            sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-8000:] + "\n")
+            raise RuntimeError(
+                f"scaling run at {execs}x{cores} failed (exit {out.returncode}); "
+                "stderr above"
+            )
         r = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
             best = r
