@@ -1576,6 +1576,19 @@ def v05_range_join_errors(spark, sf_dir):
     )
 
 
+def e10_nearest_centroid(spark, sf_dir):
+    """Exact-integer k-means E-step / cluster-purity audit
+    (operators/similarity.py::nearest_centroid_assign): per-label micro
+    centroids, squared-L2 assignment, ties toward the smaller label.
+    Oracle: identical micro-scaled arithmetic via list_transform +
+    list_sum + row_number."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        nearest_centroid_assign,
+    )
+
+    return nearest_centroid_assign(_t(spark, sf_dir, "embeddings"))
+
+
 def t29_snapshot_diff(spark, sf_dir):
     """Corpus snapshot diff (operators/curation.py::snapshot_diff): status
     of every doc between the documents table and a deterministically
@@ -1712,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t28_cross_source_dup_matrix": t28_cross_source_dup_matrix,
         "g33_reciprocity": g33_reciprocity,
         "t29_snapshot_diff": t29_snapshot_diff,
+        "e10_nearest_centroid": e10_nearest_centroid,
         "t26_repetition_signals": t26_repetition_signals,
         "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
@@ -1744,7 +1758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "g08_recursive_chain": g08_recursive_chain,
-        "e02_embedding_near_dups": e02_embedding_near_dups,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -1766,12 +1779,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3+r4 driver-green; the minhash/simhash machinery stays
         # driver-exercised through t07/t10) to make room for t25/v12;
         # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
-        # then t01/t02/t04/g11/t07/e01 (r3+r4 driver-green; the minhash
-        # and brute-force-kNN machinery stays driver-exercised through
-        # t10/t28 and e02/e07) to make room for v13/e09/g32/t28/g33/t29;
-        # local test_entry_oracle.py still gates every entry regardless
-        # of position)
+        # then t01/t02/t04/g11/t07/e01/e02 (r3+r4 driver-green; the
+        # minhash, brute-force-kNN and SRP-block machinery stays
+        # driver-exercised through t10/t28, e07 and e03/e05) to make room
+        # for v13/e09/g32/t28/g33/t29/e10; local test_entry_oracle.py
+        # still gates every entry regardless of position)
         "e01_knn_bruteforce": e01_knn_bruteforce,
+        "e02_embedding_near_dups": e02_embedding_near_dups,
         "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
         "g11_undirected_degree": g11_undirected_degree,
         "t01_normalize_labels": t01_normalize_labels,
@@ -2734,6 +2748,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT landmark, node_id, min(dist) AS dist
             FROM sp GROUP BY landmark, node_id
+        """,
+        "e10_nearest_centroid": """
+            WITH vm AS (
+                SELECT vec_id, label AS own_label,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, u.dim AS dim,
+                       CAST(floor(sum(u.micro) / count(*)) AS BIGINT) AS c
+                FROM (
+                    SELECT label,
+                           unnest(list_transform(range(len(embedding)),
+                               i -> {'dim': CAST(i AS INT),
+                                     'micro': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT)})) AS u
+                    FROM embeddings
+                )
+                GROUP BY label, u.dim
+            ),
+            carr AS (
+                SELECT label AS cand_label, list(c ORDER BY dim) AS carr
+                FROM cent GROUP BY label
+            ),
+            d AS (
+                SELECT vm.vec_id, vm.own_label, carr.cand_label,
+                       list_sum(list_transform(range(len(vm.v)),
+                           i -> (vm.v[i+1] - carr.carr[i+1])
+                                * (vm.v[i+1] - carr.carr[i+1]))) AS dist_micro2
+                FROM vm CROSS JOIN carr
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist_micro2, cand_label) AS rn
+                FROM d
+            )
+            SELECT vec_id, own_label, cand_label AS assigned_label,
+                   CAST(dist_micro2 AS BIGINT) AS dist_micro2
+            FROM r WHERE rn = 1
         """,
         "t29_snapshot_diff": f"""
             WITH newt AS (

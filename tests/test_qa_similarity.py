@@ -121,3 +121,37 @@ def test_label_centroids_hand_computed(spark):
         (1, 0): (1, 2_000_000_000, 2_000_000_000),
         (1, 1): (1, 0, 0),
     }
+
+
+def test_nearest_centroid_assign_hand_computed(spark):
+    """2-D, 2 labels: centroids are exact micro means; the deliberately
+    mislabeled vector is assigned to the other label's centroid; ties
+    break toward the smaller label."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        nearest_centroid_assign,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.0, 2.0], 0),   # label-0 centroid: (0, 1e6)
+            (3, [10.0, 10.0], 1),
+            (4, [10.0, 12.0], 1), # label-1 centroid: (1e7, 11e6)
+            (5, [9.9, 11.1], 0),  # mislabeled: far closer to centroid 1
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        r.vec_id: (r.own_label, r.assigned_label, r.dist_micro2)
+        for r in nearest_centroid_assign(df).collect()
+    }
+    # label-0 centroid with vec 5: mean over three label-0 vecs
+    # sum_x = 0+0+9.9e6=9.9e6 -> floor/3 = 3.3e6; sum_y = 0+2e6+11.1e6 -> floor(13.1e6/3)=4366666
+    c0 = (3_300_000, 4_366_666)
+    c1 = (10_000_000, 11_000_000)
+    def d(v, c):
+        return (v[0] - c[0]) ** 2 + (v[1] - c[1]) ** 2
+    assert rows[5] == (0, 1, d((9_900_000, 11_100_000), c1))
+    assert rows[1] == (0, 0, d((0, 0), c0))
+    assert rows[3] == (1, 1, d((10_000_000, 10_000_000), c1))
+    assert rows[5][2] < d((9_900_000, 11_100_000), c0)
