@@ -2806,7 +2806,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(of.key, nf.key) AS key,
                    CASE WHEN of.key IS NULL THEN 'added'
                         WHEN nf.key IS NULL THEN 'removed'
-                        WHEN of.fp <> nf.fp THEN 'changed'
+                        WHEN of.fp IS DISTINCT FROM nf.fp THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM of FULL OUTER JOIN nf ON of.key = nf.key
         """,

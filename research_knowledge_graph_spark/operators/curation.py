@@ -396,13 +396,24 @@ def snapshot_diff(
     dedup if the source is unkeyed)."""
     from research_knowledge_graph_spark.functions.textops import fingerprint_col
 
-    o = old.select(F.col(key_col).alias("key"), fingerprint_col(text_col).alias("old_fp"))
-    n = new.select(F.col(key_col).alias("key"), fingerprint_col(text_col).alias("new_fp"))
+    # presence is tracked with explicit flags, NOT fingerprint nullness — a
+    # NULL text fingerprints to NULL, which would masquerade as an absent
+    # key; eqNullSafe keeps NULL==NULL reading as unchanged
+    o = old.select(
+        F.col(key_col).alias("key"),
+        fingerprint_col(text_col).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        fingerprint_col(text_col).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
+    )
     return o.join(n, "key", "full_outer").select(
         "key",
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )

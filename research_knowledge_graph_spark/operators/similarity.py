@@ -293,22 +293,38 @@ def label_centroids(
     cardinality #labels × dim, uniform by construction (every vector
     contributes one row per dim), with map-side partial sums bounding the
     shuffle at #keys × #partitions rows. No Python anywhere."""
+    return _centroid_fixed_point(embeddings, label_col, vec_col, 10**9).select(
+        "label",
+        "dim",
+        "n_vecs",
+        F.col("s").alias("sum_nano"),
+        F.col("m").alias("mean_nano"),
+    )
+
+
+def _centroid_fixed_point(
+    embeddings: DataFrame, label_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """The ONE copy of the per-(label, dim) fixed-point centroid pipeline
+    (posexplode → scale components to integers → exact bigint sums →
+    floor-double mean) shared by :func:`label_centroids` (nano scale) and
+    :func:`nearest_centroid_assign` (micro scale — squared differences
+    must fit int64). Returns (label, dim, n_vecs, s, m); the 2^53 |s|
+    exactness cap on the double division is documented on
+    :func:`label_centroids`."""
     ex = embeddings.select(
         F.col(label_col).alias("label"),
         F.posexplode(vec_col).alias("dim", "val"),
     )
-    nano = F.round(F.col("val").cast("double") * F.lit(1e9)).cast("long")
+    fx = F.round(F.col("val").cast("double") * F.lit(float(scale))).cast("long")
     return (
-        ex.select("label", "dim", nano.alias("nano"))
+        ex.select("label", "dim", fx.alias("fx"))
         .groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.sum("nano").cast("long").alias("sum_nano"),
+            F.sum("fx").cast("long").alias("s"),
         )
-        .withColumn(
-            "mean_nano",
-            F.floor(F.col("sum_nano") / F.col("n_vecs")).cast("long"),
-        )
+        .withColumn("m", F.floor(F.col("s") / F.col("n_vecs")).cast("long"))
     )
 
 
@@ -344,13 +360,8 @@ def nearest_centroid_assign(
     def micro(c):
         return F.round(c.cast("double") * F.lit(1e6)).cast("long")
 
-    ex = embeddings.select(
-        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "val")
-    )
-    cent = ex.groupBy("label", "dim").agg(
-        F.floor(F.sum(micro(F.col("val"))) / F.count(F.lit(1)))
-        .cast("long")
-        .alias("c")
+    cent = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6).select(
+        "label", "dim", F.col("m").alias("c")
     )
     carr = cent.groupBy("label").agg(
         F.transform(
@@ -374,7 +385,12 @@ def nearest_centroid_assign(
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("vec_id").orderBy("dist_micro2", "cand_label")
+    # NULLS LAST: a NULL distance (NULL component, ragged dims) must never
+    # win the argmin — and DuckDB's default ASC ordering is NULLS LAST, so
+    # the oracle agrees on such inputs
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist_micro2").asc_nulls_last(), "cand_label"
+    )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -157,7 +157,11 @@ def main() -> None:
         f"synthesize_pages(spark, {args.docs}, vocab_scale=default_vocab_scale({args.docs}))"
         f".write.mode('overwrite').parquet({pages_path!r})"
     )
-    subprocess.run([sys.executable, "-c", gen_code], check=True, capture_output=True, text=True)
+    gen = subprocess.run([sys.executable, "-c", gen_code], capture_output=True, text=True)
+    if gen.returncode != 0:
+        # same stderr-surfacing pattern as run_at — check=True would hide it
+        sys.stderr.write(gen.stdout[-4000:] + "\n" + gen.stderr[-8000:] + "\n")
+        raise RuntimeError(f"pages generation failed (exit {gen.returncode}); stderr above")
 
     pin = not args.no_pin
     try:

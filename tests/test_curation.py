@@ -226,3 +226,18 @@ def test_snapshot_diff_hand_computed(spark):
         4: "unchanged",  # whitespace-only edit
         5: "added",
     }
+
+
+def test_snapshot_diff_null_text_is_presence_not_absence(spark):
+    """A NULL text means the KEY is still present: NULL->value and
+    value->NULL read changed (not added/removed), NULL->NULL unchanged."""
+    from research_knowledge_graph_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now set"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    rows = {r.key: r.status for r in snapshot_diff(old, new).collect()}
+    assert rows == {1: "changed", 2: "changed", 3: "unchanged"}
