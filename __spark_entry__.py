@@ -1657,6 +1657,36 @@ def t28_cross_source_dup_matrix(spark, sf_dir):
     )
 
 
+def v14_user_type_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity signal abuse/curation pipelines threshold (a bot
+    hammering one endpoint scores ~0; an organic user scores near
+    ln(#types)). t23's fixed-point pattern: the ONE float op per
+    (user, type) is ln(c/n) rounded to integer nanos; Σ c·lnp_nano is an
+    exact bigint (order-independent — a double sum would drift with merge
+    order), and entropy = -s/(n·10⁹) divides once at the end. int64
+    bound: n·|ln p_min|·10⁹ < 2^63 holds below ~4×10⁸ events per user
+    (documented; beyond that drop to micro scaling). One (user, type)
+    hash-agg + one user-keyed rollup — both map-side combinable, no
+    skew term beyond the per-user key itself."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    lnp_nano = F.round(F.log(F.col("c") / F.col("n")) * F.lit(1e9)).cast("long")
+    return (
+        c.join(tot, "user_id")
+        .select("user_id", "c", "n", (F.col("c") * lnp_nano).alias("t_nano"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                -F.sum("t_nano") / (F.max("n") * F.lit(1e9)), 6
+            ).alias("entropy"),
+        )
+    )
+
+
 def v13_props_field_rollup(spark, sf_dir):
     """Semi-structured JSON property extraction + rollup — the events
     table's ``props`` column is a JSON string (the reference stores node
@@ -1726,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g33_reciprocity": g33_reciprocity,
         "t29_snapshot_diff": t29_snapshot_diff,
         "e10_nearest_centroid": e10_nearest_centroid,
+        "v14_user_type_entropy": v14_user_type_entropy,
         "t26_repetition_signals": t26_repetition_signals,
         "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
@@ -1761,7 +1792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
-        "g18_triangle_count": g18_triangle_count,
         "g19_clustering_coefficient": g19_clustering_coefficient,
         "g20_label_propagation": g20_label_propagation,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
@@ -1780,10 +1810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-exercised through t07/t10) to make room for t25/v12;
         # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
         # then t01/t02/t04/g11/t07/e01/e02 (r3+r4 driver-green; the
-        # minhash, brute-force-kNN and SRP-block machinery stays
-        # driver-exercised through t10/t28, e07 and e03/e05) to make room
-        # for v13/e09/g32/t28/g33/t29/e10; local test_entry_oracle.py
-        # still gates every entry regardless of position)
+        # minhash, brute-force-kNN, SRP-block and triangle machinery stays
+        # driver-exercised through t10/t28, e07, e03/e05 and g19/g27) to
+        # make room for v13/e09/g32/t28/g33/t29/e10/v14; local
+        # test_entry_oracle.py still gates every entry regardless of
+        # position)
+        "g18_triangle_count": g18_triangle_count,
         "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
         "t07_minhash_lsh_pairs": t07_minhash_lsh_pairs,
@@ -2294,6 +2326,25 @@ def oracle_sql() -> dict[str, str]:
     cos_qd = _cosine_sql("qv", "dv")
 
     sql = {
+        "v14_user_type_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id),
+            t AS (
+                SELECT c.user_id, c.c, tot.n,
+                       CAST(round(ln(CAST(c.c AS DOUBLE) / tot.n) * 1e9) AS BIGINT)
+                           AS lnp_nano
+                FROM c JOIN tot USING (user_id)
+            )
+            SELECT user_id,
+                   CAST(max(n) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   round(-CAST(sum(c * lnp_nano) AS DOUBLE) / (max(n) * 1e9), 6)
+                       AS entropy
+            FROM t GROUP BY user_id
+        """,
         "v13_props_field_rollup": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
