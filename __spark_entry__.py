@@ -1687,6 +1687,79 @@ def v14_user_type_entropy(spark, sf_dir):
     )
 
 
+def v15_event_type_pmi(spark, sf_dir):
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, day) block — the association-mining signal behind
+    "users who do A also do B" analytics. Exactness: all counts are
+    exact bigints; the ONE float op is ln(num/den) where num = c_ab·n
+    and den = c_a·c_b are exact integer products (so the double argument
+    is the same IEEE value in both engines — the t23/v14 discipline),
+    scaled to nano fixed point. int64 bound on the products documented:
+    safe while c_ab·n < 2^63 (~10⁹ blocks × 10⁹ pair count needs the
+    micro downscale). Shape: one distinct on (user, day, type), a
+    within-block self-join (≤ |types|² rows per block — bounded), and
+    #types²-sized aggregates."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+    ).distinct()
+    ct = b.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n1 = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(y, ["user_id", "day"])
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    # ct (#types rows) and n1 (1 row) are bounded dims by construction
+    j = (
+        pairs.join(F.broadcast(ct.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))), "type_a")
+        .join(F.broadcast(ct.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))), "type_b")
+        .crossJoin(F.broadcast(n1))
+    )
+    pmi_nano = F.round(
+        F.log((F.col("c_ab") * F.col("n")) / (F.col("c_a") * F.col("c_b")))
+        * F.lit(1e9)
+    ).cast("long")
+    return j.select("type_a", "type_b", "c_ab", pmi_nano.alias("pmi_nano"))
+
+
+def g34_degree_histogram(spark, sf_dir):
+    """Degree-distribution histogram of the undirected typed graph — the
+    one-glance skew profile (how heavy is the head?) a graph pipeline
+    reads before choosing salting thresholds. Two exact hash-aggs:
+    per-node degree over the deduped undirected edge set (g11's frame),
+    then nodes per degree value. Output is at most #distinct-degrees
+    rows."""
+    edges = TG.derive_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("from_node_id", "to_node_id").alias("u"),
+            F.greatest("from_node_id", "to_node_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node_id"))
+        .unionByName(und.select(F.col("v").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
 def v13_props_field_rollup(spark, sf_dir):
     """Semi-structured JSON property extraction + rollup — the events
     table's ``props`` column is a JSON string (the reference stores node
@@ -1757,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t29_snapshot_diff": t29_snapshot_diff,
         "e10_nearest_centroid": e10_nearest_centroid,
         "v14_user_type_entropy": v14_user_type_entropy,
+        "v15_event_type_pmi": v15_event_type_pmi,
+        "g34_degree_histogram": g34_degree_histogram,
         "t26_repetition_signals": t26_repetition_signals,
         "t27_decontaminate": t27_decontaminate,
         "t25_ngram_novelty": t25_ngram_novelty,
@@ -1792,8 +1867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
-        "g19_clustering_coefficient": g19_clustering_coefficient,
-        "g20_label_propagation": g20_label_propagation,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "t16_bm25_search": t16_bm25_search,
@@ -1810,11 +1883,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-exercised through t07/t10) to make room for t25/v12;
         # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
         # then t01/t02/t04/g11/t07/e01/e02 (r3+r4 driver-green; the
-        # minhash, brute-force-kNN, SRP-block and triangle machinery stays
-        # driver-exercised through t10/t28, e07, e03/e05 and g19/g27) to
-        # make room for v13/e09/g32/t28/g33/t29/e10/v14; local
+        # minhash, brute-force-kNN, SRP-block, triangle and LPA machinery
+        # stays driver-exercised through t10/t28, e07, e03/e05, g27 and
+        # g21/g22/g23) to make room for
+        # v13/e09/g32/t28/g33/t29/e10/v14/v15/g34; local
         # test_entry_oracle.py still gates every entry regardless of
         # position)
+        "g19_clustering_coefficient": g19_clustering_coefficient,
+        "g20_label_propagation": g20_label_propagation,
         "g18_triangle_count": g18_triangle_count,
         "e01_knn_bruteforce": e01_knn_bruteforce,
         "e02_embedding_near_dups": e02_embedding_near_dups,
@@ -2326,6 +2402,52 @@ def oracle_sql() -> dict[str, str]:
     cos_qd = _cosine_sql("qv", "dv")
 
     sql = {
+        "v15_event_type_pmi": """
+            WITH b AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+                FROM events
+            ),
+            ct AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY event_type
+            ),
+            n1 AS (
+                SELECT CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT DISTINCT user_id, day FROM b)
+            ),
+            p AS (
+                SELECT x.event_type AS type_a, y.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS c_ab
+                FROM b x JOIN b y
+                  ON x.user_id = y.user_id AND x.day = y.day
+                 AND x.event_type < y.event_type
+                GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, p.c_ab,
+                   CAST(round(ln((p.c_ab * n1.n) / (a.c * bb.c)) * 1e9) AS BIGINT)
+                       AS pmi_nano
+            FROM p
+            JOIN ct a ON a.event_type = p.type_a
+            JOIN ct bb ON bb.event_type = p.type_b
+            CROSS JOIN n1
+        """,
+        "g34_degree_histogram": f"""
+            WITH {GRAPH_CTE},
+            und AS (
+                SELECT DISTINCT least(from_node_id, to_node_id) AS u,
+                       greatest(from_node_id, to_node_id) AS v
+                FROM edges WHERE from_node_id <> to_node_id
+            ),
+            deg AS (
+                SELECT node_id, count(*) AS degree
+                FROM (SELECT u AS node_id FROM und
+                      UNION ALL SELECT v FROM und)
+                GROUP BY node_id
+            )
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
         "v14_user_type_entropy": """
             WITH c AS (
                 SELECT user_id, event_type, count(*) AS c
