@@ -1760,6 +1760,48 @@ def g34_degree_histogram(spark, sf_dir):
     )
 
 
+def v16_daily_type_trend(spark, sf_dir):
+    """Day-over-day event-volume trend per event type — the burst /
+    anomaly read taken before re-weighting a source mixture (a type
+    whose volume jumps 10× overnight is a crawler change or an abuse
+    wave, not organic signal). One map-side-combinable hash-agg reduces
+    the raw log to ≤ #types × #days rows, THEN a lag window per type
+    computes the exact integer day-over-day delta and the relative
+    change in floor ppm. Exactness: change_ppm is computed as
+    ``(n·10⁶) div prev − 10⁶`` — the dividend is NON-NEGATIVE, so Spark
+    ``div`` (truncation) == DuckDB ``//`` (floor) even though the
+    change itself can be negative (the g30/t23 fixed-point rule,
+    extended to signed results by keeping the division unsigned). First
+    day per type is dropped (no baseline ⇒ trend undefined — the v12
+    lag-row rule, which also keeps every published column
+    NULL-free). Scale: the window
+    runs over the already-reduced per-(type, day) frame — bounded by
+    calendar days × type cardinality, never by corpus size."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev_n", F.lag("n_events").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    return lagged.select(
+        "event_type",
+        F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "prev_n",
+    ).select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("n_events") - F.col("prev_n")).cast("long").alias("delta"),
+        F.expr(
+            "CAST(n_events * 1000000L div prev_n - 1000000 AS BIGINT)"
+        ).alias("change_ppm"),
+    )
+
+
 def v13_props_field_rollup(spark, sf_dir):
     """Semi-structured JSON property extraction + rollup — the events
     table's ``props`` column is a JSON string (the reference stores node
@@ -1822,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "v16_daily_type_trend": v16_daily_type_trend,
         "v13_props_field_rollup": v13_props_field_rollup,
         "e09_label_centroids": e09_label_centroids,
         "g32_truncated_closeness": g32_truncated_closeness,
@@ -1863,7 +1906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g30_resource_allocation": g30_resource_allocation,
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
-        "g08_recursive_chain": g08_recursive_chain,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -1886,9 +1928,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash, brute-force-kNN, SRP-block, triangle and LPA machinery
         # stays driver-exercised through t10/t28, e07, e03/e05, g27 and
         # g21/g22/g23) to make room for
-        # v13/e09/g32/t28/g33/t29/e10/v14/v15/g34; local
-        # test_entry_oracle.py still gates every entry regardless of
-        # position)
+        # v13/e09/g32/t28/g33/t29/e10/v14/v15/g34; then g08 (r3+r4
+        # driver-green; the iterative-join machinery stays
+        # driver-exercised through g32's bounded BFS) to make room for
+        # v16; local test_entry_oracle.py still gates every entry
+        # regardless of position)
+        "g08_recursive_chain": g08_recursive_chain,
         "g19_clustering_coefficient": g19_clustering_coefficient,
         "g20_label_propagation": g20_label_propagation,
         "g18_triangle_count": g18_triangle_count,
@@ -2402,6 +2447,26 @@ def oracle_sql() -> dict[str, str]:
     cos_qd = _cosine_sql("qv", "dv")
 
     sql = {
+        "v16_daily_type_trend": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ), lagged AS (
+                SELECT event_type, day, n_events,
+                       lag(n_events) OVER (
+                           PARTITION BY event_type ORDER BY day
+                       ) AS prev_n
+                FROM daily
+            )
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+                   CAST(n_events - prev_n AS BIGINT) AS delta,
+                   -- dividend is non-negative, so // (floor) == Spark div
+                   -- (truncation) even though the result can be negative
+                   CAST(n_events * 1000000 // prev_n - 1000000 AS BIGINT)
+                       AS change_ppm
+            FROM lagged WHERE prev_n IS NOT NULL
+        """,
         "v15_event_type_pmi": """
             WITH b AS (
                 SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
