@@ -1612,6 +1612,18 @@ def t29_snapshot_diff(spark, sf_dir):
     return snapshot_diff(d, base.unionByName(added))
 
 
+def t30_vocab_overlap(spark, sf_dir):
+    """Cross-source vocabulary Jaccard
+    (operators/curation.py::vocab_overlap): distinct (source, token)
+    inventory → token-keyed self-join (per-key fanout ≤ #sources) → pair
+    rollup, Jaccard in exact floor ppm (non-negative fixed-point div —
+    trunc == floor cross-engine). The register/topic-redundancy
+    diagnostic complementing t28's doc-level duplication matrix."""
+    from research_knowledge_graph_spark.operators.curation import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
 def g33_reciprocity(spark, sf_dir):
     """Per-edge-type reciprocity over the full typed graph
     (operators/graph_queries.py::reciprocity): distinct non-loop directed
@@ -1864,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "t30_vocab_overlap": t30_vocab_overlap,
         "v16_daily_type_trend": v16_daily_type_trend,
         "v13_props_field_rollup": v13_props_field_rollup,
         "e09_label_centroids": e09_label_centroids,
@@ -1906,7 +1919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g30_resource_allocation": g30_resource_allocation,
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
-        "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
@@ -1931,8 +1943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v13/e09/g32/t28/g33/t29/e10/v14/v15/g34; then g08 (r3+r4
         # driver-green; the iterative-join machinery stays
         # driver-exercised through g32's bounded BFS) to make room for
-        # v16; local test_entry_oracle.py still gates every entry
-        # regardless of position)
+        # v16; then e03 (r3+r4 driver-green; the SRP-LSH machinery stays
+        # driver-exercised through e05's multi-probe oracle) to make
+        # room for t30; local test_entry_oracle.py still gates every
+        # entry regardless of position)
+        "e03_knn_lsh": e03_knn_lsh,
         "g08_recursive_chain": g08_recursive_chain,
         "g19_clustering_coefficient": g19_clustering_coefficient,
         "g20_label_propagation": g20_label_propagation,
@@ -2447,6 +2462,34 @@ def oracle_sql() -> dict[str, str]:
     cos_qd = _cosine_sql("qv", "dv")
 
     sql = {
+        "t30_vocab_overlap": """
+            WITH vocab AS (
+                SELECT DISTINCT source,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           w -> w != ''
+                       )) AS token
+                FROM documents
+            ), sizes AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_vocab
+                FROM vocab GROUP BY source
+            ), pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM vocab a
+                JOIN vocab b ON b.token = a.token AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared,
+                   sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b,
+                   -- non-negative fixed point: // (floor) == Spark div
+                   CAST(n_shared * 1000000
+                        // (sa.n_vocab + sb.n_vocab - n_shared)
+                        AS BIGINT) AS jaccard_ppm
+            FROM pairs
+            JOIN sizes sa ON sa.source = pairs.source_a
+            JOIN sizes sb ON sb.source = pairs.source_b
+        """,
         "v16_daily_type_trend": """
             WITH daily AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,

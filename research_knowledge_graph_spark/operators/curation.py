@@ -417,3 +417,82 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def vocab_overlap(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Cross-source VOCABULARY overlap — unigram Jaccard per unordered
+    source pair. t28's duplication matrix counts near-duplicate DOCUMENT
+    pairs (syndicated articles, mirrors); this measures how much two
+    sources write in the same *words* regardless of document identity —
+    the register/topic-redundancy diagnostic behind mixture weighting
+    (two crawls of the same forum share vocabulary long before they share
+    whole documents) and a cheap prior for where t28 is worth running.
+
+    Returns one row per source pair that shares ≥1 token:
+    (source_a < source_b, n_shared, vocab_a, vocab_b, jaccard_ppm) with
+    jaccard_ppm = ``n_shared·10⁶ div (vocab_a + vocab_b − n_shared)`` —
+    non-negative fixed-point division, so Spark ``div`` == DuckDB ``//``
+    bit-exactly. Tokens via :func:`_tokens_col` (the ONE shared
+    lowercased-whitespace tokenizer of this module). Pairs sharing zero
+    vocabulary are absent (inner join) — any pair of real text sources
+    shares *something*, and absence itself is the signal.
+
+    Scale: the raw corpus reduces map-side to distinct (source, token) —
+    vocabulary cardinality, not token count. The token-keyed self-join's
+    per-key fanout is bounded by #sources (a token posts at most once per
+    source), so even "the" produces ≤ #sources² pair rows per token — no
+    hot key in the corpus-size sense; the pair rollup partial-aggregates
+    map-side into ≤ #sources² groups. The sizes dim is #sources rows —
+    genuinely bounded, so the final joins are left to AQE (broadcast at
+    runtime), no forced hint. Both self-join sides are the same subplan;
+    ReuseExchange shares the distinct's shuffle."""
+    vocab = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(_tokens_col(text_col)).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab")
+    )
+    pairs = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "token")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("source").alias("source_a"),
+                F.col("n_vocab").alias("vocab_a"),
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"),
+                F.col("n_vocab").alias("vocab_b"),
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            F.expr(
+                "CAST(n_shared * 1000000L div (vocab_a + vocab_b - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

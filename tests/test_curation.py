@@ -241,3 +241,27 @@ def test_snapshot_diff_null_text_is_presence_not_absence(spark):
     )
     rows = {r.key: r.status for r in snapshot_diff(old, new).collect()}
     assert rows == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_vocab_overlap_hand_computed(spark):
+    """Vocabulary is a per-source SET (repeats within and across docs count
+    once); zero-overlap pairs are absent; jaccard_ppm is exact floor."""
+    from research_knowledge_graph_spark.operators.curation import vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "sA"),
+            (2, "the dog", "sA"),
+            (3, "The cat runs", "sB"),
+            (4, "zzz qqq", "sC"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r.source_a, r.source_b): r for r in vocab_overlap(docs).collect()
+    }
+    # vocab: sA={the,cat,sat,dog}(4)  sB={the,cat,runs}(3)  sC={zzz,qqq}(2)
+    assert set(rows) == {("sA", "sB")}  # sC shares nothing -> absent
+    r = rows[("sA", "sB")]
+    assert (r.n_shared, r.vocab_a, r.vocab_b) == (2, 4, 3)
+    assert r.jaccard_ppm == 2_000_000 // 5  # |A∪B| = 4+3-2
