@@ -1589,6 +1589,20 @@ def e10_nearest_centroid(spark, sf_dir):
     return nearest_centroid_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def e11_kmeans_update(spark, sf_dir):
+    """Full Lloyd iteration in exact integer arithmetic
+    (operators/similarity.py::kmeans_update_step): e10's E-step
+    assignment followed by the M-step centroid recompute + per-(label,
+    dim) integer shift vs the seed centroid — the convergence signal a
+    k-means driver loops on. Oracle: e10's CTE cascade extended with the
+    membership join and the second fixed-point rollup."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        kmeans_update_step,
+    )
+
+    return kmeans_update_step(_t(spark, sf_dir, "embeddings"))
+
+
 def t29_snapshot_diff(spark, sf_dir):
     """Corpus snapshot diff (operators/curation.py::snapshot_diff): status
     of every doc between the documents table and a deterministically
@@ -1876,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "e11_kmeans_update": e11_kmeans_update,
         "t30_vocab_overlap": t30_vocab_overlap,
         "v16_daily_type_trend": v16_daily_type_trend,
         "v13_props_field_rollup": v13_props_field_rollup,
@@ -1919,7 +1934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g30_resource_allocation": g30_resource_allocation,
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
-        "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
@@ -1943,11 +1957,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v13/e09/g32/t28/g33/t29/e10/v14/v15/g34; then g08 (r3+r4
         # driver-green; the iterative-join machinery stays
         # driver-exercised through g32's bounded BFS) to make room for
-        # v16; then e03 (r3+r4 driver-green; the SRP-LSH machinery stays
-        # driver-exercised through e05's multi-probe oracle) to make
-        # room for t30; local test_entry_oracle.py still gates every
-        # entry regardless of position)
+        # v16; then e03/e05 (r3+r4 driver-green; the SRP-LSH machinery
+        # stays driver-exercised through e06's indexed serving oracle,
+        # which shares e01's SQL) to make room for t30/e11; local
+        # test_entry_oracle.py still gates every entry regardless of
+        # position)
         "e03_knn_lsh": e03_knn_lsh,
+        "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "g08_recursive_chain": g08_recursive_chain,
         "g19_clustering_coefficient": g19_clustering_coefficient,
         "g20_label_propagation": g20_label_propagation,
@@ -2462,6 +2478,63 @@ def oracle_sql() -> dict[str, str]:
     cos_qd = _cosine_sql("qv", "dv")
 
     sql = {
+        "e11_kmeans_update": """
+            WITH vm AS (
+                SELECT vec_id, label AS own_label,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, u.dim AS dim,
+                       CAST(floor(sum(u.micro) / count(*)) AS BIGINT) AS c
+                FROM (
+                    SELECT label,
+                           unnest(list_transform(range(len(embedding)),
+                               i -> {'dim': CAST(i AS INT),
+                                     'micro': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT)})) AS u
+                    FROM embeddings
+                )
+                GROUP BY label, u.dim
+            ),
+            carr AS (
+                SELECT label AS cand_label, list(c ORDER BY dim) AS carr
+                FROM cent GROUP BY label
+            ),
+            d AS (
+                SELECT vm.vec_id, vm.own_label, carr.cand_label,
+                       list_sum(list_transform(range(len(vm.v)),
+                           i -> (vm.v[i+1] - carr.carr[i+1])
+                                * (vm.v[i+1] - carr.carr[i+1]))) AS dist_micro2
+                FROM vm CROSS JOIN carr
+            ),
+            asg AS (
+                SELECT vec_id, cand_label AS label
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY dist_micro2, cand_label) AS rn
+                    FROM d
+                ) WHERE rn = 1
+            ),
+            ex AS (
+                SELECT asg.label AS label,
+                       unnest(list_transform(range(len(e.embedding)),
+                           i -> {'dim': CAST(i AS INT),
+                                 'micro': CAST(round(CAST(e.embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT)})) AS u
+                FROM embeddings e JOIN asg ON asg.vec_id = e.vec_id
+            ),
+            newc AS (
+                SELECT label, u.dim AS dim,
+                       CAST(count(*) AS BIGINT) AS n_vecs,
+                       CAST(sum(u.micro) AS BIGINT) AS sum_micro,
+                       CAST(floor(sum(u.micro) / count(*)) AS BIGINT) AS mean_micro
+                FROM ex GROUP BY label, u.dim
+            )
+            SELECT n.label, n.dim, n.n_vecs, n.sum_micro, n.mean_micro,
+                   c.c AS old_mean_micro,
+                   CAST(n.mean_micro - c.c AS BIGINT) AS shift_micro
+            FROM newc n JOIN cent c ON c.label = n.label AND c.dim = n.dim
+        """,
         "t30_vocab_overlap": """
             WITH vocab AS (
                 SELECT DISTINCT source,

@@ -401,3 +401,63 @@ def nearest_centroid_assign(
             "dist_micro2",
         )
     )
+
+
+def kmeans_update_step(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One FULL Lloyd iteration in exact integer arithmetic: the E-step
+    assignment (:func:`nearest_centroid_assign`, micro fixed point) followed
+    by the M-step centroid recompute over the assigned memberships — plus
+    the per-(label, dim) integer shift against the seed centroid, which is
+    the convergence signal a k-means driver loops on (max |shift| below
+    tolerance ⇒ stop). With e10 this makes the whole k-means kernel
+    oracle-checkable: both halves are plain DataFrame ops, so iterating is a
+    driver-side loop over this function, not a new operator.
+
+    Returns one row per (label, dim) for labels that RETAINED ≥1 member:
+    (label, dim, n_vecs, sum_micro, mean_micro, old_mean_micro,
+    shift_micro). A label every vector abandoned disappears — the standard
+    empty-cluster case a production k-means re-seeds explicitly; publishing
+    the disappearance (rather than carrying a stale centroid) is the honest
+    contract. All sums are exact bigints (micro components); means are
+    ``floor(sum/n)`` (exact while |sum| < 2^53 — both engines divide in
+    IEEE double).
+
+    Scale: the E-step is e10's broadcast nested-loop (centroid dim is
+    #labels rows — TRUE bounded); the membership attach is ONE equi-join on
+    the uniform high-cardinality vec id; the M-step is the same
+    (label, dim)-keyed map-side-combinable hash-agg as
+    :func:`label_centroids`. No Python anywhere."""
+    assigned = nearest_centroid_assign(embeddings, label_col, vec_col, id_col)
+    members = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(assigned.select("vec_id", "assigned_label"), "vec_id")
+    new = _centroid_fixed_point(
+        members.select(F.col("assigned_label").alias("label"), F.col("_v").alias("v")),
+        "label",
+        "v",
+        10**6,
+    )
+    old = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6).select(
+        "label", "dim", F.col("m").alias("old_mean_micro")
+    )
+    # inner join is total: assigned labels are drawn from the seed-centroid
+    # label set, so every surviving (label, dim) has an old centroid row
+    return (
+        new.select(
+            "label",
+            "dim",
+            "n_vecs",
+            F.col("s").alias("sum_micro"),
+            F.col("m").alias("mean_micro"),
+        )
+        .join(old, ["label", "dim"])
+        .withColumn(
+            "shift_micro",
+            (F.col("mean_micro") - F.col("old_mean_micro")).cast("long"),
+        )
+    )

@@ -155,3 +155,46 @@ def test_nearest_centroid_assign_hand_computed(spark):
     assert rows[1] == (0, 0, d((0, 0), c0))
     assert rows[3] == (1, 1, d((10_000_000, 10_000_000), c1))
     assert rows[5][2] < d((9_900_000, 11_100_000), c0)
+
+
+def test_kmeans_update_step_hand_computed(spark):
+    """1-D corpus where one vector flips cluster: label 0 = {0.0, 0.9},
+    label 1 = {1.0}. Seed centroids c0 = 0.45, c1 = 1.0; the 0.9 vector
+    reassigns to cluster 1. New centroids: c0' = 0.0 (n=1),
+    c1' = 0.95 (n=2); shifts are exact micro integers."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        kmeans_update_step,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0], 0), (2, [0.9], 0), (3, [1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r.label, r.dim): r for r in kmeans_update_step(df).collect()}
+    assert set(rows) == {(0, 0), (1, 0)}
+    r0, r1 = rows[(0, 0)], rows[(1, 0)]
+    assert (r0.n_vecs, r0.sum_micro, r0.mean_micro) == (1, 0, 0)
+    assert (r0.old_mean_micro, r0.shift_micro) == (450000, -450000)
+    assert (r1.n_vecs, r1.sum_micro, r1.mean_micro) == (2, 1900000, 950000)
+    assert (r1.old_mean_micro, r1.shift_micro) == (1000000, -50000)
+
+
+def test_kmeans_update_step_abandoned_cluster_absent(spark):
+    """A label every vector abandons disappears from the output (the
+    empty-cluster case a driver re-seeds explicitly)."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        kmeans_update_step,
+    )
+
+    # label 1's lone seed vector sits exactly on label 0's centroid side:
+    # c0 = 0.0 (two vectors at 0.0), c1 = 0.1; the 0.1 vector's nearest
+    # is... c1 (dist 0) — so instead park label 1's vector AT 0.0 with a
+    # second label-0 vector pulling c0 to 0.0: tie (0 vs 0) breaks to the
+    # SMALLER label, emptying cluster 1.
+    df = spark.createDataFrame(
+        [(1, [0.0], 0), (2, [0.0], 0), (3, [0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r.label, r.dim): r for r in kmeans_update_step(df).collect()}
+    assert set(rows) == {(0, 0)}
+    assert rows[(0, 0)].n_vecs == 3
