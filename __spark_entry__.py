@@ -1828,6 +1828,25 @@ def v16_daily_type_trend(spark, sf_dir):
     )
 
 
+def g35_avg_neighbor_degree(spark, sf_dir):
+    """Average-neighbor-degree curve k_nn(k)
+    (operators/graph_queries.py::avg_neighbor_degree) over the deduped
+    undirected typed graph (g34's frame) — the degree-correlation
+    profile behind g28's single assortativity coefficient, published as
+    the exact single-ratio form Σdeg(nb)·10³ div (k·N_k)."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        avg_neighbor_degree,
+    )
+
+    edges = TG.derive_edges(spark, sf_dir)
+    return avg_neighbor_degree(
+        edges.select(
+            F.col("from_node_id").alias("node_a"),
+            F.col("to_node_id").alias("node_b"),
+        )
+    )
+
+
 def v13_props_field_rollup(spark, sf_dir):
     """Semi-structured JSON property extraction + rollup — the events
     table's ``props`` column is a JSON string (the reference stores node
@@ -1890,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "g35_avg_neighbor_degree": g35_avg_neighbor_degree,
         "e11_kmeans_update": e11_kmeans_update,
         "t30_vocab_overlap": t30_vocab_overlap,
         "v16_daily_type_trend": v16_daily_type_trend,
@@ -1936,7 +1956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
-        "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "t16_bm25_search": t16_bm25_search,
         "t17_bm25_indexed": t17_bm25_indexed,
         "g22_community_modularity": g22_community_modularity,
@@ -1959,11 +1978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-exercised through g32's bounded BFS) to make room for
         # v16; then e03/e05 (r3+r4 driver-green; the SRP-LSH machinery
         # stays driver-exercised through e06's indexed serving oracle,
-        # which shares e01's SQL) to make room for t30/e11; local
-        # test_entry_oracle.py still gates every entry regardless of
-        # position)
+        # which shares e01's SQL) to make room for t30/e11; then t10
+        # (r3+r4 driver-green; the CC-survivor machinery stays
+        # driver-exercised through g15's components oracle) to make room
+        # for g35; local test_entry_oracle.py still gates every entry
+        # regardless of position)
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
+        "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "g08_recursive_chain": g08_recursive_chain,
         "g19_clustering_coefficient": g19_clustering_coefficient,
         "g20_label_propagation": g20_label_propagation,
@@ -2611,6 +2633,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN ct a ON a.event_type = p.type_a
             JOIN ct bb ON bb.event_type = p.type_b
             CROSS JOIN n1
+        """,
+        "g35_avg_neighbor_degree": f"""
+            WITH {GRAPH_CTE},
+            und AS (
+                SELECT DISTINCT least(from_node_id, to_node_id) AS u,
+                       greatest(from_node_id, to_node_id) AS v
+                FROM edges WHERE from_node_id <> to_node_id
+            ),
+            dr AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+            deg AS (
+                SELECT u AS nid, CAST(count(*) AS BIGINT) AS deg
+                FROM dr GROUP BY u
+            ),
+            e AS (
+                SELECT a.deg AS ds, b.deg AS dd
+                FROM dr JOIN deg a ON a.nid = dr.u JOIN deg b ON b.nid = dr.v
+            ),
+            per_k AS (
+                SELECT ds AS degree, CAST(count(*) AS BIGINT) AS n_incidences,
+                       CAST(sum(dd) AS BIGINT) AS sum_neighbor_deg
+                FROM e GROUP BY ds
+            ),
+            nk AS (SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM deg GROUP BY deg)
+            SELECT p.degree, nk.n_nodes, p.n_incidences, p.sum_neighbor_deg,
+                   -- non-negative fixed point: // (floor) == Spark div
+                   CAST(p.sum_neighbor_deg * 1000 // p.n_incidences AS BIGINT)
+                       AS knn_milli
+            FROM per_k p JOIN nk ON nk.degree = p.degree
         """,
         "g34_degree_histogram": f"""
             WITH {GRAPH_CTE},

@@ -320,6 +320,59 @@ def _canonical_undirected(pairs: DataFrame) -> DataFrame:
     )
 
 
+def avg_neighbor_degree(pairs: DataFrame) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) of an undirected pair graph
+    (columns ``node_a``/``node_b``, any order/multiplicity) — the full
+    degree-correlation PROFILE behind :func:`degree_assortativity`'s
+    single coefficient: for each degree class k, the mean degree of the
+    neighbors of degree-k nodes. Rising curve = assortative (hubs wire to
+    hubs), falling = disassortative (hubs wire to leaves — the typical
+    web/citation shape); read alongside g34's histogram when choosing
+    salting thresholds, because a disassortative head means hot keys join
+    AGAINST cold keys, exactly the case degree-aware salting splits.
+
+    Returns one row per degree value: (degree, n_nodes, n_incidences,
+    sum_neighbor_deg, knn_milli). Exactness: ONE division total —
+    ``knn_milli = sum_neighbor_deg·10³ div n_incidences`` over
+    non-negative bigints (trunc == floor cross-engine); everything else
+    is exact integer counts/sums, so the two-level average is published
+    as the canonical single-ratio form Σdeg(nb)/(k·N_k) rather than a
+    float mean-of-means. ``n_incidences == degree × n_nodes`` by
+    construction (each degree-k node contributes k incidences) — both
+    published so the consumer can sanity-check the invariant.
+
+    Scale: same shape as :func:`degree_assortativity` — the degree dim is
+    one row per node (unbounded, NEVER hinted; uniform node-id equi-joins
+    left to AQE), the final rollup keys on degree values (bounded by max
+    degree, map-side combinable), and the N_k histogram joins on that
+    same bounded key."""
+    und = _canonical_undirected(pairs)
+    dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = dr.groupBy(F.col("u").alias("nid")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e = (
+        dr.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("ds")), "u")
+        .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dd")), "v")
+    )
+    per_k = e.groupBy(F.col("ds").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidences"),
+        F.sum("dd").cast("long").alias("sum_neighbor_deg"),
+    )
+    nk = deg.groupBy(F.col("deg").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return per_k.join(nk, "degree").select(
+        "degree",
+        "n_nodes",
+        "n_incidences",
+        "sum_neighbor_deg",
+        F.expr(
+            "CAST(sum_neighbor_deg * 1000L div n_incidences AS BIGINT)"
+        ).alias("knn_milli"),
+    )
+
+
 def degree_assortativity(pairs: DataFrame) -> DataFrame:
     """Degree assortativity of an undirected pair graph (columns
     ``node_a``/``node_b``, any order/multiplicity): Pearson correlation

@@ -326,3 +326,24 @@ def test_reciprocity_hand_computed(spark):
         for r in reciprocity(edges).collect()
     }
     assert rows == {"T": (3, 2, 666666), "U": (1, 0, 0)}
+
+
+def test_avg_neighbor_degree_star_is_disassortative(spark):
+    """Star K_{1,3}: leaves (deg 1) neighbor only the hub (deg 3) ->
+    k_nn(1) = 3.000; the hub neighbors only leaves -> k_nn(3) = 1.000.
+    Duplicate/reversed input edges collapse first."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        avg_neighbor_degree,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (1, 4)],
+        "node_a long, node_b long",
+    )
+    rows = {r.degree: r for r in avg_neighbor_degree(pairs).collect()}
+    assert set(rows) == {1, 3}
+    r1, r3 = rows[1], rows[3]
+    assert (r1.n_nodes, r1.n_incidences, r1.sum_neighbor_deg, r1.knn_milli) == (3, 3, 9, 3000)
+    assert (r3.n_nodes, r3.n_incidences, r3.sum_neighbor_deg, r3.knn_milli) == (1, 3, 3, 1000)
+    # invariant published for sanity-checking: n_incidences = degree * n_nodes
+    assert all(r.n_incidences == d * r.n_nodes for d, r in rows.items())
