@@ -1603,6 +1603,35 @@ def e11_kmeans_update(spark, sf_dir):
     return kmeans_update_step(_t(spark, sf_dir, "embeddings"))
 
 
+def t32_composition_rollup(spark, sf_dir):
+    """Corpus composition report at every granularity in ONE pass:
+    ``GROUP BY ROLLUP(source, lang)`` — per (source, lang), per source
+    subtotal, and the grand total, computed through Catalyst's Expand +
+    partial aggregation in a single shuffle instead of three scans
+    unioned (the multi-granularity dashboard every mixture-weighting
+    review starts from). Expand triples the map-side row stream, but
+    partial hash-aggs collapse it before the exchange — at 10^12 docs
+    that is one wide scan, not three. Level disambiguation is the
+    GROUPING() bit (0 = real value, 1 = rolled up) published explicitly
+    — rolled-up name columns are coalesced to '<all>' so no NULL reaches
+    the order-insensitive row compare. All measures exact bigints."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.rollup("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.grouping("source").cast("int").alias("src_rolled"),
+        F.grouping("lang").cast("int").alias("lang_rolled"),
+    )
+    return agg.select(
+        F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+        "n_docs",
+        "sum_chars",
+        "src_rolled",
+        "lang_rolled",
+    )
+
+
 def t29_snapshot_diff(spark, sf_dir):
     """Corpus snapshot diff (operators/curation.py::snapshot_diff): status
     of every doc between the documents table and a deterministically
@@ -1909,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        "t32_composition_rollup": t32_composition_rollup,
         "g35_avg_neighbor_degree": g35_avg_neighbor_degree,
         "e11_kmeans_update": e11_kmeans_update,
         "t30_vocab_overlap": t30_vocab_overlap,
@@ -1954,7 +1984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g30_resource_allocation": g30_resource_allocation,
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
-        "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
         "t16_bm25_search": t16_bm25_search,
         "t17_bm25_indexed": t17_bm25_indexed,
@@ -1981,10 +2010,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which shares e01's SQL) to make room for t30/e11; then t10
         # (r3+r4 driver-green; the CC-survivor machinery stays
         # driver-exercised through g15's components oracle) to make room
-        # for g35; local test_entry_oracle.py still gates every entry
-        # regardless of position)
+        # for g35; then e06 (r4 driver-green; its serving path keeps a
+        # PartitionFilters plan pin and an e01-equality pytest locally)
+        # to make room for t32; local test_entry_oracle.py still gates
+        # every entry regardless of position)
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
+        "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
         "t10_dedup_cluster_survivors": t10_dedup_cluster_survivors,
         "g08_recursive_chain": g08_recursive_chain,
         "g19_clustering_coefficient": g19_clustering_coefficient,
@@ -2500,6 +2532,16 @@ def oracle_sql() -> dict[str, str]:
     cos_qd = _cosine_sql("qv", "dv")
 
     sql = {
+        "t32_composition_rollup": """
+            SELECT coalesce(source, '<all>') AS source,
+                   coalesce(lang, '<all>') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(GROUPING(source) AS INT) AS src_rolled,
+                   CAST(GROUPING(lang) AS INT) AS lang_rolled
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
+        """,
         "e11_kmeans_update": """
             WITH vm AS (
                 SELECT vec_id, label AS own_label,
