@@ -1792,23 +1792,21 @@ def g34_degree_histogram(spark, sf_dir):
     """Degree-distribution histogram of the undirected typed graph — the
     one-glance skew profile (how heavy is the head?) a graph pipeline
     reads before choosing salting thresholds. Two exact hash-aggs:
-    per-node degree over the deduped undirected edge set (g11's frame),
-    then nodes per degree value. Output is at most #distinct-degrees
-    rows."""
-    edges = TG.derive_edges(spark, sf_dir)
-    und = (
-        edges.select(
-            F.least("from_node_id", "to_node_id").alias("u"),
-            F.greatest("from_node_id", "to_node_id").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    per-node degree over the deduped undirected edge set (g11's frame,
+    via the ONE shared degree definition in
+    operators/graph_queries.py::undirected_degree — same frame g35 and
+    g28 consume), then nodes per degree value. Output is at most
+    #distinct-degrees rows."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        undirected_degree,
     )
-    deg = (
-        und.select(F.col("u").alias("node_id"))
-        .unionByName(und.select(F.col("v").alias("node_id")))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+
+    edges = TG.derive_edges(spark, sf_dir)
+    deg = undirected_degree(
+        edges.select(
+            F.col("from_node_id").alias("node_a"),
+            F.col("to_node_id").alias("node_b"),
+        )
     )
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
@@ -1829,11 +1827,16 @@ def v16_daily_type_trend(spark, sf_dir):
     extended to signed results by keeping the division unsigned). First
     day per type is dropped (no baseline ⇒ trend undefined — the v12
     lag-row rule, which also keeps every published column
-    NULL-free). Scale: the window
+    NULL-free). NULL-ts rows are dropped up front: a NULL day would
+    otherwise sort NULLS FIRST in Spark's window but NULLS LAST in
+    DuckDB's, pairing lag() against different rows — the one
+    cross-engine ordering divergence this query would otherwise
+    have (the generator never emits NULL ts; the filter defends the
+    contract anyway). Scale: the window
     runs over the already-reduced per-(type, day) frame — bounded by
     calendar days × type cardinality, never by corpus size."""
     _utc(spark)
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.col("event_type"), F.to_date(F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
@@ -2005,15 +2008,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v13/e09/g32/t28/g33/t29/e10/v14/v15/g34; then g08 (r3+r4
         # driver-green; the iterative-join machinery stays
         # driver-exercised through g32's bounded BFS) to make room for
-        # v16; then e03/e05 (r3+r4 driver-green; the SRP-LSH machinery
-        # stays driver-exercised through e06's indexed serving oracle,
-        # which shares e01's SQL) to make room for t30/e11; then t10
-        # (r3+r4 driver-green; the CC-survivor machinery stays
-        # driver-exercised through g15's components oracle) to make room
-        # for g35; then e06 (r4 driver-green; its serving path keeps a
-        # PartitionFilters plan pin and an e01-equality pytest locally)
-        # to make room for t32; local test_entry_oracle.py still gates
-        # every entry regardless of position)
+        # v16; then e03/e05 (r3+r4 driver-green) to make room for
+        # t30/e11; then t10 (r3+r4 driver-green; the CC-survivor
+        # machinery stays driver-exercised through g15's components
+        # oracle) to make room for g35; then e06 (r4 driver-green; its
+        # serving path keeps a PartitionFilters plan pin and an
+        # e01-equality pytest locally) to make room for t32. NOTE: with
+        # e01/e03/e05/e06 all rotated out, the SRP-LSH / IVF indexed-kNN
+        # family has NO in-window driver row this round — its parity is
+        # gated locally only (test_entry_oracle + the e01-equality and
+        # plan pins); the brute-force cosine-kNN path stays
+        # driver-exercised through e07's RRF hybrid. Rotate one of
+        # e03/e06 back in before retiring anything else from this
+        # family. Local test_entry_oracle.py still gates every entry
+        # regardless of position.
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -2631,7 +2639,7 @@ def oracle_sql() -> dict[str, str]:
             WITH daily AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,
                        CAST(count(*) AS BIGINT) AS n_events
-                FROM events GROUP BY 1, 2
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
             ), lagged AS (
                 SELECT event_type, day, n_events,
                        lag(n_events) OVER (

@@ -453,7 +453,6 @@ def vocab_overlap(
             F.col(source_col).alias("source"),
             F.explode(_tokens_col(text_col)).alias("token"),
         )
-        .filter(F.col("token").isNotNull())
         .distinct()
     )
     sizes = vocab.groupBy("source").agg(

@@ -320,6 +320,30 @@ def _canonical_undirected(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _undirected_incidences(pairs: DataFrame):
+    """Shared frames behind the degree-correlation family: ``dr`` (both
+    orientations of the canonical undirected edge set — one row per
+    incidence) and ``deg`` (per-node degree, keyed ``nid``/``deg``)."""
+    und = _canonical_undirected(pairs)
+    dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = dr.groupBy(F.col("u").alias("nid")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return dr, deg
+
+
+def undirected_degree(pairs: DataFrame) -> DataFrame:
+    """Per-node degree ``(node_id, degree)`` over the id-canonical
+    distinct undirected edge set (self-loops dropped) — the one
+    definition of "degree" shared by g34's histogram,
+    :func:`avg_neighbor_degree` and :func:`degree_assortativity`, so a
+    future change to loop/duplicate handling lands in every consumer."""
+    _, deg = _undirected_incidences(pairs)
+    return deg.select(
+        F.col("nid").alias("node_id"), F.col("deg").alias("degree")
+    )
+
+
 def avg_neighbor_degree(pairs: DataFrame) -> DataFrame:
     """Average-neighbor-degree curve k_nn(k) of an undirected pair graph
     (columns ``node_a``/``node_b``, any order/multiplicity) — the full
@@ -346,11 +370,7 @@ def avg_neighbor_degree(pairs: DataFrame) -> DataFrame:
     left to AQE), the final rollup keys on degree values (bounded by max
     degree, map-side combinable), and the N_k histogram joins on that
     same bounded key."""
-    und = _canonical_undirected(pairs)
-    dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = dr.groupBy(F.col("u").alias("nid")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    dr, deg = _undirected_incidences(pairs)
     e = (
         dr.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("ds")), "u")
         .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dd")), "v")
@@ -387,9 +407,7 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     on the final 1-row frame. A degree-regular graph has zero variance:
     the guard returns NULL instead of raising DIVIDE_BY_ZERO under ANSI
     mode, matching SQL NULL-on-zero-division semantics."""
-    und = _canonical_undirected(pairs)
-    dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = dr.groupBy(F.col("u").alias("nid")).agg(F.count(F.lit(1)).alias("deg"))
+    dr, deg = _undirected_incidences(pairs)
     e = (
         dr.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("ds")), "u")
         .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dd")), "v")

@@ -333,6 +333,7 @@ def nearest_centroid_assign(
     label_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """K-means E-step in exact integer arithmetic: assign every vector to
     its nearest per-label centroid by squared L2 — the cluster-purity /
@@ -356,13 +357,19 @@ def nearest_centroid_assign(
     unbounded dims this repo refuses to hint). The per-vector work is a
     broadcast nested-loop over #labels rows with pure Catalyst
     ``zip_with``/``aggregate`` integer math (no Python), then one
-    rank-1 window partitioned by vec_id — uniform high-cardinality key."""
+    rank-1 window partitioned by vec_id — uniform high-cardinality key.
+
+    ``centroids`` optionally supplies a precomputed micro-scale
+    ``_centroid_fixed_point`` frame (label, dim, ..., m) so a caller that
+    also needs the seed centroids (:func:`kmeans_update_step`) shares ONE
+    logical subtree instead of relying on physical ReuseExchange to
+    deduplicate two identical posexplode+shuffle plans."""
     def micro(c):
         return F.round(c.cast("double") * F.lit(1e6)).cast("long")
 
-    cent = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6).select(
-        "label", "dim", F.col("m").alias("c")
-    )
+    if centroids is None:
+        centroids = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6)
+    cent = centroids.select("label", "dim", F.col("m").alias("c"))
     carr = cent.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
@@ -431,8 +438,14 @@ def kmeans_update_step(
     #labels rows — TRUE bounded); the membership attach is ONE equi-join on
     the uniform high-cardinality vec id; the M-step is the same
     (label, dim)-keyed map-side-combinable hash-agg as
-    :func:`label_centroids`. No Python anywhere."""
-    assigned = nearest_centroid_assign(embeddings, label_col, vec_col, id_col)
+    :func:`label_centroids`. No Python anywhere. The seed-centroid frame
+    is computed ONCE and passed into the E-step, so the M-step's
+    old-centroid join and the assignment share one logical subtree
+    (structural dedup, not a bet on physical ReuseExchange)."""
+    seed = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6)
+    assigned = nearest_centroid_assign(
+        embeddings, label_col, vec_col, id_col, centroids=seed
+    )
     members = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     ).join(assigned.select("vec_id", "assigned_label"), "vec_id")
@@ -442,9 +455,7 @@ def kmeans_update_step(
         "v",
         10**6,
     )
-    old = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6).select(
-        "label", "dim", F.col("m").alias("old_mean_micro")
-    )
+    old = seed.select("label", "dim", F.col("m").alias("old_mean_micro"))
     # inner join is total: assigned labels are drawn from the seed-centroid
     # label set, so every surviving (label, dim) has an old centroid row
     return (
