@@ -347,3 +347,18 @@ def test_avg_neighbor_degree_star_is_disassortative(spark):
     assert (r3.n_nodes, r3.n_incidences, r3.sum_neighbor_deg, r3.knn_milli) == (1, 3, 3, 1000)
     # invariant published for sanity-checking: n_incidences = degree * n_nodes
     assert all(r.n_incidences == d * r.n_nodes for d, r in rows.items())
+
+
+def test_undirected_degree_collapses_loops_dups_and_direction(spark):
+    """The ONE shared degree definition (g34/g35/g28): self-loops dropped,
+    duplicate and reversed edges collapse to one undirected edge."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        undirected_degree,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)],
+        "node_a long, node_b long",
+    )
+    got = {(r.node_id, r.degree) for r in undirected_degree(pairs).collect()}
+    assert got == {(1, 1), (2, 2), (3, 1)}
