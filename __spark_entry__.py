@@ -1667,6 +1667,56 @@ def t30_vocab_overlap(spark, sf_dir):
     return vocab_overlap(_t(spark, sf_dir, "documents"))
 
 
+def t33_length_quality_corr(spark, sf_dir):
+    """Per-source length↔quality Pearson correlation
+    (operators/curation.py::length_quality_correlation): alpha-ratio
+    floored to integer milli, six exact bigint sums per source (g28's
+    assortativity pattern lifted to curation), ONE float formula per
+    source row. The "does the quality score just proxy length?" audit
+    run before stacking both filters on a training mixture.
+    Zero-variance/singleton sources are dropped by an exact integer
+    predicate (the v12 no-baseline rule — no NULL measures
+    published)."""
+    from research_knowledge_graph_spark.operators.curation import (
+        length_quality_correlation,
+    )
+
+    return length_quality_correlation(_t(spark, sf_dir, "documents"))
+
+
+def e12_label_confusion(spark, sf_dir):
+    """Label-purity confusion matrix over the k-means E-step
+    (operators/similarity.py::nearest_centroid_assign): counts of
+    (own_label, assigned_label) pairs plus each cell's share of its
+    own-label row in exact floor ppm — WHICH labels bleed into which,
+    the aggregate read of e10's per-vector audit. Scale: one
+    map-side-combinable hash-agg over the E-step output to ≤ #labels²
+    rows; the row-total window and the fixed-point division run on that
+    TRUE-bounded frame. Oracle: e10's assignment cascade extended with
+    the same GROUP BY + window."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        nearest_centroid_assign,
+    )
+
+    assigned = nearest_centroid_assign(_t(spark, sf_dir, "embeddings"))
+    conf = assigned.groupBy("own_label", "assigned_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    w = Window.partitionBy("own_label")
+    return (
+        conf.withColumn("row_total", F.sum("n_vecs").over(w).cast("long"))
+        .select(
+            "own_label",
+            "assigned_label",
+            "n_vecs",
+            "row_total",
+            F.expr(
+                "CAST(n_vecs * 1000000L div row_total AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
 def g33_reciprocity(spark, sf_dir):
     """Per-edge-type reciprocity over the full typed graph
     (operators/graph_queries.py::reciprocity): distinct non-loop directed
@@ -2021,7 +2071,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-exercised through e07's RRF hybrid. Rotate one of
         # e03/e06 back in before retiring anything else from this
         # family. Local test_entry_oracle.py still gates every entry
-        # regardless of position.
+        # regardless of position. t33/e12 were added BELOW the boundary
+        # by choice (the exception to the new-entries-above rule):
+        # every in-window slot holds a never-driver-green r5 entry, so
+        # rotating them in would trade away first driver evidence —
+        # they ship with local-gate evidence only this round.
+        "t33_length_quality_corr": t33_length_quality_corr,
+        "e12_label_confusion": e12_label_confusion,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -3763,4 +3819,47 @@ def oracle_sql() -> dict[str, str]:
     # nprobe == k_cells (full probe == exact search), so its oracle is
     # e01's brute-force SQL verbatim
     sql["e06_knn_ivf_indexed"] = sql["e01_knn_bruteforce"]
+    # e12 is e10's assignment cascade extended with the confusion rollup
+    # (plain concatenation — the e10 literal contains struct braces, so
+    # an f-string would mangle it)
+    sql["e12_label_confusion"] = (
+        "WITH assign AS ("
+        + sql["e10_nearest_centroid"]
+        + """)
+        , conf AS (
+            SELECT own_label, assigned_label,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM assign GROUP BY own_label, assigned_label
+        )
+        SELECT own_label, assigned_label, n_vecs,
+               CAST(sum(n_vecs) OVER (PARTITION BY own_label) AS BIGINT)
+                   AS row_total,
+               -- dividend non-negative: // (floor) == Spark div (trunc)
+               CAST(n_vecs * 1000000
+                    // sum(n_vecs) OVER (PARTITION BY own_label) AS BIGINT)
+                   AS share_ppm
+        FROM conf
+    """
+    )
+    sql["t33_length_quality_corr"] = """
+        WITH xy AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS x,
+                   CAST(CASE WHEN length(text) > 0 THEN
+                        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        * 1000 // length(text)
+                        ELSE 0 END AS BIGINT) AS y
+            FROM documents
+        ), s AS (
+            SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+            FROM xy GROUP BY source
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                     (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                      sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+                   AS len_quality_corr
+        FROM s
+        WHERE n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+    """
     return sql

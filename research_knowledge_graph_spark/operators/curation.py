@@ -495,3 +495,66 @@ def vocab_overlap(
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def length_quality_correlation(
+    docs: DataFrame,
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Pearson correlation between document length and the
+    alpha-ratio quality score — the "does the quality score just proxy
+    length?" audit run before using either signal to filter a training
+    mixture (a corr near ±1 means one threshold silently implies the
+    other; near 0 means they select different documents).
+
+    Returns one row per source with ≥2 docs and positive variance on
+    both measures: (source, n_docs, len_quality_corr). Zero-variance /
+    singleton sources are dropped rather than published as NULL — NULL
+    measures break order-by-value consumers (and the repo's oracle
+    harness sorts rows by value; the v12 no-baseline rule).
+
+    Exactness: :func:`~..graph_queries.degree_assortativity`'s
+    six-exact-sums pattern lifted to curation — the quality score is
+    first floored to integer MILLI (``alpha_chars·10³ div n_chars`` —
+    non-negative, so Spark ``div`` == DuckDB ``//``), then n/Σx/Σy/Σxy/
+    Σx²/Σy² accumulate as exact bigints (map-side-combinable,
+    partition-order-free) and the float Pearson formula runs ONCE per
+    source row. Milli (not ppm) keeps ``n·Σy²`` inside int64 for corpora
+    to ~10⁹ docs·source⁻¹ at y ≤ 10³; the variance-positive filter is an
+    exact integer predicate, identical cross-engine.
+
+    Scale: one map-side-combinable hash-agg to #sources rows; the filter
+    and formula run on that bounded frame. No joins, no windows, no
+    Python."""
+    y_expr = (
+        f"CAST(CASE WHEN length({text_col}) > 0 THEN "
+        f"length(regexp_replace({text_col}, '[^A-Za-z]', '')) * 1000L "
+        f"div length({text_col}) ELSE 0 END AS BIGINT)"
+    )
+    xy = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(len_col).cast("long").alias("x"),
+        F.expr(y_expr).alias("y"),
+    )
+    s = xy.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    return (
+        s.filter((F.col("n") >= 2) & (varx > 0) & (vary > 0))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(num / den, 6).alias("len_quality_corr"),
+        )
+    )

@@ -265,3 +265,37 @@ def test_vocab_overlap_hand_computed(spark):
     r = rows[("sA", "sB")]
     assert (r.n_shared, r.vocab_a, r.vocab_b) == (2, 4, 3)
     assert r.jaccard_ppm == 2_000_000 // 5  # |A∪B| = 4+3-2
+
+
+def test_length_quality_correlation_numpy_pin(spark):
+    """Pearson over (n_chars, floor-milli alpha ratio) matches numpy on a
+    hand-built corpus; the singleton source and the zero-variance source
+    are dropped (exact integer predicate, no NULL rows published)."""
+    import numpy as np
+
+    from research_knowledge_graph_spark.operators.curation import (
+        length_quality_correlation,
+    )
+
+    rows = [
+        # source A: varying length and alpha mix
+        (1, "aaaa", "A"),            # alpha 4/4
+        (2, "aa 11 bb", "A"),        # alpha 4/8
+        (3, "a1 b2 c3 d4 e5 f", "A"),  # alpha 6/16
+        # source B: zero variance on BOTH measures -> dropped
+        (4, "abcd", "B"),
+        (5, "wxyz", "B"),
+        # source C: singleton -> dropped
+        (6, "hello", "C"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    got = {r.source: r for r in length_quality_correlation(docs).collect()}
+    assert set(got) == {"A"}
+    xs = [len(t) for _, t, s in rows if s == "A"]
+    ys = [sum(c.isalpha() for c in t) * 1000 // len(t) for _, t, s in rows if s == "A"]
+    expected = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    assert got["A"].n_docs == 3
+    assert abs(got["A"].len_quality_corr - expected) < 1e-6
