@@ -1910,6 +1910,64 @@ def v16_daily_type_trend(spark, sf_dir):
     )
 
 
+def v17_user_concentration(spark, sf_dir):
+    """Event-volume concentration per event type — exact Gini terms plus
+    the top-decile share: "what fraction of this type's volume comes
+    from its heaviest users?" — the skew audit that directly feeds the
+    repo's salting thresholds (a type whose top decile carries most of
+    the volume is exactly the hot-key distribution degree-aware salting
+    exists for; see functions/salt.py).
+
+    Per type: users ranked ASC by exact count (user_id tie-break — a
+    total order, so ranks are cross-engine identical), then
+    ``gini = 2·Σi·cnt / (n·total) − (n+1)/n`` with Σi·cnt / n / total
+    all exact bigints and the float formula run ONCE per type row
+    (rounded 9 — identical doubles from identical integers). The top
+    decile is the ``ceil(n/10) = (n+9) div 10`` highest ranks, its
+    share in exact floor ppm (non-negative division — trunc == floor
+    cross-engine). Σi·cnt is int64-safe while #users·max_cnt·#users
+    stays below 2⁶³ (~10⁹ users × 10⁴ events each); beyond that, scale
+    counts down before ranking.
+
+    Scale: the per-(type, user) pre-agg is map-side combinable; the
+    rank-within-type window is the one non-combinable step, bounded by
+    #users per type on a single partition — at extreme per-type user
+    cardinality replace it with a two-pass histogram rank
+    (count-by-cnt-value prefix sums), same exact result."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = per_user.withColumn(
+        "i", F.row_number().over(w).cast("long")
+    ).withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+    top = F.col("i") > F.col("n") - F.expr("(n + 9L) div 10")
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_users"),
+        F.sum("cnt").cast("long").alias("total_events"),
+        F.sum(F.col("i") * F.col("cnt")).cast("long").alias("sum_i_cnt"),
+        F.sum(F.when(top, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("top_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        "sum_i_cnt",
+        F.expr(
+            "CAST(top_events * 1000000L div total_events AS BIGINT)"
+        ).alias("top_decile_share_ppm"),
+        F.expr(
+            "round(CAST(2 * sum_i_cnt AS DOUBLE)"
+            " / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))"
+            " - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 9)"
+        ).alias("gini"),
+    )
+
+
 def g35_avg_neighbor_degree(spark, sf_dir):
     """Average-neighbor-degree curve k_nn(k)
     (operators/graph_queries.py::avg_neighbor_degree) over the deduped
@@ -2075,9 +2133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by choice (the exception to the new-entries-above rule):
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
-        # they ship with local-gate evidence only this round.
+        # they ship with local-gate evidence only this round. Same for
+        # v17.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
+        "v17_user_concentration": v17_user_concentration,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -3841,6 +3901,37 @@ def oracle_sql() -> dict[str, str]:
         FROM conf
     """
     )
+    sql["v17_user_concentration"] = """
+        WITH pu AS (
+            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type, user_id
+        ), r AS (
+            SELECT event_type, cnt,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY cnt, user_id
+                   ) AS BIGINT) AS i,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM pu
+        ), a AS (
+            SELECT event_type, max(n) AS n_users,
+                   sum(cnt) AS total_events,
+                   sum(i * cnt) AS sum_i_cnt,
+                   sum(CASE WHEN i > n - (n + 9) // 10 THEN cnt ELSE 0 END)
+                       AS top_events
+            FROM r GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(total_events AS BIGINT) AS total_events,
+               CAST(sum_i_cnt AS BIGINT) AS sum_i_cnt,
+               CAST(top_events * 1000000 // total_events AS BIGINT)
+                   AS top_decile_share_ppm,
+               round(CAST(2 * sum_i_cnt AS DOUBLE)
+                     / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+                     - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE),
+                     9) AS gini
+        FROM a
+    """
     sql["t33_length_quality_corr"] = """
         WITH xy AS (
             SELECT source, CAST(n_chars AS BIGINT) AS x,
