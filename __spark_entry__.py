@@ -1968,6 +1968,18 @@ def v17_user_concentration(spark, sf_dir):
     )
 
 
+def g36_two_hop_reach(spark, sf_dir):
+    """Two-hop reach histogram (operators/graph_queries.py::
+    two_hop_reach) over the order co-usage graph — the r=2 neighborhood
+    function N(v,2) rolled up by reach value: the expansion profile that
+    predicts how explosive a friend-of-friend join will be. Exact
+    distinct counts (the HLL/ANF sketch swap is the documented 100×
+    path). Oracle: the same wedge + distinct union over the shared
+    pe/co/e cascade blocks."""
+    pairs = _couse_pairs(spark, sf_dir)
+    return G.two_hop_reach(pairs.select("node_a", "node_b"))
+
+
 def g35_avg_neighbor_degree(spark, sf_dir):
     """Average-neighbor-degree curve k_nn(k)
     (operators/graph_queries.py::avg_neighbor_degree) over the deduped
@@ -2134,10 +2146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17.
+        # v17/g36.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
+        "g36_two_hop_reach": g36_two_hop_reach,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -2443,6 +2456,34 @@ def _ktruss_sql(k: int = 3, iters: int = 8) -> str:
         + ", ".join(parts)
         + f" SELECT e.u AS node_a, e.v AS node_b, s.support FROM c{iters} e"
         f" JOIN s{iters} s ON s.u = e.u AND s.v = e.v"
+    )
+
+
+def _two_hop_reach_sql() -> str:
+    """g36's oracle: exact 2-hop reach histogram over the co-usage graph.
+    Same pe/co/e blocks as the LPA cascade; ``e`` is referenced three
+    times (1-hop legs + wedge), so the shared blocks are pinned
+    MATERIALIZED (the k-core inlining lesson)."""
+    parts = [
+        p.replace(" AS (", " AS MATERIALIZED (", 1)
+        for p in _lpa_parts(False, 0)[:3]  # pe, co, e blocks
+    ]
+    parts.append(
+        "two AS (SELECT a.u AS u, b.v AS w FROM e a JOIN e b ON a.v = b.u"
+        " WHERE a.u <> b.v)"
+    )
+    parts.append(
+        "nb AS (SELECT DISTINCT u, w FROM ("
+        "SELECT u, v AS w FROM e UNION ALL SELECT u, w FROM two))"
+    )
+    parts.append(
+        "rc AS (SELECT u, CAST(count(*) AS BIGINT) AS reach FROM nb GROUP BY u)"
+    )
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(parts)
+        + " SELECT reach, CAST(count(*) AS BIGINT) AS n_nodes"
+        " FROM rc GROUP BY reach"
     )
 
 
@@ -3901,6 +3942,7 @@ def oracle_sql() -> dict[str, str]:
         FROM conf
     """
     )
+    sql["g36_two_hop_reach"] = _two_hop_reach_sql()
     sql["v17_user_concentration"] = """
         WITH pu AS (
             SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt

@@ -853,3 +853,43 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.expr("(1000000 * n_reciprocal) div n_edges").cast("long"),
         )
     )
+
+
+def two_hop_reach(pairs: DataFrame) -> DataFrame:
+    """Two-hop reach histogram — the neighborhood function N(v, 2) of an
+    undirected pair graph (columns ``node_a``/``node_b``, any order /
+    multiplicity), rolled up by reach value: how many nodes can touch
+    exactly k distinct others within two hops. The expansion profile read
+    alongside g34/g35 when judging how explosive a wedge/path query will
+    be (a graph whose 2-hop ball is already half the node set makes any
+    friend-of-friend join quadratic).
+
+    Returns (reach, n_nodes) — bounded by #distinct-reach-values rows.
+    Exact integer counts end to end.
+
+    Scale: the wedge self-join fans out d² per node — same shape and
+    same degree-aware mitigation story as :func:`shared_entity_pairs`;
+    the per-node DISTINCT union is the memory hog at web scale, where the
+    standard move is the ANF/HyperLogLog form (replace the exact distinct
+    + count with per-node ``approx_count_distinct`` over the same union —
+    one pass, constant state per node; Palmer et al., KDD'02). This
+    operator keeps the exact form because the histogram is the oracle
+    contract; swap the last two aggregates for the sketch at 100×."""
+    und = _canonical_undirected(pairs)
+    dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    two = (
+        dr.alias("a")
+        .join(dr.alias("b"), F.col("a.v") == F.col("b.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
+        .filter(F.col("u") != F.col("w"))
+    )
+    reach = (
+        dr.select("u", F.col("v").alias("w"))
+        .unionByName(two)
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("reach"))
+    )
+    return reach.groupBy("reach").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

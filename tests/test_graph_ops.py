@@ -362,3 +362,25 @@ def test_undirected_degree_collapses_loops_dups_and_direction(spark):
     )
     got = {(r.node_id, r.degree) for r in undirected_degree(pairs).collect()}
     assert got == {(1, 1), (2, 2), (3, 1)}
+
+
+def test_two_hop_reach_path_and_triangle(spark):
+    """Path a-b-c-d: N(a,2)={b,c}, N(b,2)={a,c,d} -> histogram {2:2, 3:2}.
+    Triangle x-y-z (with dup/reversed input edges): every node reaches the
+    other two in one hop and two-hop adds nothing -> all reach 2."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        two_hop_reach,
+    )
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "node_a long, node_b long"
+    )
+    got = {(r.reach, r.n_nodes) for r in two_hop_reach(path).collect()}
+    assert got == {(2, 2), (3, 2)}
+
+    tri = spark.createDataFrame(
+        [(10, 11), (11, 10), (11, 12), (10, 12), (12, 12)],
+        "node_a long, node_b long",
+    )
+    got = {(r.reach, r.n_nodes) for r in two_hop_reach(tri).collect()}
+    assert got == {(2, 3)}
