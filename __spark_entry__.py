@@ -1968,6 +1968,57 @@ def v17_user_concentration(spark, sf_dir):
     )
 
 
+def g37_type_cooccurrence(spark, sf_dir):
+    """Out-edge-type co-occurrence matrix — for each unordered pair of
+    edge types, how many source nodes emit BOTH, with the overlap in
+    exact floor-ppm Jaccard. The KG schema-health audit (which relation
+    types co-fire on the same node?) a construction pipeline reads when
+    validating extraction drift — t30's vocabulary-overlap pattern
+    lifted from (source, token) to (node, edge_type). Scale: the
+    distinct (node, type) inventory reduces map-side; the nid-keyed
+    self-join fans out ≤ #types per key (TRUE bounded — no hot key in
+    the corpus-size sense); the diag dims are #types rows, left to AQE;
+    ReuseExchange shares the distinct's shuffle across both sides and
+    the diagonal. The Jaccard division is non-negative with a positive
+    divisor (the union count n_a + n_b − n_both ≥ n_both ≥ 1 whenever a
+    pair row exists), so trunc == floor cross-engine."""
+    edges = TG.derive_edges(spark, sf_dir)
+    nt = edges.select(F.col("from_node_id").alias("nid"), "edge_type").distinct()
+    diag = nt.groupBy("edge_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pairs = (
+        nt.alias("a")
+        .join(nt.alias("b"), "nid")
+        .filter(F.col("a.edge_type") < F.col("b.edge_type"))
+        .groupBy(
+            F.col("a.edge_type").alias("type_a"),
+            F.col("b.edge_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            diag.select(F.col("edge_type").alias("type_a"), F.col("n").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            diag.select(F.col("edge_type").alias("type_b"), F.col("n").alias("n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000L div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def g36_two_hop_reach(spark, sf_dir):
     """Two-hop reach histogram (operators/graph_queries.py::
     two_hop_reach) over the order co-usage graph — the r=2 neighborhood
@@ -2146,11 +2197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17/g36.
+        # v17/g36/g37.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
         "g36_two_hop_reach": g36_two_hop_reach,
+        "g37_type_cooccurrence": g37_type_cooccurrence,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -3943,6 +3995,26 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     sql["g36_two_hop_reach"] = _two_hop_reach_sql()
+    sql["g37_type_cooccurrence"] = f"""
+        WITH {GRAPH_CTE},
+        nt AS (SELECT DISTINCT from_node_id AS nid, edge_type FROM edges),
+        diag AS (
+            SELECT edge_type, CAST(count(*) AS BIGINT) AS n
+            FROM nt GROUP BY edge_type
+        ),
+        p AS (
+            SELECT a.edge_type AS type_a, b.edge_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM nt a JOIN nt b
+              ON a.nid = b.nid AND a.edge_type < b.edge_type
+            GROUP BY a.edge_type, b.edge_type
+        )
+        SELECT type_a, type_b, da.n AS n_a, db.n AS n_b, n_both,
+               CAST(n_both * 1000000 // (da.n + db.n - n_both) AS BIGINT)
+                   AS jaccard_ppm
+        FROM p JOIN diag da ON da.edge_type = type_a
+               JOIN diag db ON db.edge_type = type_b
+    """
     sql["v17_user_concentration"] = """
         WITH pu AS (
             SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
