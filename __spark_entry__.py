@@ -1968,6 +1968,47 @@ def v17_user_concentration(spark, sf_dir):
     )
 
 
+def v18_volume_anomalies(spark, sf_dir):
+    """Daily event-volume anomaly days per type — the |z| ≥ 2 burst/outage
+    detector over v16's per-(type, day) frame (v16 reads the derivative;
+    this reads deviation from the type's own distribution). The anomaly
+    decision is an EXACT INTEGER predicate: with nd days, sn = Σn and
+    snn = Σn², the population z-score algebra cancels nd —
+    ``z = (n·nd − sn) / sqrt(nd·snn − sn²)`` — so ``z² ≥ 4`` becomes
+    ``(n·nd − sn)² ≥ 4·(nd·snn − sn²)``, pure bigint comparison, no
+    float at the decision boundary (int64-safe while n·nd < ~3·10⁹ —
+    daily volumes to ~10⁶ over years; pre-scale counts beyond). The
+    published z is ONE double expression from the same exact integers,
+    rounded 9. Zero-variance types are dropped by the same exact
+    predicate (the v12 no-baseline rule). Scale: the per-type stats dim
+    is #types rows (TRUE bounded, left to AQE); everything upstream is
+    the map-side-combinable daily reduce."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n_events").cast("long").alias("sn"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("snn"),
+    )
+    j = daily.join(stats, "event_type")
+    dev = F.col("n_events") * F.col("nd") - F.col("sn")
+    var_num = F.col("nd") * F.col("snn") - F.col("sn") * F.col("sn")
+    return (
+        j.filter((var_num > 0) & (dev * dev >= 4 * var_num))
+        .select(
+            "event_type",
+            F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round(
+                dev.cast("double") / F.sqrt(var_num.cast("double")), 9
+            ).alias("z"),
+        )
+    )
+
+
 def g37_type_cooccurrence(spark, sf_dir):
     """Out-edge-type co-occurrence matrix — for each unordered pair of
     edge types, how many source nodes emit BOTH, with the overlap in
@@ -2197,12 +2238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17/g36/g37.
+        # v17/g36/g37/v18.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
+        "v18_volume_anomalies": v18_volume_anomalies,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -4014,6 +4056,26 @@ def oracle_sql() -> dict[str, str]:
                    AS jaccard_ppm
         FROM p JOIN diag da ON da.edge_type = type_a
                JOIN diag db ON db.edge_type = type_b
+    """
+    sql["v18_volume_anomalies"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n_events) AS BIGINT) AS sn,
+                   CAST(sum(n_events * n_events) AS BIGINT) AS snn
+            FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+               round(CAST(d.n_events * s.nd - s.sn AS DOUBLE)
+                     / sqrt(CAST(s.nd * s.snn - s.sn * s.sn AS DOUBLE)), 9)
+                   AS z
+        FROM daily d JOIN stats s USING (event_type)
+        WHERE (s.nd * s.snn - s.sn * s.sn) > 0
+          AND (d.n_events * s.nd - s.sn) * (d.n_events * s.nd - s.sn)
+              >= 4 * (s.nd * s.snn - s.sn * s.sn)
     """
     sql["v17_user_concentration"] = """
         WITH pu AS (
