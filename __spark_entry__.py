@@ -1968,6 +1968,20 @@ def v17_user_concentration(spark, sf_dir):
     )
 
 
+def e13_centroid_separation(spark, sf_dir):
+    """Cluster-separation audit
+    (operators/similarity.py::centroid_separation): each label's nearest
+    FOREIGN centroid by exact micro² squared L2 — the "which prototypes
+    sit on top of each other" read that explains e12's bleeding
+    confusion cells. One corpus pass (the centroid hash-agg); the
+    #labels² comparison runs on the TRUE-bounded centroid frame."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        centroid_separation,
+    )
+
+    return centroid_separation(_t(spark, sf_dir, "embeddings"))
+
+
 def v18_volume_anomalies(spark, sf_dir):
     """Daily event-volume anomaly days per type — the |z| ≥ 2 burst/outage
     detector over v16's per-(type, day) frame (v16 reads the derivative;
@@ -2238,13 +2252,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17/g36/g37/v18.
+        # v17/g36/g37/v18/e13.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
         "v18_volume_anomalies": v18_volume_anomalies,
+        "e13_centroid_separation": e13_centroid_separation,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -4056,6 +4071,35 @@ def oracle_sql() -> dict[str, str]:
                    AS jaccard_ppm
         FROM p JOIN diag da ON da.edge_type = type_a
                JOIN diag db ON db.edge_type = type_b
+    """
+    sql["e13_centroid_separation"] = """
+        WITH cent AS (
+            SELECT label, u.dim AS dim,
+                   CAST(floor(sum(u.micro) / count(*)) AS BIGINT) AS c
+            FROM (
+                SELECT label,
+                       unnest(list_transform(range(len(embedding)),
+                           i -> {'dim': CAST(i AS INT),
+                                 'micro': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT)})) AS u
+                FROM embeddings
+            )
+            GROUP BY label, u.dim
+        ), carr AS (
+            SELECT label, list(c ORDER BY dim) AS carr FROM cent GROUP BY label
+        ), d AS (
+            SELECT a.label AS label, b.label AS other_label,
+                   list_sum(list_transform(range(len(a.carr)),
+                       i -> (a.carr[i+1] - b.carr[i+1])
+                            * (a.carr[i+1] - b.carr[i+1]))) AS dist_micro2
+            FROM carr a JOIN carr b ON a.label <> b.label
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY dist_micro2, other_label) AS rn
+            FROM d
+        )
+        SELECT label, other_label AS nearest_label,
+               CAST(dist_micro2 AS BIGINT) AS dist_micro2
+        FROM r WHERE rn = 1
     """
     sql["v18_volume_anomalies"] = """
         WITH daily AS (

@@ -472,3 +472,63 @@ def kmeans_update_step(
             (F.col("mean_micro") - F.col("old_mean_micro")).cast("long"),
         )
     )
+
+
+def centroid_separation(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-separation audit: for every label's micro fixed-point
+    centroid, the nearest OTHER label's centroid by exact squared L2 —
+    the "are any two label prototypes on top of each other?" read taken
+    alongside the per-vector purity audit (:func:`nearest_centroid_assign`
+    / e12's confusion matrix): a pair of labels with tiny separation
+    explains exactly the cells that bleed.
+
+    Returns (label, nearest_label, dist_micro2) — one row per label, ties
+    toward the smaller nearest_label (total order). Same micro fixed
+    point and the same exactness argument as
+    :func:`nearest_centroid_assign`; distances are sums of products of
+    bigints, bit-exact under any partitioning.
+
+    Scale: everything runs on the #labels×dim centroid frame — a TRUE
+    bounded dimension — so the pairwise #labels² comparison is a
+    broadcast nested loop over rows that fit on one executor by
+    construction. The corpus is touched exactly once (the centroid
+    hash-agg)."""
+    cent = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6)
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("carr")
+    )
+    a = carr.select(F.col("label"), F.col("carr").alias("va"))
+    b = carr.select(F.col("label").alias("other_label"), F.col("carr").alias("vb"))
+    scored = (
+        a.join(F.broadcast(b))
+        .filter(F.col("label") != F.col("other_label"))
+        .select(
+            "label",
+            "other_label",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist_micro2"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist_micro2").asc_nulls_last(), "other_label"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "label",
+            F.col("other_label").alias("nearest_label"),
+            F.col("dist_micro2").cast("long").alias("dist_micro2"),
+        )
+    )
