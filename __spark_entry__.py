@@ -1968,6 +1968,23 @@ def v17_user_concentration(spark, sf_dir):
     )
 
 
+def g38_pagerank_exact(spark, sf_dir):
+    """Exact fixed-point PageRank variant
+    (operators/pagerank.py::pagerank_fixed_point) over FOLLOWS∪PLACED —
+    g16's graph, but every round is non-negative bigint floor division,
+    so 3 rounds unroll as a DuckDB CTE cascade and hash-compare exactly
+    (the g29 HITS playbook applied to PageRank; g16's float power method
+    keeps its numpy pin for the converged values)."""
+    edges = TG.derive_edges(spark, sf_dir).filter(
+        F.col("edge_type").isin("FOLLOWS", "PLACED")
+    )
+    from research_knowledge_graph_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    return pagerank_fixed_point(edges, iters=3)
+
+
 def e13_centroid_separation(spark, sf_dir):
     """Cluster-separation audit
     (operators/similarity.py::centroid_separation): each label's nearest
@@ -2252,7 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17/g36/g37/v18/e13.
+        # v17/g36/g37/v18/e13/g38.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
@@ -2260,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g37_type_cooccurrence": g37_type_cooccurrence,
         "v18_volume_anomalies": v18_volume_anomalies,
         "e13_centroid_separation": e13_centroid_separation,
+        "g38_pagerank_exact": g38_pagerank_exact,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -2565,6 +2583,43 @@ def _ktruss_sql(k: int = 3, iters: int = 8) -> str:
         + ", ".join(parts)
         + f" SELECT e.u AS node_a, e.v AS node_b, s.support FROM c{iters} e"
         f" JOIN s{iters} s ON s.u = e.u AND s.v = e.v"
+    )
+
+
+def _pagerank_exact_sql(iters: int = 3) -> str:
+    """g38's oracle: the fixed-point PageRank rounds unrolled as a CTE
+    cascade — per round one contribution sum (``p // deg`` floor
+    divisions) and one update (``0.15·10⁹ + (850·Σ) // 1000``), exactly
+    the operator's arithmetic. MATERIALIZED throughout: each p_i feeds
+    both the next contribution join and (via nodes) the next update."""
+    parts = [
+        "g AS MATERIALIZED (SELECT DISTINCT from_node_id AS src,"
+        " to_node_id AS dst FROM edges"
+        " WHERE edge_type IN ('FOLLOWS', 'PLACED'))",
+        "pnodes AS MATERIALIZED (SELECT src AS nid FROM g"
+        " UNION SELECT dst FROM g)",
+        "od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg"
+        " FROM g GROUP BY src)",
+        "p0 AS MATERIALIZED (SELECT nid, CAST(1000000000 AS BIGINT) AS p"
+        " FROM pnodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT g.dst AS nid,"
+            f" sum(p{i - 1}.p // od.deg) AS s"
+            f" FROM g JOIN p{i - 1} ON p{i - 1}.nid = g.src"
+            f" JOIN od ON od.src = g.src GROUP BY g.dst)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT n.nid,"
+            f" CAST(150000000 + (850 * COALESCE(c{i}.s, 0)) // 1000"
+            f" AS BIGINT) AS p"
+            f" FROM pnodes n LEFT JOIN c{i} USING (nid))"
+        )
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(parts)
+        + f" SELECT nid AS node_id, p AS rank_nano FROM p{iters}"
     )
 
 
@@ -4052,6 +4107,7 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     sql["g36_two_hop_reach"] = _two_hop_reach_sql()
+    sql["g38_pagerank_exact"] = _pagerank_exact_sql()
     sql["g37_type_cooccurrence"] = f"""
         WITH {GRAPH_CTE},
         nt AS (SELECT DISTINCT from_node_id AS nid, edge_type FROM edges),

@@ -331,3 +331,62 @@ def katz_centrality(
             F.coalesce("k", F.lit(0)).cast("long").alias("katz_scaled"),
         )
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "from_node_id",
+    dst_col: str = "to_node_id",
+) -> DataFrame:
+    """Exact-integer PageRank VARIANT for oracle-checkable rank ordering:
+    p₀(v) = 10⁹; per round
+    ``p(v) ← 0.15·10⁹ + (850 · Σ_{u→v} (p(u) div outdeg(u))) div 1000``
+    — every operation is a non-negative bigint floor division, so a fixed
+    iteration count is bit-reproducible across engines and unrolls as a
+    CTE cascade (the g29 HITS playbook applied to PageRank; the float
+    :func:`pagerank` above stays numpy-pinned because ten iterated FP
+    sums cannot be hash-compared cross-engine).
+
+    Two documented deviations from the classic formulation, both fine for
+    the rank-ORDERING read this serves: parallel edges collapse (the edge
+    set is DISTINCT (src, dst)), and dangling-node mass is dropped rather
+    than redistributed, so ranks do not sum to a constant. Overflow: a
+    node's value is bounded by 10⁹ · (max in-degree)^iters · 0.85^iters —
+    int64-safe at 3 rounds for in-degrees into the tens of thousands;
+    scale p₀ down for deeper unrolls.
+
+    Scale: per round ONE edge-keyed join + one map-side-combinable sum —
+    the same shuffle shape as :func:`pagerank` minus the dangling
+    machinery. NO per-iteration checkpoint: for 2-3 round unrolls the
+    measured cost of eager checkpoints exceeds the ReuseExchange-shared
+    declarative plan (the g29 A/B, documented in hits())."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    g = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        g.select(F.col("src").alias("nid"))
+        .unionByName(g.select(F.col("dst").alias("nid")))
+        .distinct()
+    )
+    od = g.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    p = nodes.select("nid", F.lit(10**9).cast("long").alias("p"))
+    for _ in range(iters):
+        contrib = (
+            g.join(p, p.nid == g.src)
+            .join(od, "src")
+            .select("dst", F.expr("p div deg").alias("val"))
+            .groupBy("dst")
+            .agg(F.sum("val").cast("long").alias("s"))
+        )
+        p = nodes.join(
+            contrib, nodes.nid == contrib.dst, "left"
+        ).select(
+            "nid",
+            F.expr(
+                "CAST(150000000L + (850 * COALESCE(s, 0L)) div 1000 AS BIGINT)"
+            ).alias("p"),
+        )
+    return p.select(F.col("nid").alias("node_id"), F.col("p").alias("rank_nano"))

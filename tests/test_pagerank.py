@@ -342,3 +342,38 @@ def test_katz_multigraph_and_validation(spark):
     assert got == {"a": 0, "b": 32}
     with _pytest.raises(ValueError):
         katz_centrality(edges, iters=0)
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """a->b, a->c, b->c (c dangling): exact python-int twin of the
+    floor-div arithmetic, plus the iteration-1 values by hand:
+    p1(a)=0.15e9, p1(b)=0.15e9+850*(1e9//2)//1000, p1(c) adds b's full
+    mass. Parallel edge a->b collapses (distinct edge set)."""
+    from research_knowledge_graph_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c")],
+        "from_node_id string, to_node_id string",
+    )
+    got1 = {r.node_id: r.rank_nano for r in pagerank_fixed_point(e, iters=1).collect()}
+    assert got1 == {"a": 150_000_000, "b": 575_000_000, "c": 1_425_000_000}
+
+    # python-int twin for 3 rounds
+    g = {("a", "b"), ("a", "c"), ("b", "c")}
+    nodes = {"a", "b", "c"}
+    deg = {"a": 2, "b": 1}
+    p = {v: 10**9 for v in nodes}
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for u, v in g:
+            s[v] += p[u] // deg[u]
+        p = {v: 150_000_000 + (850 * s[v]) // 1000 for v in nodes}
+    got3 = {r.node_id: r.rank_nano for r in pagerank_fixed_point(e, iters=3).collect()}
+    assert got3 == p
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_fixed_point(e, iters=0)
