@@ -1968,6 +1968,71 @@ def v17_user_concentration(spark, sf_dir):
     )
 
 
+def t35_minhash_fidelity(spark, sf_dir):
+    """Sketch-fidelity audit: per MinHash-LSH candidate pair (t07's
+    cascade verbatim), the signature-agreement Jaccard ESTIMATE next to
+    the exact shingle Jaccard, both in exact floor ppm — the engine
+    auditing its own approximation (is k=8 enough at this corpus's
+    similarity profile, or are candidates surviving on hash luck?).
+    sig_agree is an exact integer (bigint equality per position), so
+    everything hash-compares; the exact side reuses the t05 shingle-set
+    arithmetic. Scale: the signature attach is two equi-joins on the
+    uniform doc key; the shingle sets ride along only for CANDIDATE
+    pairs (LSH-selective), never all pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    from research_knowledge_graph_spark.functions.textops import char_shingles_col
+
+    sh = d.select("doc_id", char_shingles_col(F.col("text"), 4).alias("sh"))
+    j = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")),
+            "doc_b",
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect("sh_a", "sh_b"))
+    ).cast("long")
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            agree.alias("sig_agree"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .filter(F.col("n_union") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_agree",
+            F.expr("CAST(sig_agree * 1000000L div 8 AS BIGINT)").alias("est_ppm"),
+            "n_inter",
+            F.expr("CAST(n_inter * 1000000L div n_union AS BIGINT)").alias(
+                "exact_ppm"
+            ),
+        )
+    )
+
+
 def g38_pagerank_exact(spark, sf_dir):
     """Exact fixed-point PageRank variant
     (operators/pagerank.py::pagerank_fixed_point) over FOLLOWS∪PLACED —
@@ -2269,7 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17/g36/g37/v18/e13/g38.
+        # v17/g36/g37/v18/e13/g38/t35.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
@@ -2278,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v18_volume_anomalies": v18_volume_anomalies,
         "e13_centroid_separation": e13_centroid_separation,
         "g38_pagerank_exact": g38_pagerank_exact,
+        "t35_minhash_fidelity": t35_minhash_fidelity,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -2775,7 +2841,10 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
-def _minhash_lsh_sql(k: int = 8, shingle_k: int = 4, bands: int = 4) -> str:
+def _minhash_blocks(k: int = 8, shingle_k: int = 4, bands: int = 4) -> str:
+    """The sh/sig/banded CTE blocks of the MinHash-LSH cascade — shared by
+    the t07 candidate-pair oracle and t35's sketch-fidelity oracle so the
+    signature arithmetic cannot drift between them."""
     rows = k // bands
     sh = _shingles_sql("text", shingle_k)
     sig_cols = ", ".join(
@@ -2791,13 +2860,52 @@ def _minhash_lsh_sql(k: int = 8, shingle_k: int = 4, bands: int = 4) -> str:
             f"SELECT doc_id, {b} AS band, {portable_hash64_sql(concat)} AS bucket FROM sig"
         )
     return (
-        f"WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents), "
+        f"sh AS (SELECT doc_id, {sh} AS sh FROM documents), "
         f"sig AS (SELECT doc_id, {sig_cols} FROM sh), "
-        f"banded AS ({' UNION ALL '.join(band_selects)}) "
+        f"banded AS ({' UNION ALL '.join(band_selects)})"
+    )
+
+
+def _minhash_lsh_sql(k: int = 8, shingle_k: int = 4, bands: int = 4) -> str:
+    return (
+        f"WITH {_minhash_blocks(k, shingle_k, bands)} "
         f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         f"FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
         f"AND a.doc_id < b.doc_id"
     )
+
+
+def _minhash_fidelity_sql(k: int = 8, shingle_k: int = 4, bands: int = 4) -> str:
+    """t35's oracle: per LSH candidate pair, the signature-agreement
+    estimate vs the exact shingle Jaccard, both in floor ppm — the same
+    sh/sig/banded blocks as t07, MATERIALIZED (sig and sh are each
+    referenced twice more by the fidelity join)."""
+    agree = " + ".join(f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(k))
+    blocks = _minhash_blocks(k, shingle_k, bands).replace(
+        " AS (", " AS MATERIALIZED (", 3
+    )
+    return f"""
+        WITH {blocks},
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b ON a.band = b.band
+             AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST({agree} AS BIGINT) AS sig_agree,
+               CAST(({agree}) * 1000000 // {k} AS BIGINT) AS est_ppm,
+               CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_inter,
+               CAST(len(list_intersect(s1.sh, s2.sh)) * 1000000
+                    // (len(s1.sh) + len(s2.sh)
+                        - len(list_intersect(s1.sh, s2.sh))) AS BIGINT)
+                   AS exact_ppm
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+        JOIN sh s1 ON s1.doc_id = c.doc_a
+        JOIN sh s2 ON s2.doc_id = c.doc_b
+        WHERE (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) > 0
+    """
 
 
 def _srp_bucket_sql(vec_expr: str, dim: int, planes: int) -> str:
@@ -4108,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["g36_two_hop_reach"] = _two_hop_reach_sql()
     sql["g38_pagerank_exact"] = _pagerank_exact_sql()
+    sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
     sql["g37_type_cooccurrence"] = f"""
         WITH {GRAPH_CTE},
         nt AS (SELECT DISTINCT from_node_id AS nid, edge_type FROM edges),
