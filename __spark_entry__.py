@@ -1968,6 +1968,62 @@ def v17_user_concentration(spark, sf_dir):
     )
 
 
+def e14_norm_profile(spark, sf_dir):
+    """Embedding-norm profile — squared L2 norms in exact micro² fixed
+    point, histogrammed by fixed-width bucket (10¹¹ micro² ≈ 0.1 in
+    norm² units): the degenerate-vector audit run before any cosine
+    machinery (zero vectors make cosine undefined; runaway norms mean a
+    broken encoder or double-scaling upstream — both land in telltale
+    buckets). Exactness: e10's micro scaling, squares summed as bigints
+    (int64-safe to ~2⁴¹ micro per component · 10³ dims), bucket by
+    non-negative floor division. Scale: pure map-side column math into a
+    bounded-bucket hash-agg — one pass, no shuffle beyond the tiny
+    histogram key."""
+    em = _t(spark, sf_dir, "embeddings")
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+    )
+    n2 = F.aggregate(v, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    return (
+        em.select(n2.alias("norm2"))
+        .select(
+            F.expr("CAST(norm2 div 100000000000L AS BIGINT)").alias("bucket"),
+            "norm2",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("norm2").cast("long").alias("min_norm2"),
+            F.max("norm2").cast("long").alias("max_norm2"),
+        )
+    )
+
+
+def v19_user_tenure(spark, sf_dir):
+    """User-tenure histogram — days between each user's first and last
+    event, rolled up by tenure value: the lifecycle/churn profile read
+    next to v08's retention curve (retention asks "did day-1 users come
+    back?"; this asks "how long do users stay at all?"). Exact integer
+    day arithmetic (both engines count whole days between DATEs); NULL
+    ts dropped up front (the v16 rule). Scale: one map-side-combinable
+    min/max reduce to #users rows, then a bounded-key histogram — no
+    joins, no windows."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    return (
+        per.select(
+            F.datediff("last_day", "first_day").cast("long").alias("tenure_days")
+        )
+        .groupBy("tenure_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def t35_minhash_fidelity(spark, sf_dir):
     """Sketch-fidelity audit: per MinHash-LSH candidate pair (t07's
     cascade verbatim), the signature-agreement Jaccard ESTIMATE next to
@@ -2334,7 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17/g36/g37/v18/e13/g38/t35.
+        # v17/g36/g37/v18/e13/g38/t35/v19/e14.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
@@ -2344,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e13_centroid_separation": e13_centroid_separation,
         "g38_pagerank_exact": g38_pagerank_exact,
         "t35_minhash_fidelity": t35_minhash_fidelity,
+        "v19_user_tenure": v19_user_tenure,
+        "e14_norm_profile": e14_norm_profile,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -4217,6 +4275,30 @@ def oracle_sql() -> dict[str, str]:
     sql["g36_two_hop_reach"] = _two_hop_reach_sql()
     sql["g38_pagerank_exact"] = _pagerank_exact_sql()
     sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
+    sql["e14_norm_profile"] = """
+        WITH n AS (
+            SELECT CAST(list_sum(list_transform(
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)),
+                       y -> y * y)) AS BIGINT) AS norm2
+            FROM embeddings
+        )
+        SELECT CAST(norm2 // 100000000000 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(norm2) AS BIGINT) AS min_norm2,
+               CAST(max(norm2) AS BIGINT) AS max_norm2
+        FROM n GROUP BY bucket
+    """
+    sql["v19_user_tenure"] = """
+        WITH pu AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS f,
+                   max(CAST(ts AS DATE)) AS l
+            FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        )
+        SELECT CAST(date_diff('day', f, l) AS BIGINT) AS tenure_days,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM pu GROUP BY tenure_days
+    """
     sql["g37_type_cooccurrence"] = f"""
         WITH {GRAPH_CTE},
         nt AS (SELECT DISTINCT from_node_id AS nid, edge_type FROM edges),
