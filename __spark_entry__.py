@@ -2106,6 +2106,29 @@ def g38_pagerank_exact(spark, sf_dir):
     return pagerank_fixed_point(edges, iters=3)
 
 
+def g39_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve φ(k)
+    (operators/graph_queries.py::rich_club) over g34's undirected typed
+    graph — the "do the hubs wire to each other?" profile read next to
+    the degree histogram (g34) and the k_nn(k) curve (g35) when sizing
+    skew defenses: a rich club is exactly the regime where hot keys
+    join OTHER hot keys, so hub–hub pairs survive degree-aware
+    filtering. E_k/N_k are suffix sums of two bounded histograms (an
+    edge counts toward every k < min of its endpoint degrees); the one
+    division is non-negative fixed-point ppm (trunc == floor). The
+    suffix-sum window runs on the ≤ #distinct-degrees union frame —
+    bounded by max degree, never corpus size."""
+    from research_knowledge_graph_spark.operators.graph_queries import rich_club
+
+    edges = TG.derive_edges(spark, sf_dir)
+    return rich_club(
+        edges.select(
+            F.col("from_node_id").alias("node_a"),
+            F.col("to_node_id").alias("node_b"),
+        )
+    )
+
+
 def e13_centroid_separation(spark, sf_dir):
     """Cluster-separation audit
     (operators/similarity.py::centroid_separation): each label's nearest
@@ -2390,7 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every in-window slot holds a never-driver-green r5 entry, so
         # rotating them in would trade away first driver evidence —
         # they ship with local-gate evidence only this round. Same for
-        # v17/g36/g37/v18/e13/g38/t35/v19/e14.
+        # v17/g36/g37/v18/e13/g38/t35/v19/e14, and the final-session
+        # additions g39 onward.
         "t33_length_quality_corr": t33_length_quality_corr,
         "e12_label_confusion": e12_label_confusion,
         "v17_user_concentration": v17_user_concentration,
@@ -2402,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t35_minhash_fidelity": t35_minhash_fidelity,
         "v19_user_tenure": v19_user_tenure,
         "e14_norm_profile": e14_norm_profile,
+        "g39_rich_club": g39_rich_club,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -4288,6 +4313,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(norm2) AS BIGINT) AS min_norm2,
                CAST(max(norm2) AS BIGINT) AS max_norm2
         FROM n GROUP BY bucket
+    """
+    sql["g39_rich_club"] = f"""
+        WITH {GRAPH_CTE},
+        und AS (
+            SELECT DISTINCT least(from_node_id, to_node_id) AS u,
+                   greatest(from_node_id, to_node_id) AS v
+            FROM edges WHERE from_node_id <> to_node_id
+        ),
+        deg AS (
+            SELECT node_id, count(*) AS degree
+            FROM (SELECT u AS node_id FROM und
+                  UNION ALL SELECT v FROM und)
+            GROUP BY node_id
+        ),
+        dh AS (
+            SELECT degree AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(0 AS BIGINT) AS n_edges
+            FROM deg GROUP BY degree
+        ),
+        eh AS (
+            SELECT least(da.degree, db.degree) AS k,
+                   CAST(0 AS BIGINT) AS n_nodes,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM und
+            JOIN deg da ON und.u = da.node_id
+            JOIN deg db ON und.v = db.node_id
+            GROUP BY 1
+        ),
+        hh AS (
+            SELECT k, sum(n_nodes) AS nn, sum(n_edges) AS ne
+            FROM (SELECT * FROM dh UNION ALL SELECT * FROM eh)
+            GROUP BY k
+        ),
+        s AS (
+            SELECT k,
+                   coalesce(sum(nn) OVER (ORDER BY k DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_nodes_gt,
+                   coalesce(sum(ne) OVER (ORDER BY k DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_edges_gt
+            FROM hh
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(n_nodes_gt AS BIGINT) AS n_nodes_gt,
+               CAST(n_edges_gt AS BIGINT) AS n_edges_gt,
+               -- dividend non-negative: // (floor) == Spark div (trunc)
+               CAST(2 * n_edges_gt * 1000000
+                    // (n_nodes_gt * (n_nodes_gt - 1)) AS BIGINT) AS phi_ppm
+        FROM s WHERE n_nodes_gt >= 2
     """
     sql["v19_user_tenure"] = """
         WITH pu AS (

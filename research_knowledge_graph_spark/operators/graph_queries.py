@@ -432,6 +432,74 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     )
 
 
+def rich_club(pairs: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve φ(k) of an undirected pair graph
+    (columns ``node_a``/``node_b``, any order/multiplicity): for each
+    degree threshold k, the density of the subgraph induced by nodes of
+    degree > k — φ(k) = 2·E_k / (N_k·(N_k−1)). A rising tail means the
+    hubs form a densely wired club (the web/citation norm); flat means
+    hubs ignore each other. Read next to g34's histogram and g35's
+    k_nn(k) curve when sizing skew defenses: a rich club is the case
+    where the hot keys ALSO join each other, so hub–hub pairs survive
+    every degree-aware filter.
+
+    Returns one row per distinct degree value k: (k, n_nodes_gt,
+    n_edges_gt, phi_ppm), rows with N_k < 2 dropped (φ undefined).
+    Exactness: an edge counts toward E_k for every k < min(deg_u,
+    deg_v), so E_k and N_k are SUFFIX sums of two bounded histograms —
+    exact bigint counts; the one division is ``2·E_k·10⁶ div
+    (N_k·(N_k−1))`` over non-negative bigints (trunc == floor
+    cross-engine, the g30/t23 fixed-point rule).
+
+    Scale: the degree attach is two uniform node-id equi-joins (the
+    unbounded per-node degree dim is NEVER hinted — AQE decides); both
+    histograms are map-side-combinable rollups to ≤ #distinct-degrees
+    rows, and the suffix-sum window runs on that union frame — bounded
+    by max degree, not corpus size, so the single-partition
+    no-PARTITION-BY window is safe by construction."""
+    from pyspark.sql import Window
+
+    und = _canonical_undirected(pairs)
+    deg = (
+        und.select(F.col("u").alias("nid"))
+        .unionByName(und.select(F.col("v").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    m = (
+        und.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("k"))
+    )
+    eh = m.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    dh = deg.groupBy(F.col("deg").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    h = dh.select("k", "n_nodes", F.lit(0).cast("long").alias("n_edges")).unionByName(
+        eh.select("k", F.lit(0).cast("long").alias("n_nodes"), "n_edges")
+    )
+    hh = h.groupBy("k").agg(
+        F.sum("n_nodes").alias("nn"), F.sum("n_edges").alias("ne")
+    )
+    w = (
+        Window.orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = hh.select(
+        "k",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long").alias("n_nodes_gt"),
+        F.coalesce(F.sum("ne").over(w), F.lit(0)).cast("long").alias("n_edges_gt"),
+    )
+    return s.filter(F.col("n_nodes_gt") >= 2).select(
+        F.col("k").cast("long").alias("k"),
+        "n_nodes_gt",
+        "n_edges_gt",
+        F.expr(
+            "CAST(2 * n_edges_gt * 1000000L div (n_nodes_gt * (n_nodes_gt - 1)) AS BIGINT)"
+        ).alias("phi_ppm"),
+    )
+
+
 def _triangle_internals(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared core for triangle_count / clustering_coefficient: returns
     (per-node zero-filled triangle counts, per-node degrees) computed from

@@ -384,3 +384,35 @@ def test_two_hop_reach_path_and_triangle(spark):
     )
     got = {(r.reach, r.n_nodes) for r in two_hop_reach(tri).collect()}
     assert got == {(2, 3)}
+
+
+def test_rich_club_hand_computed(spark):
+    """Near-K4 core {1,2,3,4} minus edge (1,2), leaves 5,6,7 on 1,2,3
+    (one edge duplicated + one reversed to exercise collapsing).
+    Degrees: 3->4, {1,2,4}->3, leaves->1.
+    k=4: N_k=0 dropped; k=3: N_k=1 dropped; k=1: N_k=4 core nodes,
+    E_k=5 core edges -> phi = 2*5*1e6 div (4*3) = 833333."""
+    from research_knowledge_graph_spark.operators.graph_queries import rich_club
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 1), (2, 3), (1, 4), (2, 4), (3, 4), (1, 5), (2, 6), (3, 7), (3, 7)],
+        "node_a long, node_b long",
+    )
+    rows = {r.k: r for r in rich_club(pairs).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r.n_nodes_gt, r.n_edges_gt, r.phi_ppm) == (4, 5, 833333)
+
+
+def test_rich_club_path(spark):
+    """Path 1-2-3-4-5: only k=1 survives (3 inner nodes, 2 inner edges)
+    -> phi = 2*2*1e6 div (3*2) = 666666."""
+    from research_knowledge_graph_spark.operators.graph_queries import rich_club
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "node_a long, node_b long"
+    )
+    rows = rich_club(pairs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.k, r.n_nodes_gt, r.n_edges_gt, r.phi_ppm) == (1, 3, 2, 666666)
