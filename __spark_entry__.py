@@ -2129,6 +2129,24 @@ def g39_rich_club(spark, sf_dir):
     )
 
 
+def g40_link_prediction(spark, sf_dir):
+    """Multi-index link-prediction scoreboard (operators/graph_queries.py::
+    link_prediction_scoreboard) over the order co-usage graph — common
+    neighbors, Adamic–Adar (log-damped common neighbors: round(10⁹/ln deg)
+    per shared neighbor, the v14 fixed-point-ln precedent, then exact
+    bigint sums), and preferential attachment (deg_a·deg_b, the null
+    model) side by side for each UNLINKED pair; g30's 1/deg weighting
+    read against its log-damped and volume-baseline siblings. Adjacent
+    pairs anti-joined out (prediction proper); top-100 on (aa_nano DESC,
+    ids) is a total order. Same _wedge_pair_agg salted wedge as g06/g26/
+    g30; endpoint degrees ride the postings as per-pair-constant mins so
+    no post-agg join touches the pair frame."""
+    pairs = _couse_pairs(spark, sf_dir)
+    return G.link_prediction_scoreboard(
+        pairs.select("node_a", "node_b"), min_shared=1, top_k=100
+    )
+
+
 def e13_centroid_separation(spark, sf_dir):
     """Cluster-separation audit
     (operators/similarity.py::centroid_separation): each label's nearest
@@ -2427,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v19_user_tenure": v19_user_tenure,
         "e14_norm_profile": e14_norm_profile,
         "g39_rich_club": g39_rich_club,
+        "g40_link_prediction": g40_link_prediction,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
@@ -2848,6 +2867,37 @@ def _resource_allocation_sql(min_shared: int = 1, top_k: int = 100) -> str:
         " WHERE NOT EXISTS (SELECT 1 FROM co"
         " WHERE co.u = cn.node_a AND co.v = cn.node_b)"
         f" ORDER BY ra_nano DESC, node_a, node_b LIMIT {top_k}"
+    )
+
+
+def _link_prediction_sql(min_shared: int = 1, top_k: int = 100) -> str:
+    """g40's oracle: CN / Adamic–Adar / preferential-attachment scoreboard
+    over the co-usage graph. Same pe/co/e/deg blocks as g30; the AA term
+    is round(1e9/ln(deg)) per shared neighbor (one rounded double op —
+    the v14 fixed-point-ln precedent) then exact bigint sums; CN and the
+    endpoint degrees are exact counts, PA their product."""
+    parts = _lpa_parts(False, 0)[:3]  # pe, co, e blocks
+    parts.append("deg AS (SELECT u AS node_id, count(*) AS degree FROM e GROUP BY u)")
+    parts.append(
+        "cn AS (SELECT a.u AS node_a, b.u AS node_b,"
+        " CAST(count(*) AS BIGINT) AS shared_neighbors,"
+        " CAST(sum(CAST(round(1e9 / ln(d.degree)) AS BIGINT)) AS BIGINT) AS aa_nano,"
+        " CAST(min(da.degree) AS BIGINT) AS deg_a,"
+        " CAST(min(db.degree) AS BIGINT) AS deg_b"
+        " FROM e a JOIN e b ON a.v = b.v AND a.u < b.u"
+        " JOIN deg d ON d.node_id = a.v"
+        " JOIN deg da ON da.node_id = a.u"
+        " JOIN deg db ON db.node_id = b.u"
+        f" GROUP BY a.u, b.u HAVING count(*) >= {min_shared})"
+    )
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(parts)
+        + " SELECT node_a, node_b, shared_neighbors, aa_nano, deg_a, deg_b,"
+        " CAST(deg_a * deg_b AS BIGINT) AS pa FROM cn"
+        " WHERE NOT EXISTS (SELECT 1 FROM co"
+        " WHERE co.u = cn.node_a AND co.v = cn.node_b)"
+        f" ORDER BY aa_nano DESC, node_a, node_b LIMIT {top_k}"
     )
 
 
@@ -4314,6 +4364,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(norm2) AS BIGINT) AS max_norm2
         FROM n GROUP BY bucket
     """
+    sql["g40_link_prediction"] = _link_prediction_sql(min_shared=1, top_k=100)
     sql["g39_rich_club"] = f"""
         WITH {GRAPH_CTE},
         und AS (

@@ -801,6 +801,97 @@ def resource_allocation_topk(
     return scored.orderBy(F.desc("ra_nano"), "node_a", "node_b").limit(top_k)
 
 
+def link_prediction_scoreboard(
+    pairs: DataFrame,
+    min_shared: int = 1,
+    top_k: int = 100,
+    salt_above: int | None = 256,
+    max_salts: int = 16,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """Multi-index link-prediction scoreboard over an undirected pair
+    graph: for each non-adjacent candidate pair x < y, the three classic
+    structural indices side by side — common neighbors ``CN = |N(x) ∩
+    N(y)|``, Adamic–Adar ``AA = Σ_{z} 1/ln(deg(z))`` (common neighbors
+    discounted by how promiscuous they are — the log-damped sibling of
+    :func:`resource_allocation_topk`'s 1/deg), and preferential
+    attachment ``PA = deg(x)·deg(y)`` (the null-model baseline: how much
+    linking two hubs "should" happen by volume alone). Publishing all
+    three lets the consumer read WHERE a candidate's support comes from:
+    high CN + low PA is a tight niche; high PA + low CN is hub noise.
+
+    Exactness: CN and the degrees are exact bigints; AA terms are
+    ``round(10⁹ / ln(deg(z)))`` — ONE rounded double op per posting row
+    (the v14/t23 fixed-point-ln precedent), then exact bigint sums, so
+    the scoreboard hash-compares cross-engine. A common neighbor is
+    adjacent to both endpoints, so ``deg(z) ≥ 2`` and ``ln`` never sees
+    1 or 0. ``exclude_existing`` (default True — prediction proper)
+    anti-joins adjacent pairs out before the cut. Returns top ``top_k``
+    rows by (aa_nano DESC, node_a, node_b) — a total order.
+
+    Scale: the wedge join shares :func:`_wedge_pair_agg` (g06's
+    degree-aware salted self-join — sums and per-pair-constant mins are
+    both slot-merge-safe). Both weight attaches are edge-sized equi-joins
+    on the posting list (``tgt`` for the AA weight — the same key the
+    wedge shuffles on next, and that exact degree doubles as the salter's
+    ``deg``; ``src`` for the endpoint degree, carried through the wedge as
+    a per-pair-constant min so no post-agg join runs on the pair frame)."""
+    e0 = _canonical_undirected(pairs)
+    und = e0.select("u", "v").unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("tgt")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pe = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("tgt"))
+        .join(deg, "tgt")
+        .withColumn(
+            # deg==1 targets can never seed a wedge (only one posting row),
+            # but the projection may run BEFORE the wedge join prunes them,
+            # and ln(1)=0 trips ANSI DIVIDE_BY_ZERO — guard with a dead 0.
+            "w_aa",
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.lit(1000000000.0) / F.log(F.col("deg").cast("double"))
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .join(
+            deg.select(F.col("tgt").alias("src"), F.col("deg").alias("ds")),
+            "src",
+        )
+    )
+    scored = _wedge_pair_agg(
+        pe,
+        [
+            F.count(F.lit(1)).cast("long").alias("shared_neighbors"),
+            F.sum("a.w_aa").cast("long").alias("aa_nano"),
+            F.min("a.ds").cast("long").alias("deg_a"),
+            F.min("b.ds").cast("long").alias("deg_b"),
+        ],
+        salt_above,
+        max_salts,
+        deg_attached=True,
+    ).filter(F.col("shared_neighbors") >= min_shared)
+    if exclude_existing:
+        scored = scored.join(
+            e0,
+            (F.col("node_a") == F.col("u")) & (F.col("node_b") == F.col("v")),
+            "left_anti",
+        )
+    return scored.select(
+        "node_a",
+        "node_b",
+        "shared_neighbors",
+        "aa_nano",
+        "deg_a",
+        "deg_b",
+        (F.col("deg_a") * F.col("deg_b")).cast("long").alias("pa"),
+    ).orderBy(F.desc("aa_nano"), "node_a", "node_b").limit(top_k)
+
+
 def truncated_closeness(
     edges: DataFrame,
     max_depth: int = 3,

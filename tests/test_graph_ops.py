@@ -416,3 +416,69 @@ def test_rich_club_path(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.k, r.n_nodes_gt, r.n_edges_gt, r.phi_ppm) == (1, 3, 2, 666666)
+
+
+def test_link_prediction_scoreboard_hand_computed(spark):
+    """Triangle 1-2-3 plus pendant 3-4 (one dup edge to exercise
+    collapsing). Non-adjacent candidate pairs via common neighbor z=3
+    (deg 3): (1,4) and (2,4), each CN=1, AA = round(1e9/ln(3)),
+    PA = 2*1 = 2. Adjacent pairs are anti-joined out."""
+    import math
+
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        link_prediction_scoreboard,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 3)], "node_a long, node_b long"
+    )
+    rows = link_prediction_scoreboard(pairs).collect()
+    aa3 = int(round(1e9 / math.log(3)))
+    got = [
+        (r.node_a, r.node_b, r.shared_neighbors, r.aa_nano, r.deg_a, r.deg_b, r.pa)
+        for r in rows
+    ]
+    assert got == [(1, 4, 1, aa3, 2, 1, 2), (2, 4, 1, aa3, 2, 1, 2)]
+
+
+def test_link_prediction_scoreboard_include_adjacent(spark):
+    """exclude_existing=False keeps adjacent pairs: in the triangle+pendant
+    graph, (1,2) shares z=3, (1,3)/(2,3) share the deg-2 apexes."""
+    import math
+
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        link_prediction_scoreboard,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "node_a long, node_b long"
+    )
+    rows = link_prediction_scoreboard(pairs, exclude_existing=False).collect()
+    aa2 = int(round(1e9 / math.log(2)))
+    aa3 = int(round(1e9 / math.log(3)))
+    got = {
+        (r.node_a, r.node_b): (r.shared_neighbors, r.aa_nano, r.pa) for r in rows
+    }
+    assert got == {
+        (1, 2): (1, aa3, 4),   # shared z=3
+        (1, 3): (1, aa2, 6),   # shared z=2
+        (2, 3): (1, aa2, 6),   # shared z=1
+        (1, 4): (1, aa3, 2),
+        (2, 4): (1, aa3, 2),
+    }
+
+
+def test_link_prediction_scoreboard_salted_parity(spark):
+    """Salted (salt_above=1 forces every key hot) == unsalted, bit-for-bit."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        link_prediction_scoreboard,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    pairs = spark.createDataFrame(edges, "node_a long, node_b long")
+    a = sorted(map(tuple, link_prediction_scoreboard(pairs, top_k=1000, salt_above=None).collect()))
+    b = sorted(map(tuple, link_prediction_scoreboard(pairs, top_k=1000, salt_above=1, max_salts=4).collect()))
+    assert a == b
