@@ -2392,10 +2392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g30_resource_allocation": g30_resource_allocation,
         "g31_katz_centrality": g31_katz_centrality,
         "t24_frequent_kgrams": t24_frequent_kgrams,
-        "g21_weighted_label_propagation": g21_weighted_label_propagation,
-        "t16_bm25_search": t16_bm25_search,
-        "t17_bm25_indexed": t17_bm25_indexed,
-        "g22_community_modularity": g22_community_modularity,
+        "g38_pagerank_exact": g38_pagerank_exact,
+        "g40_link_prediction": g40_link_prediction,
+        "t33_length_quality_corr": t33_length_quality_corr,
+        "v17_user_concentration": v17_user_concentration,
         # ---- driver 50-entry window boundary ----
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
@@ -2426,26 +2426,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-exercised through e07's RRF hybrid. Rotate one of
         # e03/e06 back in before retiring anything else from this
         # family. Local test_entry_oracle.py still gates every entry
-        # regardless of position. t33/e12 were added BELOW the boundary
-        # by choice (the exception to the new-entries-above rule):
-        # every in-window slot holds a never-driver-green r5 entry, so
-        # rotating them in would trade away first driver evidence —
-        # they ship with local-gate evidence only this round. Same for
-        # v17/g36/g37/v18/e13/g38/t35/v19/e14, and the final-session
-        # additions g39 onward.
-        "t33_length_quality_corr": t33_length_quality_corr,
+        # regardless of position. FINAL round-5 rotation: g21/t16/t17/g22
+        # moved below the boundary (all four r04 driver-green — the
+        # freshest greens in the window, so evicting them loses least)
+        # to buy first-ever driver rows for g38 (the PageRank family's
+        # only full-oracle row — g16 is rows-only by design), g40 (the
+        # link-prediction scoreboard), t33 (Pearson — no statistical
+        # sibling in-window) and v17 (Gini/top-decile concentration).
+        # 55 never-driver-green oracle entries compete for 50 slots, so
+        # 5 ship with local-gate evidence only; the five chosen each
+        # have an in-window sibling exercising the same machinery:
+        # t35 shares t07/t28's minhash CTE blocks, g36 is g32's bounded
+        # BFS, g39 reads g34's degree histogram, e12/e13/e14 ride the
+        # e09-e11 fixed-point centroid pipeline, v18/v19 the v12-v16
+        # event-audit family.
         "e12_label_confusion": e12_label_confusion,
-        "v17_user_concentration": v17_user_concentration,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
         "v18_volume_anomalies": v18_volume_anomalies,
         "e13_centroid_separation": e13_centroid_separation,
-        "g38_pagerank_exact": g38_pagerank_exact,
         "t35_minhash_fidelity": t35_minhash_fidelity,
         "v19_user_tenure": v19_user_tenure,
         "e14_norm_profile": e14_norm_profile,
         "g39_rich_club": g39_rich_club,
-        "g40_link_prediction": g40_link_prediction,
+        "g21_weighted_label_propagation": g21_weighted_label_propagation,
+        "t16_bm25_search": t16_bm25_search,
+        "t17_bm25_indexed": t17_bm25_indexed,
+        "g22_community_modularity": g22_community_modularity,
         "e03_knn_lsh": e03_knn_lsh,
         "e05_knn_lsh_multiprobe": e05_knn_lsh_multiprobe,
         "e06_knn_ivf_indexed": e06_knn_ivf_indexed,
