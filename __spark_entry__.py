@@ -2106,6 +2106,26 @@ def g38_pagerank_exact(spark, sf_dir):
     return pagerank_fixed_point(edges, iters=3)
 
 
+def g41_ppr_exact(spark, sf_dir):
+    """Exact fixed-point PERSONALIZED PageRank
+    (operators/pagerank.py::pagerank_fixed_point with ``seeds``) from
+    g24's customer seeds c1/c2 over FOLLOWS∪PLACED — the random-walk-
+    with-restart "entities related to X" ranking, in the bigint floor-div
+    arithmetic that unrolls as a DuckDB CTE cascade and hash-compares
+    exactly. Gives the PPR family its first full oracle (g24's float
+    power method keeps its numpy pin for the converged values, same
+    split as g16/g38). Non-seed nodes with no inbound seed mass
+    legitimately hold rank 0."""
+    edges = TG.derive_edges(spark, sf_dir).filter(
+        F.col("edge_type").isin("FOLLOWS", "PLACED")
+    )
+    from research_knowledge_graph_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    return pagerank_fixed_point(edges, iters=3, seeds=["c1", "c2"])
+
+
 def g39_rich_club(spark, sf_dir):
     """Rich-club coefficient curve φ(k)
     (operators/graph_queries.py::rich_club) over g34's undirected typed
@@ -2449,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v19_user_tenure": v19_user_tenure,
         "e14_norm_profile": e14_norm_profile,
         "g39_rich_club": g39_rich_club,
+        "g41_ppr_exact": g41_ppr_exact,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
         "t16_bm25_search": t16_bm25_search,
         "t17_bm25_indexed": t17_bm25_indexed,
@@ -2761,12 +2782,24 @@ def _ktruss_sql(k: int = 3, iters: int = 8) -> str:
     )
 
 
-def _pagerank_exact_sql(iters: int = 3) -> str:
+def _pagerank_exact_sql(iters: int = 3, seeds: list[str] | None = None) -> str:
     """g38's oracle: the fixed-point PageRank rounds unrolled as a CTE
     cascade — per round one contribution sum (``p // deg`` floor
     divisions) and one update (``0.15·10⁹ + (850·Σ) // 1000``), exactly
     the operator's arithmetic. MATERIALIZED throughout: each p_i feeds
-    both the next contribution join and (via nodes) the next update."""
+    both the next contribution join and (via nodes) the next update.
+    ``seeds`` (g41) restricts p0 and the per-round restart term to the
+    seed nodes via a CASE — the personalized variant's only change."""
+    if seeds is None:
+        p0_expr = "CAST(1000000000 AS BIGINT)"
+        restart = "150000000"
+    else:
+        in_list = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+        p0_expr = (
+            f"CAST(CASE WHEN nid IN ({in_list}) THEN 1000000000 ELSE 0 END"
+            " AS BIGINT)"
+        )
+        restart = f"(CASE WHEN n.nid IN ({in_list}) THEN 150000000 ELSE 0 END)"
     parts = [
         "g AS MATERIALIZED (SELECT DISTINCT from_node_id AS src,"
         " to_node_id AS dst FROM edges"
@@ -2775,7 +2808,7 @@ def _pagerank_exact_sql(iters: int = 3) -> str:
         " UNION SELECT dst FROM g)",
         "od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg"
         " FROM g GROUP BY src)",
-        "p0 AS MATERIALIZED (SELECT nid, CAST(1000000000 AS BIGINT) AS p"
+        f"p0 AS MATERIALIZED (SELECT nid, {p0_expr} AS p"
         " FROM pnodes)",
     ]
     for i in range(1, iters + 1):
@@ -2787,7 +2820,7 @@ def _pagerank_exact_sql(iters: int = 3) -> str:
         )
         parts.append(
             f"p{i} AS MATERIALIZED (SELECT n.nid,"
-            f" CAST(150000000 + (850 * COALESCE(c{i}.s, 0)) // 1000"
+            f" CAST({restart} + (850 * COALESCE(c{i}.s, 0)) // 1000"
             f" AS BIGINT) AS p"
             f" FROM pnodes n LEFT JOIN c{i} USING (nid))"
         )
@@ -4356,6 +4389,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["g36_two_hop_reach"] = _two_hop_reach_sql()
     sql["g38_pagerank_exact"] = _pagerank_exact_sql()
+    sql["g41_ppr_exact"] = _pagerank_exact_sql(seeds=["c1", "c2"])
     sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
     sql["e14_norm_profile"] = """
         WITH n AS (

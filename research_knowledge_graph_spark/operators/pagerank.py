@@ -338,6 +338,7 @@ def pagerank_fixed_point(
     iters: int = 3,
     src_col: str = "from_node_id",
     dst_col: str = "to_node_id",
+    seeds: list[str] | None = None,
 ) -> DataFrame:
     """Exact-integer PageRank VARIANT for oracle-checkable rank ordering:
     p₀(v) = 10⁹; per round
@@ -347,6 +348,19 @@ def pagerank_fixed_point(
     CTE cascade (the g29 HITS playbook applied to PageRank; the float
     :func:`pagerank` above stays numpy-pinned because ten iterated FP
     sums cannot be hash-compared cross-engine).
+
+    ``seeds`` switches the teleport distribution from uniform to
+    seed-restricted — the fixed-point twin of
+    :func:`personalized_pagerank` (random walk with restart): p₀ and the
+    per-round ``0.15·10⁹`` restart term apply ONLY to seed nodes, zero
+    elsewhere, so rank measures proximity to the seeds rather than global
+    importance. Same two deviations as the uniform variant (collapsed
+    parallel edges, dropped dangling mass — here that also drops the
+    dangling-restarts-at-seeds term of the float PPR); fine for the
+    rank-ordering read, and what keeps every op a non-negative bigint.
+    Seeds absent from the graph get no row at all (the node frame is
+    edge-derived) — callers wanting the float PPR's fail-fast should
+    validate upstream.
 
     Two documented deviations from the classic formulation, both fine for
     the rank-ORDERING read this serves: parallel edges collapse (the edge
@@ -372,7 +386,16 @@ def pagerank_fixed_point(
         .distinct()
     )
     od = g.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    p = nodes.select("nid", F.lit(10**9).cast("long").alias("p"))
+    if seeds is None:
+        restart = F.lit(150000000).cast("long")
+        p0 = F.lit(10**9).cast("long")
+    else:
+        if not seeds:
+            raise ValueError("seeds must be None (uniform) or non-empty")
+        is_seed = F.col("nid").isin(*sorted(set(seeds)))
+        restart = F.when(is_seed, F.lit(150000000)).otherwise(F.lit(0)).cast("long")
+        p0 = F.when(is_seed, F.lit(10**9)).otherwise(F.lit(0)).cast("long")
+    p = nodes.select("nid", p0.alias("p"))
     for _ in range(iters):
         contrib = (
             g.join(p, p.nid == g.src)
@@ -385,8 +408,8 @@ def pagerank_fixed_point(
             contrib, nodes.nid == contrib.dst, "left"
         ).select(
             "nid",
-            F.expr(
-                "CAST(150000000L + (850 * COALESCE(s, 0L)) div 1000 AS BIGINT)"
-            ).alias("p"),
+            (restart + F.expr("CAST((850 * COALESCE(s, 0L)) div 1000 AS BIGINT)"))
+            .cast("long")
+            .alias("p"),
         )
     return p.select(F.col("nid").alias("node_id"), F.col("p").alias("rank_nano"))

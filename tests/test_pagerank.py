@@ -377,3 +377,48 @@ def test_pagerank_fixed_point_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         pagerank_fixed_point(e, iters=0)
+
+
+def test_ppr_fixed_point_hand_computed(spark):
+    """Seeded variant on a->b, a->c, b->c with seeds={a}: only a carries
+    p0/restart mass, so iteration 1 gives p1(a)=0.15e9 (restart only) and
+    p1(b)=p1(c)=850*(1e9//2)//1000 (a's split share; b's p0 is 0 under
+    seeding so c gets nothing through b yet). Exact python-int twin for 3
+    rounds; duplicate seeds collapse; empty seed list fails fast."""
+    from research_knowledge_graph_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")],
+        "from_node_id string, to_node_id string",
+    )
+    got1 = {
+        r.node_id: r.rank_nano
+        for r in pagerank_fixed_point(e, iters=1, seeds=["a"]).collect()
+    }
+    share = (850 * (10**9 // 2)) // 1000
+    assert got1 == {"a": 150_000_000, "b": share, "c": share}
+
+    g = {("a", "b"), ("a", "c"), ("b", "c")}
+    nodes = {"a", "b", "c"}
+    deg = {"a": 2, "b": 1}
+    p = {v: (10**9 if v == "a" else 0) for v in nodes}
+    for _ in range(3):
+        s = {v: 0 for v in nodes}
+        for u, v in g:
+            s[v] += p[u] // deg[u]
+        p = {
+            v: (150_000_000 if v == "a" else 0) + (850 * s[v]) // 1000
+            for v in nodes
+        }
+    got3 = {
+        r.node_id: r.rank_nano
+        for r in pagerank_fixed_point(e, iters=3, seeds=["a", "a"]).collect()
+    }
+    assert got3 == p
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank_fixed_point(e, iters=1, seeds=[])
