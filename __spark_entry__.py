@@ -1123,9 +1123,14 @@ def t20_winnow_near_dups(spark, sf_dir):
 
 
 def t08_chunk_stats(spark, sf_dir):
-    """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF —
-    iterative per-document algorithm, not ANSI-SQL-expressible: rows-only
-    check (no oracle entry)."""
+    """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF.
+    The per-document walk is iterative, but its STATE is one integer (the
+    window start), so chunk COUNTS unroll as a DuckDB recursive CTE —
+    promoted from rows-only to a full oracle in round 5
+    (_chunk_stats_sql; the chunk TEXTS would need the same walk plus
+    strip(), also expressible, but counts already pin every boundary
+    decision: the 70% rule fires iff the count differs from
+    ceil((len-200)/1800))."""
     from research_knowledge_graph_spark.functions.textops import chunk_text_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -2782,6 +2787,50 @@ def _ktruss_sql(k: int = 3, iters: int = 8) -> str:
     )
 
 
+def _chunk_stats_sql() -> str:
+    """t08's oracle: the 2000/200 chunk walk as a recursive CTE. Each
+    recursion step is one loop iteration of ``chunk_text_py``: window
+    ``w = text[start : start+2000]``; if the window is not final and the
+    last ``.``/``\\n`` sits past 70% of it (bp > 1400 — 2000*0.7 is
+    exactly 1400.0 in doubles, so the strict > is integer-safe), the cut
+    moves to bp+1; next start = cut - 200 (strictly +1202 or more per
+    step, so the recursion terminates). n_chunks = number of emitted
+    windows; short docs are 1 chunk, NULL text is 0 (the UDF maps
+    non-strings to []). Exhaustively parity-checked against
+    ``chunk_text_py`` in tests/test_property_twins.py."""
+    return """
+WITH RECURSIVE
+long_docs AS (SELECT doc_id, text, length(text) AS len FROM documents
+              WHERE text IS NOT NULL AND length(text) > 2000),
+walk AS (
+  SELECT doc_id, text, len, 0 AS start, 1 AS n FROM long_docs
+  UNION ALL
+  SELECT doc_id, text, len,
+    (CASE WHEN start + 2000 < len AND bp > 1400
+          THEN start + bp + 1 ELSE start + 2000 END) - 200 AS start,
+    n + 1 AS n
+  FROM (
+    SELECT doc_id, text, len, start, n,
+      greatest(
+        CASE WHEN contains(w, '.')
+             THEN length(w) - position('.' IN reverse(w)) ELSE -1 END,
+        CASE WHEN contains(w, chr(10))
+             THEN length(w) - position(chr(10) IN reverse(w)) ELSE -1 END
+      ) AS bp
+    FROM (SELECT doc_id, text, len, start, n,
+                 substr(text, start + 1, 2000) AS w FROM walk)
+  )
+  WHERE (CASE WHEN start + 2000 < len AND bp > 1400
+              THEN start + bp + 1 ELSE start + 2000 END) - 200 < len
+),
+counts AS (SELECT doc_id, CAST(max(n) AS INT) AS n_chunks
+           FROM walk GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(c.n_chunks, CASE WHEN d.text IS NULL THEN 0 ELSE 1 END) AS n_chunks
+FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
 def _pagerank_exact_sql(iters: int = 3, seeds: list[str] | None = None) -> str:
     """g38's oracle: the fixed-point PageRank rounds unrolled as a CTE
     cascade — per round one contribution sum (``p // deg`` floor
@@ -4390,6 +4439,7 @@ def oracle_sql() -> dict[str, str]:
     sql["g36_two_hop_reach"] = _two_hop_reach_sql()
     sql["g38_pagerank_exact"] = _pagerank_exact_sql()
     sql["g41_ppr_exact"] = _pagerank_exact_sql(seeds=["c1", "c2"])
+    sql["t08_chunk_stats"] = _chunk_stats_sql()
     sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
     sql["e14_norm_profile"] = """
         WITH n AS (

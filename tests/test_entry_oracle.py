@@ -72,7 +72,6 @@ def _rows_duck(con, sql):
 # the driver records a weaker rows-only check for these (documented in
 # each query's docstring); locally we verify they run and return rows.
 ROWS_ONLY = {
-    "t08_chunk_stats",
     "m01_media_features",
     "e04_embed_documents",
     # float hash after 10 iterated sums is rounding-flaky cross-engine;

@@ -60,3 +60,34 @@ def test_chunking_invariants(text):
     # overlap windows must cover the document: stripped concatenation loses
     # at most whitespace
     assert sum(len(c) for c in chunks) >= len(text.replace(" ", "").replace("\n", ""))
+
+
+@given(st.lists(
+    st.text(alphabet=string.ascii_lowercase + " .\n", min_size=0, max_size=9000),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=30, deadline=None)
+def test_chunk_count_oracle_matches_twin(texts):
+    """t08's recursive-CTE oracle (_chunk_stats_sql) reproduces
+    len(chunk_text_py(text)) on adversarial texts — every boundary
+    decision (70% rule, final-window tail, sub-overlap tail chunk) walks
+    identically in DuckDB and Python. Pins the oracle itself, not just
+    the Spark UDF, so an oracle drift can't silently pass the driver."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    con = duckdb.connect()
+    docs = pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts}
+    )
+    con.register("documents", docs)
+    got = dict(con.sql(entry._chunk_stats_sql()).fetchall())
+    for i, t in enumerate(texts):
+        assert got[f"d{i}"] == len(chunk_text_py(t)), (i, len(t))
