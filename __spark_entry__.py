@@ -2005,6 +2005,36 @@ def e14_norm_profile(spark, sf_dir):
     )
 
 
+def e15_embed_fingerprint(spark, sf_dir):
+    """Hashing-trick embedding arithmetic pinned by a FULL oracle: e04's
+    pandas-UDF embedder with ``normalize=False`` keeps the raw signed
+    token counts (exact small integers, float32-representable), and each
+    doc projects three exact-bigint fingerprints — nnz (occupied
+    buckets), Σv² (raw squared norm), Σv (signed mass). DuckDB recomputes
+    all three from scratch with its own md5(): token → little-endian
+    first-4-bytes mod 32 bucket, 5th-byte-low-bit sign — so the oracle
+    pins the ENTIRE hashing trick (tokenization, digest slicing, bucket
+    math, sign), the part of e04 that rows-only checking never touched.
+    e04 itself stays rows-only: its L2 normalize adds one sqrt+divide
+    whose float32 rounding is not hash-comparable cross-engine."""
+    from research_knowledge_graph_spark.operators.qa import embed_docs
+
+    d = _t(spark, sf_dir, "documents")
+    out = embed_docs(d, dim=32, normalize=False)
+    v = F.col("embedding")
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "doc_id",
+        F.aggregate(
+            v, zero, lambda a, x: a + F.when(x != 0, 1).otherwise(0).cast("long")
+        ).alias("nnz"),
+        F.aggregate(v, zero, lambda a, x: a + (x * x).cast("long")).alias(
+            "sq_norm_raw"
+        ),
+        F.aggregate(v, zero, lambda a, x: a + x.cast("long")).alias("comp_sum"),
+    )
+
+
 def v19_user_tenure(spark, sf_dir):
     """User-tenure histogram — days between each user's first and last
     event, rolled up by tenure value: the lifecycle/churn profile read
@@ -2473,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t35_minhash_fidelity": t35_minhash_fidelity,
         "v19_user_tenure": v19_user_tenure,
         "e14_norm_profile": e14_norm_profile,
+        "e15_embed_fingerprint": e15_embed_fingerprint,
         "g39_rich_club": g39_rich_club,
         "g41_ppr_exact": g41_ppr_exact,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
@@ -4440,6 +4471,42 @@ def oracle_sql() -> dict[str, str]:
     sql["g38_pagerank_exact"] = _pagerank_exact_sql()
     sql["g41_ppr_exact"] = _pagerank_exact_sql(seeds=["c1", "c2"])
     sql["t08_chunk_stats"] = _chunk_stats_sql()
+    # e15: DuckDB recomputes the hashing-trick embedding from its own
+    # md5() — little-endian first-4-bytes bucket, 5th-byte-low-bit sign —
+    # and aggregates the same exact-bigint fingerprints. Tokenization
+    # twin: python str.split() == regexp \s+ split with empties dropped.
+    sql["e15_embed_fingerprint"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL AND text <> ''
+        ),
+        hashed AS (
+            SELECT doc_id,
+                CAST('0x' || substr(h, 7, 2) || substr(h, 5, 2)
+                     || substr(h, 3, 2) || substr(h, 1, 2) AS BIGINT)
+                    % 32 AS idx,
+                CASE WHEN CAST('0x' || substr(h, 9, 2) AS INT) % 2 = 1
+                     THEN 1 ELSE -1 END AS sign
+            FROM (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> '')
+        ),
+        comps AS (
+            SELECT doc_id, idx, CAST(sum(sign) AS BIGINT) AS v
+            FROM hashed GROUP BY doc_id, idx
+        ),
+        stats AS (
+            SELECT doc_id,
+                CAST(count(*) FILTER (WHERE v <> 0) AS BIGINT) AS nnz,
+                CAST(sum(v * v) AS BIGINT) AS sq_norm_raw,
+                CAST(sum(v) AS BIGINT) AS comp_sum
+            FROM comps GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.nnz, 0) AS nnz,
+               COALESCE(s.sq_norm_raw, 0) AS sq_norm_raw,
+               COALESCE(s.comp_sum, 0) AS comp_sum
+        FROM documents d LEFT JOIN stats s USING (doc_id)
+    """
     sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
     sql["e14_norm_profile"] = """
         WITH n AS (

@@ -55,9 +55,13 @@ def cosine_sql(a_expr: str, b_expr: str) -> str:
 # Deterministic hashing-trick embedding (replaces LLM embeddings, L4)
 # ---------------------------------------------------------------------------
 
-def _embed_batch(texts: pd.Series, dim: int) -> pd.Series:
-    """Hashing-trick bag-of-words embedding, L2-normalized. Deterministic:
-    token -> md5 -> (index, sign). Vectorized per Arrow batch."""
+def _embed_batch(texts: pd.Series, dim: int, normalize: bool = True) -> pd.Series:
+    """Hashing-trick bag-of-words embedding, L2-normalized by default.
+    Deterministic: token -> md5 -> (index, sign). Vectorized per Arrow
+    batch. ``normalize=False`` keeps the raw signed token counts — exact
+    small integers (float32-representable), which is what lets the e15
+    fingerprint entry hash-compare against a pure-SQL md5 oracle; the
+    normalized form's sqrt+divide rounding cannot."""
     out = []
     for t in texts:
         vec = np.zeros(dim, dtype=np.float64)
@@ -67,24 +71,27 @@ def _embed_batch(texts: pd.Series, dim: int) -> pd.Series:
                 idx = int.from_bytes(h[:4], "little") % dim
                 sign = 1.0 if h[4] & 1 else -1.0
                 vec[idx] += sign
-        n = np.linalg.norm(vec)
-        if n > 0:
-            vec /= n
+        if normalize:
+            n = np.linalg.norm(vec)
+            if n > 0:
+                vec /= n
         out.append(vec.astype(np.float32).tolist())
     return pd.Series(out)
 
 
-def make_embed_udf(dim: int = EMBEDDING_DIM_DEFAULT):
+def make_embed_udf(dim: int = EMBEDDING_DIM_DEFAULT, normalize: bool = True):
     """Scalar iterator pandas UDF: reuses batch setup, Arrow transfer only."""
 
     @pandas_udf(T.ArrayType(T.FloatType()))
     def embed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
-            yield _embed_batch(texts, dim)
+            yield _embed_batch(texts, dim, normalize)
 
     return embed_udf
 
 
-def embed_text_py(text: str, dim: int = EMBEDDING_DIM_DEFAULT) -> list[float]:
+def embed_text_py(
+    text: str, dim: int = EMBEDDING_DIM_DEFAULT, normalize: bool = True
+) -> list[float]:
     """Python twin for tests."""
-    return _embed_batch(pd.Series([text]), dim)[0]
+    return _embed_batch(pd.Series([text]), dim, normalize)[0]

@@ -22,9 +22,17 @@ from research_knowledge_graph_spark.functions.vectors import (
 from research_knowledge_graph_spark.operators.similarity import knn_bruteforce
 
 
-def embed_docs(docs: DataFrame, text_col: str = "text", dim: int = EMBEDDING_DIM_DEFAULT) -> DataFrame:
-    """Attach deterministic hash embeddings (Arrow-batched pandas UDF)."""
-    return docs.withColumn("embedding", make_embed_udf(dim)(F.col(text_col)))
+def embed_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = EMBEDDING_DIM_DEFAULT,
+    normalize: bool = True,
+) -> DataFrame:
+    """Attach deterministic hash embeddings (Arrow-batched pandas UDF).
+    ``normalize=False`` yields raw signed token counts (exact integers)."""
+    return docs.withColumn(
+        "embedding", make_embed_udf(dim, normalize)(F.col(text_col))
+    )
 
 
 def retrieve_context(

@@ -91,3 +91,43 @@ def test_chunk_count_oracle_matches_twin(texts):
     got = dict(con.sql(entry._chunk_stats_sql()).fetchall())
     for i, t in enumerate(texts):
         assert got[f"d{i}"] == len(chunk_text_py(t)), (i, len(t))
+
+
+@given(st.lists(
+    st.text(alphabet=string.ascii_lowercase + "0123456789 .\n", max_size=300),
+    min_size=1, max_size=8,
+))
+@settings(max_examples=30, deadline=None)
+def test_embed_fingerprint_oracle_matches_twin(texts):
+    """e15's md5 oracle reproduces the python hashing-trick embedder
+    (normalize=False) on adversarial texts: same tokenization (str.split
+    == \\s+ split minus empties), same bucket (little-endian first 4
+    digest bytes mod dim), same sign (5th byte low bit)."""
+    import importlib.util
+
+    import duckdb
+    import pandas as pd
+
+    from research_knowledge_graph_spark.functions.vectors import embed_text_py
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts}
+    ))
+    got = {
+        r[0]: r[1:]
+        for r in con.sql(entry.oracle_sql()["e15_embed_fingerprint"]).fetchall()
+    }
+    for i, t in enumerate(texts):
+        vec = [int(x) for x in embed_text_py(t, dim=32, normalize=False)]
+        exp = (
+            sum(1 for x in vec if x != 0),
+            sum(x * x for x in vec),
+            sum(vec),
+        )
+        assert got[f"d{i}"] == exp, (i, t[:50])
