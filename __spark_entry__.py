@@ -2028,9 +2028,11 @@ def e15_embed_fingerprint(spark, sf_dir):
         F.aggregate(
             v, zero, lambda a, x: a + F.when(x != 0, 1).otherwise(0).cast("long")
         ).alias("nnz"),
-        F.aggregate(v, zero, lambda a, x: a + (x * x).cast("long")).alias(
-            "sq_norm_raw"
-        ),
+        # cast BEFORE multiplying: float32*float32 rounds past 2^24-ish
+        # products (net bucket count > 4096), long*long stays exact
+        F.aggregate(
+            v, zero, lambda a, x: a + x.cast("long") * x.cast("long")
+        ).alias("sq_norm_raw"),
         F.aggregate(v, zero, lambda a, x: a + x.cast("long")).alias("comp_sum"),
     )
 
@@ -2488,13 +2490,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # only full-oracle row — g16 is rows-only by design), g40 (the
         # link-prediction scoreboard), t33 (Pearson — no statistical
         # sibling in-window) and v17 (Gini/top-decile concentration).
-        # 55 never-driver-green oracle entries compete for 50 slots, so
-        # 5 ship with local-gate evidence only; the five chosen each
-        # have an in-window sibling exercising the same machinery:
-        # t35 shares t07/t28's minhash CTE blocks, g36 is g32's bounded
-        # BFS, g39 reads g34's degree histogram, e12/e13/e14 ride the
-        # e09-e11 fixed-point centroid pipeline, v18/v19 the v12-v16
-        # event-audit family.
+        # More never-driver-green oracle entries exist than the 50 slots
+        # (11 below this line as of the final session: e12, g36, g37,
+        # v18, e13, t35, v19, e14, g39, g41, e15), so those ship with
+        # local-gate evidence only; each has an in-window sibling
+        # exercising the same machinery: t35 shares t07/t28's minhash
+        # CTE blocks, g36 is g32's bounded BFS, g39 reads g34's degree
+        # histogram, e12/e13/e14 ride the e09-e11 fixed-point centroid
+        # pipeline, v18/v19 the v12-v16 event-audit family, g41 the g38
+        # fixed-point PageRank cascade, e15 the e04 embedder (plus its
+        # own BMP-exhaustive tokenizer twin).
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4474,11 +4479,18 @@ def oracle_sql() -> dict[str, str]:
     # e15: DuckDB recomputes the hashing-trick embedding from its own
     # md5() — little-endian first-4-bytes bucket, 5th-byte-low-bit sign —
     # and aggregates the same exact-bigint fingerprints. Tokenization
-    # twin: python str.split() == regexp \s+ split with empties dropped.
+    # twin: python str.split() splits on UNICODE whitespace (RE2 \s is
+    # ASCII-only), so the split class spells out python's exact set:
+    # \x09-\x0d, \x1c-\x1f, space, \x85, category Zs (incl. \xa0), and
+    # Zl/Zp ( / ) — validated char-for-char against
+    # str.isspace() over the BMP in tests/test_property_twins.py.
     sql["e15_embed_fingerprint"] = r"""
         WITH toks AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                   unnest(regexp_split_to_array(
+                       lower(text),
+                       '[\x09-\x0d\x1c-\x1f \x85\p{Zs}\x{2028}\x{2029}]+'
+                   )) AS tok
             FROM documents WHERE text IS NOT NULL AND text <> ''
         ),
         hashed AS (

@@ -521,9 +521,15 @@ def length_quality_correlation(
     non-negative, so Spark ``div`` == DuckDB ``//``), then n/Σx/Σy/Σxy/
     Σx²/Σy² accumulate as exact bigints (map-side-combinable,
     partition-order-free) and the float Pearson formula runs ONCE per
-    source row. Milli (not ppm) keeps ``n·Σy²`` inside int64 for corpora
-    to ~10⁹ docs·source⁻¹ at y ≤ 10³; the variance-positive filter is an
-    exact integer predicate, identical cross-engine.
+    source row. Milli (not ppm) bounds the y side: ``n·Σy² ≤ n²·10⁶``,
+    int64-safe to ~3·10⁶ docs·source⁻¹; the x side is corpus-dependent
+    (``n·Σx² ≤ n²·max_len²`` — ~10⁵ docs/source at 10⁵-char docs).
+    Beyond those, Spark's ANSI mode FAILS LOUDLY on the long overflow
+    (it cannot publish a silently wrong corr; DuckDB would promote to
+    HUGEINT, so a silent wrap would also hash-diverge) — the 100-TB
+    deployment recipe is to pre-aggregate per (source, length-bucket)
+    or widen the six sums to decimal(38,0) first. The variance-positive
+    filter is an exact integer predicate, identical cross-engine.
 
     Scale: one map-side-combinable hash-agg to #sources rows; the filter
     and formula run on that bounded frame. No joins, no windows, no

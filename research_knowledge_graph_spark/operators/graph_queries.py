@@ -321,15 +321,18 @@ def _canonical_undirected(pairs: DataFrame) -> DataFrame:
 
 
 def _undirected_incidences(pairs: DataFrame):
-    """Shared frames behind the degree-correlation family: ``dr`` (both
-    orientations of the canonical undirected edge set — one row per
-    incidence) and ``deg`` (per-node degree, keyed ``nid``/``deg``)."""
+    """Shared frames behind the degree-correlation family — the ONE
+    construction of undirected-graph degree semantics (loops dropped,
+    duplicates/direction collapsed), so a future change lands in every
+    consumer (g34/g35/g28/g36/g39/g40 and undirected_degree): ``und``
+    (the canonical u<v edge set), ``dr`` (both orientations — one row
+    per incidence) and ``deg`` (per-node degree, keyed ``nid``/``deg``)."""
     und = _canonical_undirected(pairs)
     dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = dr.groupBy(F.col("u").alias("nid")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    return dr, deg
+    return und, dr, deg
 
 
 def undirected_degree(pairs: DataFrame) -> DataFrame:
@@ -338,7 +341,7 @@ def undirected_degree(pairs: DataFrame) -> DataFrame:
     definition of "degree" shared by g34's histogram,
     :func:`avg_neighbor_degree` and :func:`degree_assortativity`, so a
     future change to loop/duplicate handling lands in every consumer."""
-    _, deg = _undirected_incidences(pairs)
+    _, _, deg = _undirected_incidences(pairs)
     return deg.select(
         F.col("nid").alias("node_id"), F.col("deg").alias("degree")
     )
@@ -370,7 +373,7 @@ def avg_neighbor_degree(pairs: DataFrame) -> DataFrame:
     left to AQE), the final rollup keys on degree values (bounded by max
     degree, map-side combinable), and the N_k histogram joins on that
     same bounded key."""
-    dr, deg = _undirected_incidences(pairs)
+    _, dr, deg = _undirected_incidences(pairs)
     e = (
         dr.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("ds")), "u")
         .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dd")), "v")
@@ -407,7 +410,7 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     on the final 1-row frame. A degree-regular graph has zero variance:
     the guard returns NULL instead of raising DIVIDE_BY_ZERO under ANSI
     mode, matching SQL NULL-on-zero-division semantics."""
-    dr, deg = _undirected_incidences(pairs)
+    _, dr, deg = _undirected_incidences(pairs)
     e = (
         dr.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("ds")), "u")
         .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dd")), "v")
@@ -459,13 +462,7 @@ def rich_club(pairs: DataFrame) -> DataFrame:
     no-PARTITION-BY window is safe by construction."""
     from pyspark.sql import Window
 
-    und = _canonical_undirected(pairs)
-    deg = (
-        und.select(F.col("u").alias("nid"))
-        .unionByName(und.select(F.col("v").alias("nid")))
-        .groupBy("nid")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    und, _, deg = _undirected_incidences(pairs)
     m = (
         und.join(deg.select(F.col("nid").alias("u"), F.col("deg").alias("du")), "u")
         .join(deg.select(F.col("nid").alias("v"), F.col("deg").alias("dv")), "v")
@@ -770,15 +767,10 @@ def resource_allocation_topk(
     as the salter's ``deg`` column, so no second degree pass runs. The
     existing-edge anti-join is edge-sized, before the top-k TakeOrdered
     (no full sort)."""
-    e0 = _canonical_undirected(pairs)
-    und = e0.select("u", "v").unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = und.groupBy(F.col("u").alias("tgt")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    e0, dr, deg0 = _undirected_incidences(pairs)
+    deg = deg0.select(F.col("nid").alias("tgt"), "deg")
     pe = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("tgt"))
+        dr.select(F.col("u").alias("src"), F.col("v").alias("tgt"))
         .join(deg, "tgt")
         .withColumn("w", F.expr("1000000000 div deg"))
     )
@@ -836,15 +828,10 @@ def link_prediction_scoreboard(
     wedge shuffles on next, and that exact degree doubles as the salter's
     ``deg``; ``src`` for the endpoint degree, carried through the wedge as
     a per-pair-constant min so no post-agg join runs on the pair frame)."""
-    e0 = _canonical_undirected(pairs)
-    und = e0.select("u", "v").unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = und.groupBy(F.col("u").alias("tgt")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    e0, dr, deg0 = _undirected_incidences(pairs)
+    deg = deg0.select(F.col("nid").alias("tgt"), "deg")
     pe = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("tgt"))
+        dr.select(F.col("u").alias("src"), F.col("v").alias("tgt"))
         .join(deg, "tgt")
         .withColumn(
             # deg==1 targets can never seed a wedge (only one posting row),
@@ -1034,8 +1021,7 @@ def two_hop_reach(pairs: DataFrame) -> DataFrame:
     one pass, constant state per node; Palmer et al., KDD'02). This
     operator keeps the exact form because the histogram is the oracle
     contract; swap the last two aggregates for the sketch at 100×."""
-    und = _canonical_undirected(pairs)
-    dr = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    _, dr, _ = _undirected_incidences(pairs)
     two = (
         dr.alias("a")
         .join(dr.alias("b"), F.col("a.v") == F.col("b.u"))

@@ -362,13 +362,24 @@ def pagerank_fixed_point(
     edge-derived) — callers wanting the float PPR's fail-fast should
     validate upstream.
 
+    Overflow (both variants): contributions are bounded by the TOTAL
+    mass, not per-node degree powers — a node's in-sum ``s ≤ Σ_u p(u) =
+    M``, and total mass obeys ``M_k ≤ 0.15·10⁹·N + 0.85·M_{k-1}`` with
+    ``M_0 = 10⁹·N`` (N = node count; seeded runs start smaller), so
+    ``M ≤ 10⁹·N`` at ANY unroll depth. The binding intermediate is
+    ``850·s ≤ 8.5·10¹¹·N``: int64-safe to N ≈ 10⁷ nodes. Larger graphs
+    scale p₀ down proportionally (rank ORDERING is scale-invariant under
+    a common p₀/restart factor up to floor-rounding); Spark's ANSI mode
+    fails loudly rather than wrapping beyond the bound.
+
     Two documented deviations from the classic formulation, both fine for
     the rank-ORDERING read this serves: parallel edges collapse (the edge
     set is DISTINCT (src, dst)), and dangling-node mass is dropped rather
-    than redistributed, so ranks do not sum to a constant. Overflow: a
-    node's value is bounded by 10⁹ · (max in-degree)^iters · 0.85^iters —
-    int64-safe at 3 rounds for in-degrees into the tens of thousands;
-    scale p₀ down for deeper unrolls.
+    than redistributed, so ranks do not sum to a constant. Overflow: see
+    the mass-conservation bound at the end of this docstring — values
+    are bounded by 10⁹·N (N = node count) at ANY unroll depth, with the
+    ``850·Σ`` intermediate binding at N ≈ 10⁷ nodes; scale p₀ down for
+    larger graphs (ANSI mode fails loudly, never wraps).
 
     Scale: per round ONE edge-keyed join + one map-side-combinable sum —
     the same shuffle shape as :func:`pagerank` minus the dangling

@@ -94,15 +94,21 @@ def test_chunk_count_oracle_matches_twin(texts):
 
 
 @given(st.lists(
-    st.text(alphabet=string.ascii_lowercase + "0123456789 .\n", max_size=300),
+    st.text(
+        alphabet=string.ascii_lowercase
+        + "0123456789 .\n\t\x0b\x0c\x1c\x85\xa0  　",
+        max_size=300,
+    ),
     min_size=1, max_size=8,
 ))
 @settings(max_examples=30, deadline=None)
 def test_embed_fingerprint_oracle_matches_twin(texts):
     """e15's md5 oracle reproduces the python hashing-trick embedder
-    (normalize=False) on adversarial texts: same tokenization (str.split
-    == \\s+ split minus empties), same bucket (little-endian first 4
-    digest bytes mod dim), same sign (5th byte low bit)."""
+    (normalize=False) on adversarial texts: same tokenization — the
+    alphabet deliberately includes the UNICODE whitespace python
+    str.split() honors but RE2 \\s does not (\\x0b, \\x1c, \\x85, NBSP,
+    em-space, U+2028, ideographic space) — same bucket (little-endian
+    first 4 digest bytes mod dim), same sign (5th byte low bit)."""
     import importlib.util
 
     import duckdb
@@ -131,3 +137,44 @@ def test_embed_fingerprint_oracle_matches_twin(texts):
             sum(vec),
         )
         assert got[f"d{i}"] == exp, (i, t[:50])
+
+
+def test_e15_split_class_covers_python_whitespace_exactly():
+    """Char-for-char over the BMP: the e15 oracle's RE2 split class fires
+    on exactly the code points python str.split() treats as whitespace —
+    no unicode-whitespace doc can diverge, no non-whitespace over-splits."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    con = duckdb.connect()
+    pat = r"[\x09-\x0d\x1c-\x1f \x85\p{Zs}\x{2028}\x{2029}]+"
+    assert pat in entry.oracle_sql()["e15_embed_fingerprint"]
+    # one vectorized sweep: every BMP code point (incl. controls, excl.
+    # surrogates — not encodable) through the split class
+    duck_ws = {
+        r[0]
+        for r in con.execute(
+            # surrogates are not encodable; the CASE (not just the WHERE)
+            # guards chr() because the optimizer may reorder predicates
+            "SELECT cp FROM range(0, 65536) t(cp)"
+            " WHERE cp NOT BETWEEN 55296 AND 57343"
+            " AND len(regexp_split_to_array('a' || chr(CAST("
+            "CASE WHEN cp BETWEEN 55296 AND 57343 THEN 97 ELSE cp END"
+            " AS INT)) || 'b', ?)) > 1",
+            [pat],
+        ).fetchall()
+    }
+    py_ws = {
+        cp
+        for cp in range(0x10000)
+        if not (0xD800 <= cp <= 0xDFFF) and chr(cp).isspace()
+    }
+    assert duck_ws == py_ws, sorted(
+        hex(c) for c in duck_ws.symmetric_difference(py_ws)
+    )
