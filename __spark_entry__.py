@@ -837,6 +837,24 @@ def g22_community_modularity(spark, sf_dir):
     return modularity(pairs.select("node_a", "node_b"), labels)
 
 
+def g42_community_conductance(spark, sf_dir):
+    """Per-community conductance of g20's LPA communities over the
+    co-usage graph (operators/communities.py::conductance) — the
+    cut-quality score read next to g22's modularity: phi(c) = cut(c) /
+    min(vol(c), 2m−vol(c)), all exact bigints from the SAME
+    _community_stats pass g22 uses, one fixed-point ppm floor division.
+    The oracle composes the conductance select onto the identical
+    LPA-cascade + stats CTE blocks — fully hash-checked."""
+    from research_knowledge_graph_spark.operators.communities import (
+        conductance,
+        label_propagation,
+    )
+
+    pairs = _couse_pairs(spark, sf_dir)
+    labels = label_propagation(pairs.select("node_a", "node_b"), max_iter=5)
+    return conductance(pairs.select("node_a", "node_b"), labels)
+
+
 def g23_louvain_refine(spark, sf_dir):
     """Louvain-style local-move refinement of g20's LPA communities with
     g22's modularity as the objective (operators/communities.py::
@@ -2491,15 +2509,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-prediction scoreboard), t33 (Pearson — no statistical
         # sibling in-window) and v17 (Gini/top-decile concentration).
         # More never-driver-green oracle entries exist than the 50 slots
-        # (11 below this line as of the final session: e12, g36, g37,
-        # v18, e13, t35, v19, e14, g39, g41, e15), so those ship with
-        # local-gate evidence only; each has an in-window sibling
+        # (12 below this line as of the final session: e12, g36, g37,
+        # v18, e13, t35, v19, e14, g39, g41, e15, g42), so those ship
+        # with local-gate evidence only; each has an in-window sibling
         # exercising the same machinery: t35 shares t07/t28's minhash
         # CTE blocks, g36 is g32's bounded BFS, g39 reads g34's degree
         # histogram, e12/e13/e14 ride the e09-e11 fixed-point centroid
         # pipeline, v18/v19 the v12-v16 event-audit family, g41 the g38
         # fixed-point PageRank cascade, e15 the e04 embedder (plus its
-        # own BMP-exhaustive tokenizer twin).
+        # own BMP-exhaustive tokenizer twin), g42 the g22 community-
+        # stats blocks (shared _community_stats pass AND shared oracle
+        # CTEs).
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -2511,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_embed_fingerprint": e15_embed_fingerprint,
         "g39_rich_club": g39_rich_club,
         "g41_ppr_exact": g41_ppr_exact,
+        "g42_community_conductance": g42_community_conductance,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
         "t16_bm25_search": t16_bm25_search,
         "t17_bm25_indexed": t17_bm25_indexed,
@@ -2681,12 +2702,12 @@ def _lpa_sql(weighted: bool, iters: int = 5) -> str:
     )
 
 
-def _modularity_sql(iters: int = 5) -> str:
-    """Newman modularity per community, composed onto the LPA cascade —
-    g22's oracle (all-integer aggregates, one final double division;
-    NOTE DuckDB '^' is XOR, so the square is spelled as a product)."""
-    d2m = "(CAST(dc.degree_sum AS DOUBLE) / (2 * mm.m))"
-    parts = _lpa_parts(False, iters) + [
+def _community_stats_parts(iters: int = 5) -> list[str]:
+    """Shared CTE blocks behind the g22/g42 community-quality oracles:
+    the LPA cascade plus per-community integer aggregates (lab, mm=|E|,
+    ic=internal edges, degs, dc=(n_nodes, degree_sum)) — the SQL twin of
+    operators/communities.py::_community_stats."""
+    return _lpa_parts(False, iters) + [
         f"lab AS (SELECT node_id, community FROM r{iters})",
         "mm AS (SELECT count(*) AS m FROM co)",
         "ic AS (SELECT la.community, count(*) AS internal_edges"
@@ -2700,15 +2721,44 @@ def _modularity_sql(iters: int = 5) -> str:
         " sum(d.degree) AS degree_sum"
         " FROM degs d JOIN lab l USING (node_id) GROUP BY l.community)",
     ]
+
+
+def _modularity_sql(iters: int = 5) -> str:
+    """Newman modularity per community, composed onto the LPA cascade —
+    g22's oracle (all-integer aggregates, one final double division;
+    NOTE DuckDB '^' is XOR, so the square is spelled as a product)."""
+    d2m = "(CAST(dc.degree_sum AS DOUBLE) / (2 * mm.m))"
     return (
         f"WITH {GRAPH_CTE}, "
-        + ", ".join(parts)
+        + ", ".join(_community_stats_parts(iters))
         + " SELECT dc.community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,"
         " CAST(COALESCE(ic.internal_edges, 0) AS BIGINT) AS internal_edges,"
         " CAST(dc.degree_sum AS BIGINT) AS degree_sum,"
         " round(CAST(COALESCE(ic.internal_edges, 0) AS DOUBLE) / mm.m"
         f" - {d2m} * {d2m}, 9) AS modularity_term"
         " FROM dc LEFT JOIN ic USING (community) CROSS JOIN mm"
+    )
+
+
+def _conductance_sql(iters: int = 5) -> str:
+    """g42's oracle: per-community conductance composed onto the same
+    stats blocks as g22 — cut = degree_sum − 2·internal, denom =
+    min(vol, 2m−vol), one non-negative fixed-point ppm floor division;
+    zero-denominator communities dropped (the v12 no-baseline rule)."""
+    return (
+        f"WITH {GRAPH_CTE}, "
+        + ", ".join(_community_stats_parts(iters))
+        + ", cstats AS (SELECT dc.community,"
+        " CAST(dc.n_nodes AS BIGINT) AS n_nodes,"
+        " CAST(COALESCE(ic.internal_edges, 0) AS BIGINT) AS internal_edges,"
+        " CAST(dc.degree_sum AS BIGINT) AS degree_sum,"
+        " CAST(dc.degree_sum - 2 * COALESCE(ic.internal_edges, 0)"
+        " AS BIGINT) AS cut_edges,"
+        " least(dc.degree_sum, 2 * mm.m - dc.degree_sum) AS denom"
+        " FROM dc LEFT JOIN ic USING (community) CROSS JOIN mm)"
+        " SELECT community, n_nodes, internal_edges, degree_sum, cut_edges,"
+        " CAST(cut_edges * 1000000 // denom AS BIGINT) AS conductance_ppm"
+        " FROM cstats WHERE denom > 0"
     )
 
 
@@ -3738,6 +3788,7 @@ def oracle_sql() -> dict[str, str]:
         "g20_label_propagation": _lpa_sql(weighted=False),
         "g21_weighted_label_propagation": _lpa_sql(weighted=True),
         "g22_community_modularity": _modularity_sql(),
+        "g42_community_conductance": _conductance_sql(),
         "g23_louvain_refine": _louvain_sql(),
         "g25_k_core": _kcore_sql(k=2),
         "g26_node_similarity": _node_sim_sql(min_shared=1, top_k=100),

@@ -85,24 +85,13 @@ def label_propagation(
     return labels
 
 
-def modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
-    """Per-community decomposition of Newman's modularity over the
-    undirected simple graph of ``pairs``:
-
-        Q_c = e_c / m  -  (d_c / (2m))^2        (Q = sum over communities)
-
-    where e_c = edges inside community c, d_c = total degree of c's nodes,
-    m = |edges|. ``labels``: (node_id, community) — e.g.
-    :func:`label_propagation`'s output — making this the quality score for
-    a community assignment (how much denser inside communities than a
-    random degree-preserving graph; Q=0.5 is the two-clique optimum).
-
-    Returns (community, n_nodes, internal_edges, degree_sum,
-    modularity_term), term rounded to 9 decimals. Everything is integer
-    aggregation until the final division: two joins of the label dim onto
-    the edge list + hash-aggs; m rides a 1-row broadcast. Fully
-    SQL-expressible, so the driver oracle (g22) composes it onto the same
-    unrolled LPA cascade that checks g20/g21."""
+def _community_stats(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared per-community integer aggregates behind :func:`modularity`
+    and :func:`conductance` — ONE construction so the two quality scores
+    can't drift: (community, n_nodes, internal_edges, degree_sum, m),
+    all exact bigints, m (the global undirected edge count) attached as
+    a broadcast 1-row constant column. Two label-dim joins onto the edge
+    list + hash-aggs; nothing floats."""
     und = (
         pairs.select(
             F.least("node_a", "node_b").alias("u"),
@@ -148,13 +137,84 @@ def modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
             "n_nodes",
             F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
             "degree_sum",
-            F.round(
-                F.coalesce("internal_edges", F.lit(0)).cast("double") / F.col("m")
-                - (F.col("degree_sum").cast("double") / (2.0 * F.col("m")))
-                * (F.col("degree_sum").cast("double") / (2.0 * F.col("m"))),
-                9,
-            ).alias("modularity_term"),
+            "m",
         )
+    )
+
+
+def modularity(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community decomposition of Newman's modularity over the
+    undirected simple graph of ``pairs``:
+
+        Q_c = e_c / m  -  (d_c / (2m))^2        (Q = sum over communities)
+
+    where e_c = edges inside community c, d_c = total degree of c's nodes,
+    m = |edges|. ``labels``: (node_id, community) — e.g.
+    :func:`label_propagation`'s output — making this the quality score for
+    a community assignment (how much denser inside communities than a
+    random degree-preserving graph; Q=0.5 is the two-clique optimum).
+
+    Returns (community, n_nodes, internal_edges, degree_sum,
+    modularity_term), term rounded to 9 decimals. Everything is integer
+    aggregation (:func:`_community_stats`) until the final division; m
+    rides a 1-row broadcast. Fully SQL-expressible, so the driver oracle
+    (g22) composes it onto the same unrolled LPA cascade that checks
+    g20/g21."""
+    return _community_stats(pairs, labels).select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        F.round(
+            F.col("internal_edges").cast("double") / F.col("m")
+            - (F.col("degree_sum").cast("double") / (2.0 * F.col("m")))
+            * (F.col("degree_sum").cast("double") / (2.0 * F.col("m"))),
+            9,
+        ).alias("modularity_term"),
+    )
+
+
+def conductance(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple graph of
+    ``pairs`` — the cut-quality score read next to :func:`modularity`
+    (modularity rewards internal density vs a degree-preserving null;
+    conductance measures the boundary directly):
+
+        phi(c) = cut(c) / min(vol(c), 2m - vol(c))
+
+    with ``cut(c)`` = edges leaving c = ``vol(c) - 2·internal(c)`` and
+    ``vol(c)`` = the community's degree sum — both already exact bigints
+    in :func:`_community_stats`, so NO extra pass over the edges. Low phi
+    = well-separated community; phi near 1 = a label that mostly borders
+    out.
+
+    Returns (community, n_nodes, internal_edges, degree_sum, cut_edges,
+    conductance_ppm) — the one division is non-negative fixed-point ppm
+    floor division (trunc == floor cross-engine, the g30/t23 rule).
+    Communities whose denominator is 0 (the whole graph under one label,
+    or an all-isolated complement) are dropped rather than published as
+    NULL (the v12 no-baseline rule)."""
+    s = _community_stats(pairs, labels).select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        (F.col("degree_sum") - 2 * F.col("internal_edges"))
+        .cast("long")
+        .alias("cut_edges"),
+        F.least(
+            F.col("degree_sum"), 2 * F.col("m") - F.col("degree_sum")
+        ).alias("denom"),
+    )
+    return s.filter(F.col("denom") > 0).select(
+        "community",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("internal_edges").cast("long").alias("internal_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        "cut_edges",
+        F.expr(
+            "CAST(cut_edges * 1000000L div denom AS BIGINT)"
+        ).alias("conductance_ppm"),
     )
 
 

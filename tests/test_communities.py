@@ -233,3 +233,33 @@ def test_k_truss(spark):
 
     with _pytest.raises(ValueError):
         k_truss(pairs, k=2)
+
+
+def test_conductance_hand_computed(spark):
+    """Two triangles bridged by 3-4, labels = the two triangles: m=7,
+    each side vol=7, internal=3, cut=1, denom=min(7,7)=7 ->
+    phi_ppm = 1e6 // 7 = 142857. Whole-graph-in-one-label rows drop
+    (denom 0)."""
+    from research_knowledge_graph_spark.operators.communities import conductance
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "node_a long, node_b long",
+    )
+    labels = spark.createDataFrame(
+        [(i, "A" if i <= 3 else "B") for i in range(1, 7)],
+        "node_id long, community string",
+    )
+    rows = {r.community: r for r in conductance(pairs, labels).collect()}
+    assert set(rows) == {"A", "B"}
+    for c in "AB":
+        r = rows[c]
+        assert (
+            r.n_nodes, r.internal_edges, r.degree_sum, r.cut_edges,
+            r.conductance_ppm,
+        ) == (3, 3, 7, 1, 142857)
+
+    one = spark.createDataFrame(
+        [(i, "X") for i in range(1, 7)], "node_id long, community string"
+    )
+    assert conductance(pairs, one).count() == 0
