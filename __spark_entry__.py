@@ -1547,6 +1547,28 @@ def v03_sessionize(spark, sf_dir):
     )
 
 
+def v20_session_duration(spark, sf_dir):
+    """Session-duration histogram — v03's gap-sessionization rolled up by
+    duration minute: the engagement-length profile read next to v19's
+    tenure histogram (tenure = lifetime between first/last event; this =
+    length of each continuous visit). The bucket division is
+    non-negative integer ``div`` (trunc == floor cross-engine); counts
+    and sums exact bigints. Oracle wraps the v03 session CTE verbatim in
+    one more rollup (the e12-on-e10 composition pattern), so the two
+    entries cannot drift on what a "session" is."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.sessions import session_stats
+
+    s = session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return s.groupBy(
+        F.expr("CAST(duration_sec div 60 AS BIGINT)").alias("duration_min")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("duration_sec").cast("long").alias("max_duration_sec"),
+    )
+
+
 def v04_asof_attribution(spark, sf_dir):
     """AS-OF join (operators/temporal.py): for each purchase event, the
     same user's latest click at or before it — classic last-touch
@@ -2532,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g39_rich_club": g39_rich_club,
         "g41_ppr_exact": g41_ppr_exact,
         "g42_community_conductance": g42_community_conductance,
+        "v20_session_duration": v20_session_duration,
         "g21_weighted_label_propagation": g21_weighted_label_propagation,
         "t16_bm25_search": t16_bm25_search,
         "t17_bm25_indexed": t17_bm25_indexed,
@@ -4501,6 +4524,19 @@ def oracle_sql() -> dict[str, str]:
     # nprobe == k_cells (full probe == exact search), so its oracle is
     # e01's brute-force SQL verbatim
     sql["e06_knn_ivf_indexed"] = sql["e01_knn_bruteforce"]
+    # v20 wraps the v03 session CTE verbatim in one more rollup (the
+    # e12-on-e10 composition pattern): one definition of "session"
+    sql["v20_session_duration"] = (
+        "WITH base AS ("
+        + sql["v03_sessionize"]
+        + """)
+        SELECT CAST(duration_sec // 60 AS BIGINT) AS duration_min,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(max(duration_sec) AS BIGINT) AS max_duration_sec
+        FROM base GROUP BY 1
+    """
+    )
     # e12 is e10's assignment cascade extended with the confusion rollup
     # (plain concatenation — the e10 literal contains struct braces, so
     # an f-string would mangle it)
