@@ -2531,9 +2531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-prediction scoreboard), t33 (Pearson — no statistical
         # sibling in-window) and v17 (Gini/top-decile concentration).
         # More never-driver-green oracle entries exist than the 50 slots
-        # (12 below this line as of the final session: e12, g36, g37,
-        # v18, e13, t35, v19, e14, g39, g41, e15, g42), so those ship
-        # with local-gate evidence only; each has an in-window sibling
+        # (13 below this line as of the final session: e12, g36, g37,
+        # v18, e13, t35, v19, e14, g39, g41, e15, g42, v20), so those
+        # ship with local-gate evidence only; each has an in-window sibling
         # exercising the same machinery: t35 shares t07/t28's minhash
         # CTE blocks, g36 is g32's bounded BFS, g39 reads g34's degree
         # histogram, e12/e13/e14 ride the e09-e11 fixed-point centroid
@@ -2541,7 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point PageRank cascade, e15 the e04 embedder (plus its
         # own BMP-exhaustive tokenizer twin), g42 the g22 community-
         # stats blocks (shared _community_stats pass AND shared oracle
-        # CTEs).
+        # CTEs), v20 the v03 session CTE (wrapped verbatim).
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
