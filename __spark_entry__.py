@@ -1559,7 +1559,9 @@ def v20_session_duration(spark, sf_dir):
     _utc(spark)
     from research_knowledge_graph_spark.operators.sessions import session_stats
 
-    s = session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+    # value_col=None: skip the per-session sum(value) aggregate the
+    # histogram never reads (the session definition is unchanged).
+    s = session_stats(_t(spark, sf_dir, "events"), gap_minutes=30, value_col=None)
     return s.groupBy(
         F.expr("CAST(duration_sec div 60 AS BIGINT)").alias("duration_min")
     ).agg(
@@ -2743,6 +2745,14 @@ def _community_stats_parts(iters: int = 5) -> list[str]:
         "dc AS (SELECT l.community, count(*) AS n_nodes,"
         " sum(d.degree) AS degree_sum"
         " FROM degs d JOIN lab l USING (node_id) GROUP BY l.community)",
+        # one shared base-stats row per community (the SQL twin of the
+        # Python _community_stats frame): both g22 and g42 compose onto
+        # THIS select, so a cast/coalesce fix cannot drift between them.
+        "cbase AS (SELECT dc.community,"
+        " CAST(dc.n_nodes AS BIGINT) AS n_nodes,"
+        " CAST(COALESCE(ic.internal_edges, 0) AS BIGINT) AS internal_edges,"
+        " CAST(dc.degree_sum AS BIGINT) AS degree_sum, mm.m AS m"
+        " FROM dc LEFT JOIN ic USING (community) CROSS JOIN mm)",
     ]
 
 
@@ -2750,16 +2760,14 @@ def _modularity_sql(iters: int = 5) -> str:
     """Newman modularity per community, composed onto the LPA cascade —
     g22's oracle (all-integer aggregates, one final double division;
     NOTE DuckDB '^' is XOR, so the square is spelled as a product)."""
-    d2m = "(CAST(dc.degree_sum AS DOUBLE) / (2 * mm.m))"
+    d2m = "(CAST(degree_sum AS DOUBLE) / (2 * m))"
     return (
         f"WITH {GRAPH_CTE}, "
         + ", ".join(_community_stats_parts(iters))
-        + " SELECT dc.community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,"
-        " CAST(COALESCE(ic.internal_edges, 0) AS BIGINT) AS internal_edges,"
-        " CAST(dc.degree_sum AS BIGINT) AS degree_sum,"
-        " round(CAST(COALESCE(ic.internal_edges, 0) AS DOUBLE) / mm.m"
+        + " SELECT community, n_nodes, internal_edges, degree_sum,"
+        " round(CAST(internal_edges AS DOUBLE) / m"
         f" - {d2m} * {d2m}, 9) AS modularity_term"
-        " FROM dc LEFT JOIN ic USING (community) CROSS JOIN mm"
+        " FROM cbase"
     )
 
 
@@ -2771,14 +2779,11 @@ def _conductance_sql(iters: int = 5) -> str:
     return (
         f"WITH {GRAPH_CTE}, "
         + ", ".join(_community_stats_parts(iters))
-        + ", cstats AS (SELECT dc.community,"
-        " CAST(dc.n_nodes AS BIGINT) AS n_nodes,"
-        " CAST(COALESCE(ic.internal_edges, 0) AS BIGINT) AS internal_edges,"
-        " CAST(dc.degree_sum AS BIGINT) AS degree_sum,"
-        " CAST(dc.degree_sum - 2 * COALESCE(ic.internal_edges, 0)"
-        " AS BIGINT) AS cut_edges,"
-        " least(dc.degree_sum, 2 * mm.m - dc.degree_sum) AS denom"
-        " FROM dc LEFT JOIN ic USING (community) CROSS JOIN mm)"
+        + ", cstats AS (SELECT community, n_nodes, internal_edges,"
+        " degree_sum,"
+        " CAST(degree_sum - 2 * internal_edges AS BIGINT) AS cut_edges,"
+        " least(degree_sum, 2 * m - degree_sum) AS denom"
+        " FROM cbase)"
         " SELECT community, n_nodes, internal_edges, degree_sum, cut_edges,"
         " CAST(cut_edges * 1000000 // denom AS BIGINT) AS conductance_ppm"
         " FROM cstats WHERE denom > 0"
