@@ -2435,6 +2435,83 @@ def g32_truncated_closeness(spark, sf_dir):
     )
 
 
+def t36_sequence_packing(spark, sf_dir):
+    """Training-sequence packing (operators/packing.py::pack_sequences) —
+    the concat-and-chunk shard layout that turns the deduped corpus into
+    fixed-capacity training sequences: documents are sharded by the
+    portable 60-bit hash of doc_id, laid out in id order, and each doc is
+    assigned to the 512-token pack its first token lands in. One row per
+    (shard, pack) with doc/token mass and the id range — the stats a
+    pretraining dataloader audits before a run (overfull packs, shard
+    balance). ONE shuffle total: the per-(shard, pack) rollup reuses the
+    window's hash(shard) partitioning (plan-pinned in tests/
+    test_packing.py); all arithmetic exact bigints, pack division
+    non-negative (Spark ``div`` == DuckDB ``//``)."""
+    from research_knowledge_graph_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=512, n_shards=8
+    )
+
+
+def t37_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (operators/curation.py::vocab_coverage):
+    the top-100 tokens by corpus frequency with their cumulative share in
+    floor ppm — the Zipf-head read that sizes a vocabulary / stopword
+    list. Total order (freq DESC, token ASC) makes every rank and the
+    top-N boundary deterministic; the only window runs on the ≤100-row
+    result frame (bounded by construction). Tokens via the ONE shared
+    lowercased-whitespace tokenizer of the t24-t27 gram audits."""
+    from research_knowledge_graph_spark.operators.curation import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+def g43_graph_summary(spark, sf_dir):
+    """One-row graph summary card of the order co-usage graph — nodes,
+    edges, wedges (Σ d·(d−1)/2), triangles, max degree and global
+    transitivity (3·triangles/wedges, floor ppm): the one-glance shape
+    read (how clustered? how heavy is the head?) taken before choosing
+    per-operator strategies, next to g34's full histogram. Composition of
+    the shared machinery: pair graph via _couse_pairs (cached), triangles
+    via the degree-oriented enumeration (g18), degrees via the ONE shared
+    undirected_degree definition. Every aggregate reduces map-side to one
+    row; the final joins are three 1-row frames. Transitivity's dividend
+    is non-negative ⇒ Spark ``div`` == DuckDB ``//`` bit-exactly; the
+    oracle composes the same pe/co/tri CTE blocks as g18/g19 (shared
+    literal, cannot drift)."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        undirected_degree,
+    )
+
+    pairs = _couse_pairs(spark, sf_dir).select("node_a", "node_b")
+    deg_stats = undirected_degree(pairs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("degree * (degree - 1) div 2"))
+        .cast("long")
+        .alias("n_wedges"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    tri = G.triangle_count(pairs).agg(
+        F.expr("sum(n_triangles) div 3").cast("long").alias("n_triangles")
+    )
+    return (
+        deg_stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            "max_degree",
+            F.expr("(3000000 * n_triangles) div greatest(n_wedges, 1L)")
+            .cast("long")
+            .alias("transitivity_ppm"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness caps at its first 50
     # dict entries. Newest / least-recently-driver-checked oracle entries go
@@ -2543,7 +2620,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-point PageRank cascade, e15 the e04 embedder (plus its
         # own BMP-exhaustive tokenizer twin), g42 the g22 community-
         # stats blocks (shared _community_stats pass AND shared oracle
-        # CTEs), v20 the v03 session CTE (wrapped verbatim).
+        # CTEs), v20 the v03 session CTE (wrapped verbatim). Added after
+        # the final rotation (local-gate evidence only, same rule):
+        # t36 sequence packing (t18's token count + the v03-style window
+        # machinery), t37 vocab coverage (t24's tokenizer + t24's ordered
+        # top-N), g43 graph summary (g18's triangle blocks + g34's degree
+        # definition, shared oracle CTE literal).
+        "t36_sequence_packing": t36_sequence_packing,
+        "t37_vocab_coverage": t37_vocab_coverage,
+        "g43_graph_summary": g43_graph_summary,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -2616,6 +2701,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ===========================================================================
 
 _TOKENS = "list_filter(string_split_regex({col}, '\\s+'), w -> w != '')"
+
+# pe/co/tri CTE blocks of the co-usage triangle oracles — ONE literal
+# shared by g18/g19/g43 so the enumerated triangle set cannot drift
+# between the per-node counts, the coefficients and the summary card.
+_COUSE_TRI_CTE = """
+            pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART'),
+            co AS (
+                SELECT a.src AS u, b.src AS v
+                FROM pe a JOIN pe b ON a.tgt = b.tgt AND a.src < b.src
+                GROUP BY a.src, b.src HAVING count(*) >= 2
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM co e1
+                JOIN co e2 ON e2.u = e1.v
+                JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+            )"""
 
 
 def _shingles_sql(col: str, k: int) -> str:
@@ -3752,19 +3854,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sums
         """,
         "g18_triangle_count": f"""
-            WITH {GRAPH_CTE},
-            pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART'),
-            co AS (
-                SELECT a.src AS u, b.src AS v
-                FROM pe a JOIN pe b ON a.tgt = b.tgt AND a.src < b.src
-                GROUP BY a.src, b.src HAVING count(*) >= 2
-            ),
-            tri AS (
-                SELECT e1.u AS a, e1.v AS b, e2.v AS c
-                FROM co e1
-                JOIN co e2 ON e2.u = e1.v
-                JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
-            ),
+            WITH {GRAPH_CTE},{_COUSE_TRI_CTE},
             pern AS (
                 SELECT node_id, count(*) AS n_triangles FROM (
                     SELECT a AS node_id FROM tri
@@ -3780,19 +3870,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes_in n LEFT JOIN pern p USING (node_id)
         """,
         "g19_clustering_coefficient": f"""
-            WITH {GRAPH_CTE},
-            pe AS (SELECT DISTINCT from_node_id AS src, to_node_id AS tgt FROM edges WHERE edge_type = 'USES_PART'),
-            co AS (
-                SELECT a.src AS u, b.src AS v
-                FROM pe a JOIN pe b ON a.tgt = b.tgt AND a.src < b.src
-                GROUP BY a.src, b.src HAVING count(*) >= 2
-            ),
-            tri AS (
-                SELECT e1.u AS a, e1.v AS b, e2.v AS c
-                FROM co e1
-                JOIN co e2 ON e2.u = e1.v
-                JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
-            ),
+            WITH {GRAPH_CTE},{_COUSE_TRI_CTE},
             pern AS (
                 SELECT node_id, count(*) AS n_triangles FROM (
                     SELECT a AS node_id FROM tri
@@ -3813,6 +3891,28 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS coefficient
             FROM degs d LEFT JOIN pern p USING (node_id)
         """,
+        # g43: one-row summary card composed from the SAME pe/co/tri blocks
+        # as g18/g19 (shared literal) — scalar subqueries over tiny frames
+        "g43_graph_summary": f"""
+            WITH {GRAPH_CTE},{_COUSE_TRI_CTE},
+            deg AS (
+                SELECT node_id, count(*) AS d FROM (
+                    SELECT u AS node_id FROM co
+                    UNION ALL SELECT v FROM co
+                ) GROUP BY node_id
+            ),
+            s AS (
+                SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+                       CAST((SELECT count(*) FROM co) AS BIGINT) AS n_edges,
+                       CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+                       CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+                       CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree
+            )
+            SELECT n_nodes, n_edges, n_wedges, n_triangles, max_degree,
+                   CAST(3000000 * n_triangles // greatest(n_wedges, 1) AS BIGINT)
+                       AS transitivity_ppm
+            FROM s
+        """,
         "g20_label_propagation": _lpa_sql(weighted=False),
         "g21_weighted_label_propagation": _lpa_sql(weighted=True),
         "g22_community_modularity": _modularity_sql(),
@@ -3830,6 +3930,57 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 1),
                          6) AS chars_per_bpe_token
             FROM documents
+        """,
+        # t36: same whitespace token count as t18, portable-hash sharding,
+        # running sum per shard, pack = floor(tokens-before / capacity)
+        "t36_sequence_packing": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({toks}) AS BIGINT) AS tok,
+                       {portable_hash64_sql("doc_id")} % 8 AS shard
+                FROM documents
+            ),
+            c AS (
+                SELECT shard, doc_id, tok,
+                       sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST((cum - tok) // 512 AS BIGINT) AS pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS pack_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY shard, pack_id
+        """,
+        # t37: t24-t27's lowercased-whitespace tokenizer; the (freq DESC,
+        # token ASC) total order pins the top-N boundary and every rank
+        "t37_vocab_coverage": f"""
+            WITH words AS (
+                SELECT unnest({_TOKENS.format(col="lower(text)")}) AS token
+                FROM documents
+            ),
+            freq AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS freq
+                FROM words GROUP BY token
+            ),
+            tot AS (SELECT sum(freq) AS total_tokens FROM freq),
+            top AS (
+                SELECT token, freq FROM freq
+                ORDER BY freq DESC, token LIMIT 100
+            ),
+            r AS (
+                SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+                           AS "rank",
+                       token, freq,
+                       sum(freq) OVER (ORDER BY freq DESC, token
+                                       ROWS UNBOUNDED PRECEDING) AS cum_freq
+                FROM top
+            )
+            SELECT "rank", token, freq,
+                   CAST(1000000 * cum_freq // total_tokens AS BIGINT) AS cum_ppm
+            FROM r, tot
         """,
         "t19_winnow_fingerprints": f"""
             SELECT doc_id, unnest({winnow_fingerprints_sql("text")}) AS fingerprint

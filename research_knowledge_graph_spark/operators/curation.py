@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Patterns shared verbatim with the DuckDB oracle (no lookaround — RE2).
 PII_PATTERNS: list[tuple[str, str]] = [
@@ -562,5 +563,61 @@ def length_quality_correlation(
             "source",
             F.col("n").alias("n_docs"),
             F.round(num / den, 6).alias("len_quality_corr"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, top_n: int = 200, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design read "how much of
+    the token stream does a top-N vocabulary cover?": the N most frequent
+    tokens ranked with their cumulative corpus share. The elbow of this
+    curve is what sizes a vocabulary / stopword list and predicts how an
+    OOV policy will behave; read next to t18's per-doc accounting and
+    t24's k-gram mining (this is their corpus-level rank-frequency
+    profile, the Zipf head made explicit).
+
+    Returns exactly ``top_n`` rows (fewer only if the corpus vocabulary is
+    smaller): (rank, token, freq, cum_ppm) on the total order
+    (freq DESC, token ASC) — the tie-break makes the top-N boundary and
+    every rank deterministic. ``cum_ppm = cum_freq·10⁶ div total_tokens``
+    is non-negative fixed point (Spark ``div`` == DuckDB ``//``), so the
+    curve is bit-exact cross-engine. Tokens via :func:`_tokens_col` (the
+    ONE shared lowercased-whitespace tokenizer of this module).
+
+    Scale: the corpus reduces map-side to (token, freq) — vocabulary
+    cardinality; the total-token scalar is a separate map-only pass over
+    the per-doc token counts (one row, broadcast). The ordered top-N is a
+    TakeOrdered over the vocab frame (per-partition heaps, no full sort),
+    and the ONLY window runs on the ≤ top_n result frame — a bounded
+    single-partition window by construction, never on corpus- or
+    vocab-sized data. No joins beyond the 1-row broadcast, no Python."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    freq = (
+        docs.select(F.explode(_tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    total = docs.select(
+        F.sum(F.size(_tokens_col(text_col)))
+        .cast("long")
+        .alias("total_tokens")
+    )
+    top = freq.orderBy(F.desc("freq"), "token").limit(top_n)
+    order = Window.orderBy(F.desc("freq"), "token")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rank", F.row_number().over(order).cast("bigint"))
+        .withColumn("cum_freq", F.sum("freq").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            F.expr("(1000000 * cum_freq) div total_tokens")
+            .cast("long")
+            .alias("cum_ppm"),
         )
     )
