@@ -2512,6 +2512,62 @@ def g43_graph_summary(spark, sf_dir):
     )
 
 
+def t38_mixture_rates(spark, sf_dir):
+    """Mixture-rebalancing plan (operators/sampling.py::mixture_rates):
+    per-source sampling rates that level the corpus to a uniform token
+    mixture — the step between t32's composition audit and the t11
+    stratified sampler, which consumes exactly these rate_ppm values.
+    ONE corpus scan reduced map-side to #sources rows; all arithmetic
+    exact bigints with non-negative floor division (bounds documented in
+    the operator docstring, the t33 ANSI rule)."""
+    from research_knowledge_graph_spark.operators.sampling import mixture_rates
+
+    return mixture_rates(_t(spark, sf_dir, "documents"))
+
+
+def v21_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix — users grouped by the epoch-week of
+    their first event; for each (cohort_week, week_offset), how many came
+    back and what share of the cohort that is. v08 answers next-DAY
+    retention on calendar days; this is the full cohort × offset matrix
+    every growth dashboard draws. Week index is pure integer day
+    arithmetic (epoch days div 7 — no calendar week-truncation, which
+    engines disagree on); retention_ppm = n_active·10⁶ div cohort_size is
+    non-negative fixed point, bit-exact cross-engine. NULL ts dropped up
+    front (the v16 rule). Scale: distinct (user, week) scan → per-user
+    min reduce → equi-join back on the uniform user key → two bounded
+    hash-aggs; the cohort-size dim is #weeks rows, left to AQE to
+    broadcast."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    weekly = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(to_date(ts), DATE '1970-01-01') div 7 AS BIGINT)"
+        ).alias("week"),
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return act.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.expr("(1000000 * n_active) div cohort_size")
+        .cast("long")
+        .alias("retention_ppm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness caps at its first 50
     # dict entries. Newest / least-recently-driver-checked oracle entries go
@@ -2626,9 +2682,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery), t37 vocab coverage (t24's tokenizer + t24's ordered
         # top-N), g43 graph summary (g18's triangle blocks + g34's degree
         # definition, shared oracle CTE literal).
+        # t38 mixture rates (t32's composition agg feeding the t11
+        # sampler's rate contract), v21 cohort matrix (v08's retention
+        # machinery at week granularity, v19's exact day arithmetic).
         "t36_sequence_packing": t36_sequence_packing,
         "t37_vocab_coverage": t37_vocab_coverage,
         "g43_graph_summary": g43_graph_summary,
+        "t38_mixture_rates": t38_mixture_rates,
+        "v21_cohort_retention": v21_cohort_retention,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -3981,6 +4042,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT "rank", token, freq,
                    CAST(1000000 * cum_freq // total_tokens AS BIGINT) AS cum_ppm
             FROM r, tot
+        """,
+        # t38: same whitespace token count as t18/t36; uniform target =
+        # total div n_sources; every division non-negative floor
+        "t38_mixture_rates": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len({toks})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            tot AS (
+                SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                       CAST(count(*) AS BIGINT) AS n_sources
+                FROM per
+            ),
+            r AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(1000000 * n_tokens // greatest(total_tokens, 1) AS BIGINT)
+                           AS share_ppm,
+                       CAST(least(1000000,
+                                  (1000000 * (total_tokens // n_sources))
+                                  // greatest(n_tokens, 1)) AS BIGINT) AS rate_ppm
+                FROM per, tot
+            )
+            SELECT source, n_docs, n_tokens, share_ppm, rate_ppm,
+                   CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS expected_tokens
+            FROM r
+        """,
+        # v21: epoch-week index = day-diff from 1970-01-01 div 7 (pure
+        # integer — no calendar week truncation); v19's CAST(ts AS DATE)
+        "v21_cohort_retention": """
+            WITH weekly AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                            AS BIGINT) AS week
+                FROM events WHERE ts IS NOT NULL
+            ),
+            cohort AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM weekly GROUP BY user_id
+            ),
+            act AS (
+                SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+                       CAST(count(*) AS BIGINT) AS n_active
+                FROM weekly w JOIN cohort c USING (user_id)
+                GROUP BY 1, 2
+            ),
+            sizes AS (
+                SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+                FROM cohort GROUP BY cohort_week
+            )
+            SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+                   CAST(1000000 * a.n_active // s.cohort_size AS BIGINT)
+                       AS retention_ppm
+            FROM act a JOIN sizes s USING (cohort_week)
         """,
         "t19_winnow_fingerprints": f"""
             SELECT doc_id, unnest({winnow_fingerprints_sql("text")}) AS fingerprint

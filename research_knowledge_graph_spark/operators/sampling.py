@@ -145,3 +145,65 @@ def token_budget_sample(
         df.withColumn("cum_tokens", F.sum(weight_col).over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Mixture-rebalancing plan — the per-source sampling rates that level
+    the corpus to a UNIFORM token mixture: the step between auditing the
+    composition (t32's rollup) and drawing the training set
+    (:func:`stratified_sample` consumes exactly these rates). For each
+    source: its doc/token mass, its current token share, and
+    ``rate_ppm = min(10⁶, target_tokens div n_tokens in ppm)`` where the
+    target is an equal split of the corpus's total tokens — head sources
+    are downsampled toward the target, tail sources keep everything
+    (rates cap at 1.0; upsampling/epoch-weighting is the caller's rate
+    multiplication).
+
+    Returns one row per source: (source, n_docs, n_tokens, share_ppm,
+    rate_ppm, expected_tokens). All arithmetic exact bigints with
+    non-negative floor division (Spark ``div`` == DuckDB ``//``);
+    a zero-token source gets rate 10⁶ via a greatest(…,1) guard instead
+    of a divide-by-zero. Exactness bound (the t33 rule): the ppm
+    scalings bind at ~9·10¹² total tokens — past that Spark's ANSI mode
+    fails loudly (DuckDB promotes to HUGEINT); the 100-TB recipe is to
+    widen the three products to decimal(38,0).
+
+    Scale: ONE map-side-combinable hash-agg reduces the corpus to
+    #sources rows; the total/target scalar is a second agg over that
+    bounded frame, broadcast back as a 1-row dim. No windows, no Python,
+    the corpus is scanned once."""
+    from research_knowledge_graph_spark.functions.textops import token_count_col
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div greatest(total_tokens, 1L)")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr(
+                "least(1000000L, (1000000 * (total_tokens div n_sources))"
+                " div greatest(n_tokens, 1L))"
+            )
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.expr("(n_tokens * rate_ppm) div 1000000").cast("long"),
+        )
+    )
