@@ -2568,6 +2568,57 @@ def v21_cohort_retention(spark, sf_dir):
     )
 
 
+def e16_quantization_audit(spark, sf_dir):
+    """Int8 scalar-quantization audit — per vector, the exact error budget
+    of quantizing the embedding to 127 levels with a per-vector scale
+    (the standard serving compression for ANN indexes): components are
+    fixed-pointed to micros (e10/e14's scaling), the per-vector scale is
+    ``m0 = max(|x_micro|)``, the quantized level is round-half-up
+    ``q = (|x|·254 + m0) div (2·m0)`` (dividend NON-negative, so Spark
+    ``div`` == DuckDB ``//``), and the reconstruction error is kept in
+    exact (127·micro) units: ``err = 127·|x| − q·m0`` — NO division, no
+    float, so Σerr² and max|err| hash-compare bit-exactly. High sq_err =
+    vectors that int8 serving would distort (heavy-tailed components);
+    read next to e14's norm profile before switching an index to int8.
+    Scale: pure map-side array math (one scan, no shuffle, no Python);
+    bounds: |err| ≤ m0 ≤ ~2¹¹ micro at unit-normed inputs, err²·dims far
+    inside int64."""
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+            ).alias("xm"),
+        )
+        .select(
+            "vec_id",
+            "xm",
+            F.expr("aggregate(xm, 0L, (a, v) -> greatest(a, abs(v)))").alias(
+                "max_abs_micro"
+            ),
+        )
+        .withColumn("m0", F.expr("greatest(max_abs_micro, 1L)"))
+        .withColumn(
+            "err",
+            F.expr(
+                "transform(xm, v -> 127L * abs(v)"
+                " - ((abs(v) * 254 + m0) div (2 * m0)) * m0)"
+            ),
+        )
+        .select(
+            "vec_id",
+            "max_abs_micro",
+            F.expr("CAST(size(xm) AS BIGINT)").alias("n_dims"),
+            F.expr("aggregate(err, 0L, (a, e) -> a + e * e)").alias("sq_err"),
+            F.expr("aggregate(err, 0L, (a, e) -> greatest(a, abs(e)))").alias(
+                "max_abs_err"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness caps at its first 50
     # dict entries. Newest / least-recently-driver-checked oracle entries go
@@ -2690,6 +2741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g43_graph_summary": g43_graph_summary,
         "t38_mixture_rates": t38_mixture_rates,
         "v21_cohort_retention": v21_cohort_retention,
+        # e16 quantization audit: e14's micro fixed-point + the t23/g30
+        # non-negative-div rule, error kept divisionless in 127·micro units
+        "e16_quantization_audit": e16_quantization_audit,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4892,6 +4946,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(norm2) AS BIGINT) AS min_norm2,
                CAST(max(norm2) AS BIGINT) AS max_norm2
         FROM n GROUP BY bucket
+    """
+    # e16: e14's micro scaling; quantization div has a non-negative
+    # dividend; the error term 127·|x| − q·m0 needs NO division at all
+    sql["e16_quantization_audit"] = """
+        WITH x AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xm
+            FROM embeddings
+        ),
+        mm AS (
+            SELECT vec_id, xm,
+                   CAST(list_max(list_transform(xm, v -> abs(v))) AS BIGINT)
+                       AS max_abs_micro,
+                   greatest(CAST(list_max(list_transform(xm, v -> abs(v))) AS BIGINT), 1)
+                       AS m0,
+                   CAST(len(xm) AS BIGINT) AS n_dims
+            FROM x
+        ),
+        e AS (
+            SELECT vec_id, max_abs_micro, n_dims,
+                   list_transform(xm,
+                       v -> 127 * abs(v) - ((abs(v) * 254 + m0) // (2 * m0)) * m0) AS err
+            FROM mm
+        )
+        SELECT vec_id, max_abs_micro, n_dims,
+               CAST(list_sum(list_transform(err, e -> e * e)) AS BIGINT) AS sq_err,
+               CAST(list_max(list_transform(err, e -> abs(e))) AS BIGINT) AS max_abs_err
+        FROM e
     """
     sql["g40_link_prediction"] = _link_prediction_sql(min_shared=1, top_k=100)
     sql["g39_rich_club"] = f"""
