@@ -2168,6 +2168,24 @@ def t35_minhash_fidelity(spark, sf_dir):
     )
 
 
+def t39_containment_audit(spark, sf_dir):
+    """Subset-duplication audit: per MinHash-LSH candidate pair (t07's
+    cascade verbatim — same k=8 / shingle_k=4 / 4-band blocks), the exact
+    one-sided Jaccard |A∩B| / min(|A|,|B|) next to the symmetric Jaccard,
+    both in exact floor ppm. ``subset_like`` flags containment-high /
+    Jaccard-low pairs — a short document embedded inside a longer one
+    (quote, boilerplate wrapper, syndicated excerpt) that symmetric-Jaccard
+    dedup structurally misses because Jaccard ≈ |A|/|B| shrinks with the
+    length ratio while containment stays ≈ 1. The standard corpus-curation
+    companion to t05/t35. Scale: exact shingle-set work rides only on the
+    LSH-selective candidate pairs; the two shingle attaches are equi-joins
+    on the uniform doc key — never all pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return D.containment_verify(d.select("doc_id", "text"), pairs, shingle_k=4)
+
+
 def g38_pagerank_exact(spark, sf_dir):
     """Exact fixed-point PageRank variant
     (operators/pagerank.py::pagerank_fixed_point) over FOLLOWS∪PLACED —
@@ -2744,6 +2762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # e16 quantization audit: e14's micro fixed-point + the t23/g30
         # non-negative-div rule, error kept divisionless in 127·micro units
         "e16_quantization_audit": e16_quantization_audit,
+        # t39 containment audit: t35's candidate cascade + the t05 shingle
+        # arithmetic with min() in the denominator (subset-dup detector)
+        "t39_containment_audit": t39_containment_audit,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -3458,6 +3479,47 @@ def _minhash_fidelity_sql(k: int = 8, shingle_k: int = 4, bands: int = 4) -> str
         JOIN sh s1 ON s1.doc_id = c.doc_a
         JOIN sh s2 ON s2.doc_id = c.doc_b
         WHERE (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) > 0
+    """
+
+
+def _containment_sql(
+    k: int = 8,
+    shingle_k: int = 4,
+    bands: int = 4,
+    contain_ppm_floor: int = 850_000,
+    jaccard_ppm_ceiling: int = 700_000,
+) -> str:
+    """t39's oracle: per LSH candidate pair, exact containment
+    |A∩B| / min(|A|,|B|) vs symmetric Jaccard in floor ppm + the
+    subset_like flag — the same sh/sig/banded blocks as t07/t35."""
+    blocks = _minhash_blocks(k, shingle_k, bands).replace(
+        " AS (", " AS MATERIALIZED (", 3
+    )
+    return f"""
+        WITH {blocks},
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b ON a.band = b.band
+             AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        x AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_inter,
+                   CAST(least(len(s1.sh), len(s2.sh)) AS BIGINT) AS n_min,
+                   CAST(len(s1.sh) + len(s2.sh)
+                        - len(list_intersect(s1.sh, s2.sh)) AS BIGINT) AS n_union
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.doc_a
+            JOIN sh s2 ON s2.doc_id = c.doc_b
+            WHERE least(len(s1.sh), len(s2.sh)) > 0
+        )
+        SELECT doc_a, doc_b, n_inter, n_min,
+               CAST(n_inter * 1000000 // n_min AS BIGINT) AS contain_ppm,
+               CAST(n_inter * 1000000 // n_union AS BIGINT) AS jaccard_ppm,
+               CAST(CASE WHEN n_inter * 1000000 // n_min >= {contain_ppm_floor}
+                          AND n_inter * 1000000 // n_union < {jaccard_ppm_ceiling}
+                     THEN 1 ELSE 0 END AS INT) AS subset_like
+        FROM x
     """
 
 
@@ -4933,6 +4995,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN stats s USING (doc_id)
     """
     sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
+    sql["t39_containment_audit"] = _containment_sql(k=8, shingle_k=4, bands=4)
     sql["e14_norm_profile"] = """
         WITH n AS (
             SELECT CAST(list_sum(list_transform(

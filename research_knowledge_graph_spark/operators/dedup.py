@@ -119,6 +119,59 @@ def minhash_near_dups(
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
 
+def containment_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingle_k: int = 5,
+    contain_ppm_floor: int = 850_000,
+    jaccard_ppm_ceiling: int = 700_000,
+) -> DataFrame:
+    """Exact one-sided Jaccard (containment) over char-shingle sets for given
+    candidate pairs: |A∩B| / min(|A|,|B|) next to the symmetric Jaccard, both
+    in exact floor ppm. ``subset_like`` = 1 flags the pairs symmetric-Jaccard
+    dedup MISSES: a short document embedded inside a longer one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| — the classic quote/boilerplate/
+    wrapper duplication in web corpora. All-integer arithmetic (floor-div
+    ppm), so the audit hash-compares bit-exactly cross-engine.
+
+    docs: (doc_id, text); pairs: (doc_a, doc_b). Scale: exact set work rides
+    only on CANDIDATE pairs (blocked upstream by LSH banding), never all
+    pairs; the two shingle attaches are equi-joins on the uniform doc key."""
+    sh = docs.select(F.col("doc_id"), char_shingles_col(F.col("text"), shingle_k).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    n_min = F.least(F.size("sh_a"), F.size("sh_b")).cast("long")
+    n_union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            n_min.alias("n_min"),
+            n_union.alias("n_union"),
+        )
+        .filter(F.col("n_min") > 0)  # empty shingle set ⇒ no containment defined
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_min",
+            F.expr("CAST(n_inter * 1000000L div n_min AS BIGINT)").alias("contain_ppm"),
+            F.expr("CAST(n_inter * 1000000L div n_union AS BIGINT)").alias("jaccard_ppm"),
+        )
+        .withColumn(
+            "subset_like",
+            (
+                (F.col("contain_ppm") >= F.lit(contain_ppm_floor))
+                & (F.col("jaccard_ppm") < F.lit(jaccard_ppm_ceiling))
+            ).cast("int"),
+        )
+    )
+
+
 def ngram_jaccard_verify(
     docs: DataFrame, pairs: DataFrame, threshold: float = 0.7, shingle_k: int = 5
 ) -> DataFrame:

@@ -207,6 +207,48 @@ def test_winnow_shared_run_guarantee(spark):
     assert not fps[0] & fps[2] and not fps[1] & fps[2]
 
 
+def test_containment_verify_flags_subset_pairs(spark):
+    """containment_verify (t39): a doc that is a strict PREFIX of a longer
+    doc has containment exactly 1.0 (every k-shingle of the prefix is a
+    substring of the superset doc) while symmetric Jaccard shrinks with the
+    length ratio — the subset_like flag fires exactly on that shape, and
+    stays off both for unrelated pairs (low containment) and for
+    near-identical pairs (high containment BUT high Jaccard too)."""
+    from research_knowledge_graph_spark.operators.dedup import containment_verify
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    superset = base + (
+        " and then continues with a long unrelated tail about market"
+        " structure, weather patterns, shipping manifests and the annual"
+        " migration of seabirds across the northern archipelago routes"
+    )
+    near_ident = base + " today"
+    unrelated = "entirely different content discussing quantum error correction"
+    docs = spark.createDataFrame(
+        [(0, base), (1, superset), (2, unrelated), (3, near_ident)],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "doc_a int, doc_b int"
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_verify(docs, pairs, shingle_k=4).collect()
+    }
+    subset = out[(0, 1)]
+    assert subset.contain_ppm == 1_000_000  # prefix ⇒ full containment
+    assert subset.jaccard_ppm < 700_000  # symmetric Jaccard misses it
+    assert subset.subset_like == 1
+    assert out[(0, 2)].contain_ppm < 200_000
+    assert out[(0, 2)].subset_like == 0
+    twin = out[(0, 3)]
+    assert twin.contain_ppm >= 850_000 and twin.jaccard_ppm >= 700_000
+    assert twin.subset_like == 0  # caught by ordinary Jaccard dedup already
+    # exact-integer invariants: ppm values are floor divisions of the counts
+    for r in out.values():
+        assert r.contain_ppm == r.n_inter * 1_000_000 // r.n_min
+
+
 def test_winnow_near_dups_guard_and_threshold(spark):
     """winnow_near_dups (t20): near-identical docs pair with high n_shared;
     min_shared filters single-run coincidences; the stop-fingerprint
