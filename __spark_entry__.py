@@ -2186,6 +2186,56 @@ def t39_containment_audit(spark, sf_dir):
     return D.containment_verify(d.select("doc_id", "text"), pairs, shingle_k=4)
 
 
+def e17_srp_fidelity(spark, sf_dir):
+    """SRP sketch-fidelity audit — t35's twin on the embedding side: per
+    label-blocked vector pair (e02's candidate frame verbatim), the 16-plane
+    sign-random-projection signature agreement next to the exact cosine.
+    agree_bits = planes − popcount(sig_a ⊕ sig_b) is an exact integer (the
+    signatures are the SAME portable-hash hyperplane construction e03/e05
+    serve from, just wider), est_ppm its floor-ppm agreement fraction; by
+    the SRP identity E[agree/planes] = 1 − θ/π the pair of columns lets the
+    engine audit whether 16 planes resolve this corpus's angular profile —
+    is the LSH family separating near-dups from the bulk, or surviving on
+    hash luck? Scale: signatures are map-side per-vector expressions (one
+    64-term literal dot product per plane); the exact cosine rides only on
+    label-blocked candidate pairs, never all pairs."""
+    planes = 16
+    from research_knowledge_graph_spark.functions.vectors import cosine_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        S.srp_bucket_col(F.col("embedding"), dim=64, planes=planes).alias("b"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("doc_a"), "label",
+        F.col("v").alias("va"), F.col("b").alias("ba"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("doc_b"), "label",
+        F.col("v").alias("vb"), F.col("b").alias("bb"),
+    )
+    agree = (
+        F.lit(planes).cast("long")
+        - F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))).cast("long")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.alias("agree_bits"),
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .withColumn(
+            "est_ppm", F.expr(f"CAST(agree_bits * 1000000L div {planes} AS BIGINT)")
+        )
+    )
+
+
 def g38_pagerank_exact(spark, sf_dir):
     """Exact fixed-point PageRank variant
     (operators/pagerank.py::pagerank_fixed_point) over FOLLOWS∪PLACED —
@@ -2765,6 +2815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t39 containment audit: t35's candidate cascade + the t05 shingle
         # arithmetic with min() in the denominator (subset-dup detector)
         "t39_containment_audit": t39_containment_audit,
+        # e17 SRP fidelity: t35's audit shape over e03's hyperplane sketch,
+        # candidates from e02's label-blocked pair frame
+        "e17_srp_fidelity": e17_srp_fidelity,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -3520,6 +3573,26 @@ def _containment_sql(
                           AND n_inter * 1000000 // n_union < {jaccard_ppm_ceiling}
                      THEN 1 ELSE 0 END AS INT) AS subset_like
         FROM x
+    """
+
+
+def _srp_fidelity_sql(dim: int = 64, planes: int = 16) -> str:
+    """e17's oracle: per label-blocked vector pair, the SRP signature
+    agreement (exact integer via xor + bit_count over the SAME hyperplane
+    literals Spark inlines) next to the exact double cosine."""
+    sig = _srp_bucket_sql("CAST(embedding AS DOUBLE[])", dim, planes)
+    agree = f"({planes} - bit_count(xor(a.sig, b.sig)))"
+    return f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv,
+                   {sig} AS sig
+            FROM embeddings
+        )
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               CAST({agree} AS BIGINT) AS agree_bits,
+               round({_cosine_sql('a.dv', 'b.dv')}, 6) AS cosine,
+               CAST({agree} * 1000000 // {planes} AS BIGINT) AS est_ppm
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     """
 
 
@@ -4996,6 +5069,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
     sql["t39_containment_audit"] = _containment_sql(k=8, shingle_k=4, bands=4)
+    sql["e17_srp_fidelity"] = _srp_fidelity_sql(dim=64, planes=16)
     sql["e14_norm_profile"] = """
         WITH n AS (
             SELECT CAST(list_sum(list_transform(

@@ -24,6 +24,30 @@ def test_retrieve_context_topk(spark):
     assert all(h.context for h in hits)
 
 
+def test_srp_signature_agreement_invariants(spark):
+    """SRP identity pins behind e17's fidelity audit: identical vectors
+    agree on EVERY plane (agree_bits == planes ⇒ est_ppm == 1e6); a negated
+    vector flips every plane whose projection is nonzero (agree_bits == 0,
+    the θ = π extreme of E[agree/planes] = 1 − θ/π)."""
+    from research_knowledge_graph_spark.operators.similarity import srp_bucket_col
+
+    planes, dim = 16, 8
+    v = [0.137 * i + 0.071 for i in range(dim)]  # no symmetric zeros
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, [-x for x in v])],
+        "vec_id int, embedding array<float>",
+    )
+    sig = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", srp_bucket_col(F.col("embedding"), dim=dim, planes=planes).alias("b")
+        ).collect()
+    }
+    assert sig[0] == sig[1]  # identical vectors: agreement on all planes
+    # negation: every plane bit flips (all 16 projections are nonzero here)
+    assert sig[0] ^ sig[2] == (1 << planes) - 1
+
+
 def test_lsh_recall_vs_bruteforce(spark):
     """SRP-LSH top-k ⊆ plausible neighbors: rank-1 LSH hit must appear in
     brute-force top-10 of the same query (same-bucket rerank is exact)."""
