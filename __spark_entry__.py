@@ -1421,6 +1421,71 @@ def t23_unigram_nll_quality(spark, sf_dir):
     )
 
 
+def t40_bigram_nll_quality(spark, sf_dir):
+    """Bigram language-model negative-log-likelihood per document — t23's
+    quality proxy upgraded one Markov order (the KenLM-style filter real
+    curation stacks run after the unigram pass; word-salad text with
+    plausible unigrams but implausible TRANSITIONS scores high here).
+    p(w₂|w₁) = count(w₁w₂) / count(w₁·) is exact integer corpus counts
+    over ordered adjacent token pairs (the same ≥3-letter tokens as
+    t22/t23, paired AFTER filtering); per-bigram ln p is fixed-pointed to
+    nano units and summed as bigint so the score is bit-identical across
+    partition merge orders, with the single float division once per doc.
+    Docs with <2 kept tokens have no bigrams and drop out (documented).
+    Scale: two hash-aggregates on bigram/prefix string keys + one
+    fact-to-dim join — the dims are vocabulary-sized, AQE decides the
+    strategy (no forced broadcast: bigram vocabulary is unbounded)."""
+    d = _t(spark, sf_dir, "documents")
+    a = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: F.length(w) >= 3
+    )
+    bgs = (
+        d.select(
+            "doc_id",
+            F.when(
+                F.size(a) >= 2,
+                F.transform(
+                    # sequence(1, n) is DESCENDING when n < 1 — the when()
+                    # guard above keeps it strictly ascending here
+                    F.sequence(F.lit(1), F.size(a) - 1),
+                    lambda i: F.concat(
+                        F.element_at(a, i), F.lit(" "), F.element_at(a, i + 1)
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("bg_arr"),
+        )
+        .select("doc_id", F.explode("bg_arr").alias("bg"))
+    )
+    bc = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    pc = (
+        bc.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("n_bg").alias("n_prefix"))
+    )
+    lnp_nano = F.round(
+        F.log(F.col("n_bg") / F.col("n_prefix")) * F.lit(1e9)
+    ).cast("long")
+    ts = bc.join(
+        pc, F.substring_index(bc["bg"], " ", 1) == pc["w1"]
+    ).select("bg", lnp_nano.alias("lnp_nano"))
+    return (
+        bgs.join(ts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lnp_nano").alias("s_nano"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("s_nano") / (F.col("n_bigrams") * F.lit(1e9)), 6
+            ).alias("nll"),
+        )
+    )
+
+
 def v11_event_transition_matrix(spark, sf_dir):
     """Per-user event-type transition counts (the empirical Markov
     matrix behind session-flow analytics): lag the type over each user's
@@ -2818,6 +2883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # e17 SRP fidelity: t35's audit shape over e03's hyperplane sketch,
         # candidates from e02's label-blocked pair frame
         "e17_srp_fidelity": e17_srp_fidelity,
+        # t40 bigram NLL: t23's fixed-point nano-log machinery one Markov
+        # order up (ordered adjacent pairs, conditional p(w2|w1))
+        "t40_bigram_nll_quality": t40_bigram_nll_quality,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4907,6 +4975,40 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum(s.lnp_nano) / (count(*) * 1e9), 6) AS nll
             FROM toks3 t JOIN ts s USING (term)
             GROUP BY t.doc_id
+        """,
+        # t40: same ≥3-letter token filter as t23, paired AFTER filtering;
+        # DuckDB lists are 1-indexed and range(1, n) excludes n, so
+        # a[i] || ' ' || a[i+1] over i ∈ range(1, len(a)) enumerates exactly
+        # the len-1 ordered adjacent pairs
+        "t40_bigram_nll_quality": """
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> len(w) >= 3) AS a
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(a)),
+                                             i -> a[i] || ' ' || a[i+1])) AS bg
+                FROM arr WHERE len(a) >= 2
+            ),
+            bc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
+            pc AS (
+                SELECT split_part(bg, ' ', 1) AS w1, sum(n_bg) AS n_prefix
+                FROM bc GROUP BY 1
+            ),
+            ts AS (
+                SELECT bg,
+                       CAST(round(ln(CAST(n_bg AS DOUBLE) / n_prefix) * 1e9)
+                            AS BIGINT) AS lnp_nano
+                FROM bc JOIN pc ON split_part(bc.bg, ' ', 1) = pc.w1
+            )
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(-sum(s.lnp_nano) / (count(*) * 1e9), 6) AS nll
+            FROM bg b JOIN ts s USING (bg)
+            GROUP BY b.doc_id
         """,
         "v11_event_transition_matrix": """
             WITH lagged AS (

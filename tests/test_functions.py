@@ -207,7 +207,64 @@ def test_winnow_shared_run_guarantee(spark):
     assert not fps[0] & fps[2] and not fps[1] & fps[2]
 
 
-def test_containment_verify_flags_subset_pairs(spark):
+def test_bigram_nll_python_twin(spark, tmp_path):
+    """t40: bit-exact python twin of the fixed-point bigram NLL over a
+    planted corpus — fluent repeated transitions score LOW, word-salad
+    (same unigrams, shuffled order ⇒ novel transitions) scores HIGH, and a
+    doc with <2 kept tokens drops out."""
+    import math
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    texts = {
+        0: "the cat sat on the mat and the cat sat on the mat again",
+        1: "mat the sat cat the on mat and cat the on sat",  # salad
+        2: "hi",  # <2 kept tokens: no bigrams, drops out
+        3: "the cat sat on the mat",
+    }
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id int, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # python twin of the exact arithmetic
+    def toks(t):
+        import re
+        return [w for w in re.split("[^a-z]+", t.lower()) if len(w) >= 3]
+
+    bgs = {i: [f"{a} {b}" for a, b in zip(toks(t), toks(t)[1:])] for i, t in texts.items()}
+    bc: dict[str, int] = {}
+    for lst in bgs.values():
+        for g in lst:
+            bc[g] = bc.get(g, 0) + 1
+    pc: dict[str, int] = {}
+    for g, n in bc.items():
+        pc[g.split(" ")[0]] = pc.get(g.split(" ")[0], 0) + n
+    def rnd(x):  # round half AWAY from zero, like Spark F.round / DuckDB
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    lnp = {
+        g: rnd(math.log(n / pc[g.split(" ")[0]]) * 1e9) for g, n in bc.items()
+    }
+    want = {
+        i: (len(lst), round(-sum(lnp[g] for g in lst) / (len(lst) * 1e9), 6))
+        for i, lst in bgs.items()
+        if lst
+    }
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll)
+        for r in entry.queries()["t40_bigram_nll_quality"](spark, sf).collect()
+    }
+    assert got == want
+    assert 2 not in got  # no-bigram doc dropped
+    assert got[1][1] > got[0][1]  # salad transitions are more surprising
     """containment_verify (t39): a doc that is a strict PREFIX of a longer
     doc has containment exactly 1.0 (every k-shingle of the prefix is a
     substring of the superset doc) while symmetric Jaccard shrinks with the
