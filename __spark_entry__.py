@@ -2301,6 +2301,45 @@ def e17_srp_fidelity(spark, sf_dir):
     )
 
 
+def e18_ann_recall_audit(spark, sf_dir):
+    """In-engine ANN recall@10: per query, how many of the EXACT cosine
+    top-10 (e01's frame verbatim) each approximate path returns — the
+    single-bucket SRP-LSH (e03's config) and the Hamming-1 multi-probe
+    variant (e05's) side by side, recall as an exact floor-ppm integer.
+    This promotes the recall sweep BASELINE.md documents offline to a
+    first-class oracle-gated query: the serving engine measuring its own
+    index's recall, and the multi-probe lift, with no external harness.
+    Scale: the audit frame is bounded (n_queries × k rows per method);
+    the expensive sides are the underlying kNN plans themselves, unchanged."""
+    ex = e01_knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    parts = []
+    for method, fn in (("lsh", e03_knn_lsh), ("multiprobe", e05_knn_lsh_multiprobe)):
+        ap = fn(spark, sf_dir).select(
+            F.col("query_id").alias("q2"), F.col("vec_id").alias("hit_id")
+        )
+        parts.append(
+            ex.join(
+                ap,
+                (F.col("query_id") == F.col("q2"))
+                & (F.col("vec_id") == F.col("hit_id")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.count("hit_id").cast("long").alias("n_hit"),
+            )
+            .select(F.lit(method).alias("method"), "query_id", "n_exact", "n_hit")
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .withColumn(
+            "recall_ppm", F.expr("CAST(n_hit * 1000000L div n_exact AS BIGINT)")
+        )
+    )
+
+
 def g38_pagerank_exact(spark, sf_dir):
     """Exact fixed-point PageRank variant
     (operators/pagerank.py::pagerank_fixed_point) over FOLLOWS∪PLACED —
@@ -2886,6 +2925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t40 bigram NLL: t23's fixed-point nano-log machinery one Markov
         # order up (ordered adjacent pairs, conditional p(w2|w1))
         "t40_bigram_nll_quality": t40_bigram_nll_quality,
+        # e18 ANN recall audit: e01's exact frame vs e03/e05's LSH paths,
+        # recall@10 in exact floor ppm (the BASELINE.md sweep, in-engine)
+        "e18_ann_recall_audit": e18_ann_recall_audit,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -3723,6 +3765,24 @@ def oracle_sql() -> dict[str, str]:
     sh4a, sh4b = _shingles_sql("a.text", 4), _shingles_sql("b.text", 4)
     cos_ab = _cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
     cos_qd = _cosine_sql("qv", "dv")
+
+    # ONE literal for the exact-kNN frame — e01's oracle AND the baseline
+    # side of e18's recall audit, so the exact top-k set cannot drift
+    knn_exact_sql = f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+            d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+            s AS (
+                SELECT query_id, vec_id, round({cos_qd}, 9) AS s9
+                FROM q CROSS JOIN d WHERE query_id <> vec_id
+            ),
+            r AS (
+                SELECT query_id, vec_id, s9,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(s9, 6) AS cosine
+            FROM r WHERE rank <= 10
+        """
 
     sql = {
         "t32_composition_rollup": """
@@ -4682,21 +4742,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node_id, count(*) AS degree FROM und GROUP BY node_id
         """,
-        "e01_knn_bruteforce": f"""
-            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
-            d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-            s AS (
-                SELECT query_id, vec_id, round({cos_qd}, 9) AS s9
-                FROM q CROSS JOIN d WHERE query_id <> vec_id
-            ),
-            r AS (
-                SELECT query_id, vec_id, s9,
-                       row_number() OVER (PARTITION BY query_id ORDER BY s9 DESC, vec_id) AS rank
-                FROM s
-            )
-            SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(s9, 6) AS cosine
-            FROM r WHERE rank <= 10
-        """,
+        "e01_knn_bruteforce": knn_exact_sql,
         "e02_embedding_near_dups": f"""
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({cos_ab}, 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -5172,6 +5218,27 @@ def oracle_sql() -> dict[str, str]:
     sql["t35_minhash_fidelity"] = _minhash_fidelity_sql(k=8, shingle_k=4, bands=4)
     sql["t39_containment_audit"] = _containment_sql(k=8, shingle_k=4, bands=4)
     sql["e17_srp_fidelity"] = _srp_fidelity_sql(dim=64, planes=16)
+
+    def _recall_block(method: str, ap_sql: str) -> str:
+        # e18: exact frame (knn_exact_sql — the SAME literal as e01's
+        # oracle) left-joined to one approximate path's top-k
+        return f"""
+            SELECT '{method}' AS method, ex.query_id,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(count(ap.vec_id) AS BIGINT) AS n_hit,
+                   CAST(count(ap.vec_id) * 1000000 // count(*) AS BIGINT)
+                       AS recall_ppm
+            FROM (SELECT query_id, vec_id FROM ({knn_exact_sql})) ex
+            LEFT JOIN (SELECT query_id, vec_id FROM ({ap_sql})) ap
+              ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+            GROUP BY ex.query_id
+        """
+
+    sql["e18_ann_recall_audit"] = (
+        _recall_block("lsh", _knn_lsh_sql(dim=64, planes=6, k=10))
+        + " UNION ALL "
+        + _recall_block("multiprobe", _knn_lsh_sql(dim=64, planes=6, k=10, hamming=1))
+    )
     sql["e14_norm_profile"] = """
         WITH n AS (
             SELECT CAST(list_sum(list_transform(
