@@ -2340,6 +2340,27 @@ def e18_ann_recall_audit(spark, sf_dir):
     )
 
 
+def v22_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain —
+    where does the user process settle if it runs forever? Four exact
+    bigint power-iteration rounds (operators/pagerank.py::
+    markov_stationary_fixed_point) over v11's transition counts (the SAME
+    frame, composed directly, so one definition of "transition"); every
+    round is (π·n) div n_out floor arithmetic, so the result unrolls as a
+    DuckDB CTE cascade and hash-compares exactly — the g38/g41 fixed-point
+    playbook applied to a row-stochastic chain. Sink types drop mass
+    (documented in the operator); the state space is schema-bounded, so
+    the iteration is join work over ~|types|² rows — the corpus-sized scan
+    happened once in v11's aggregation."""
+    from research_knowledge_graph_spark.operators.pagerank import (
+        markov_stationary_fixed_point,
+    )
+
+    return markov_stationary_fixed_point(
+        v11_event_transition_matrix(spark, sf_dir), iters=4
+    )
+
+
 def g38_pagerank_exact(spark, sf_dir):
     """Exact fixed-point PageRank variant
     (operators/pagerank.py::pagerank_fixed_point) over FOLLOWS∪PLACED —
@@ -2928,6 +2949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # e18 ANN recall audit: e01's exact frame vs e03/e05's LSH paths,
         # recall@10 in exact floor ppm (the BASELINE.md sweep, in-engine)
         "e18_ann_recall_audit": e18_ann_recall_audit,
+        # v22 Markov stationary: the g38 fixed-point cascade over v11's
+        # transition matrix (shared _TRANSITIONS_SQL literal)
+        "v22_markov_stationary": v22_markov_stationary,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -3344,6 +3368,58 @@ SELECT d.doc_id,
   COALESCE(c.n_chunks, CASE WHEN d.text IS NULL THEN 0 ELSE 1 END) AS n_chunks
 FROM documents d LEFT JOIN counts c USING (doc_id)
 """
+
+
+# ONE literal for the per-user event-type transition counts — v11's oracle
+# AND the transition block of v22's stationary cascade, so the chain
+# definition cannot drift between them
+_TRANSITIONS_SQL = """
+            WITH lagged AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   count(*) AS n_transitions
+            FROM lagged WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """
+
+
+def _markov_stationary_sql(iters: int = 4) -> str:
+    """v22's oracle: the fixed-point power-iteration rounds unrolled as a
+    CTE cascade over v11's transition counts (the SAME _TRANSITIONS_SQL
+    literal) — per round one (π·n) // n_out contribution sum and one
+    coalescing update, exactly the operator's bigint arithmetic."""
+    parts = [
+        "t AS MATERIALIZED (SELECT from_type AS src, to_type AS dst,"
+        f" CAST(n_transitions AS BIGINT) AS n FROM ({_TRANSITIONS_SQL}))",
+        "states AS MATERIALIZED (SELECT src AS sid FROM t"
+        " UNION SELECT dst FROM t)",
+        "rt AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS n_out"
+        " FROM t GROUP BY src)",
+        "p0 AS MATERIALIZED (SELECT sid, CAST(1000000000 AS BIGINT) AS p"
+        " FROM states)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT t.dst AS sid,"
+            f" sum((p{i - 1}.p * t.n) // rt.n_out) AS s"
+            f" FROM t JOIN p{i - 1} ON p{i - 1}.sid = t.src"
+            f" JOIN rt ON rt.src = t.src GROUP BY t.dst)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT s.sid,"
+            f" CAST(COALESCE(c{i}.s, 0) AS BIGINT) AS p"
+            f" FROM states s LEFT JOIN c{i} USING (sid))"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT sid AS state, p AS pi_nano FROM p{iters}"
+    )
 
 
 def _pagerank_exact_sql(iters: int = 3, seeds: list[str] | None = None) -> str:
@@ -5056,19 +5132,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bg b JOIN ts s USING (bg)
             GROUP BY b.doc_id
         """,
-        "v11_event_transition_matrix": """
-            WITH lagged AS (
-                SELECT event_type,
-                       lag(event_type) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS prev_type
-                FROM events
-            )
-            SELECT prev_type AS from_type, event_type AS to_type,
-                   count(*) AS n_transitions
-            FROM lagged WHERE prev_type IS NOT NULL
-            GROUP BY prev_type, event_type
-        """,
+        "v11_event_transition_matrix": _TRANSITIONS_SQL,
         "e07_hybrid_search_rrf": f"""
             WITH lex AS (
                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -5239,6 +5303,7 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL "
         + _recall_block("multiprobe", _knn_lsh_sql(dim=64, planes=6, k=10, hamming=1))
     )
+    sql["v22_markov_stationary"] = _markov_stationary_sql(iters=4)
     sql["e14_norm_profile"] = """
         WITH n AS (
             SELECT CAST(list_sum(list_transform(

@@ -424,3 +424,63 @@ def pagerank_fixed_point(
             .alias("p"),
         )
     return p.select(F.col("nid").alias("node_id"), F.col("p").alias("rank_nano"))
+
+
+def markov_stationary_fixed_point(
+    trans: DataFrame,
+    iters: int = 4,
+    src_col: str = "from_type",
+    dst_col: str = "to_type",
+    n_col: str = "n_transitions",
+) -> DataFrame:
+    """Exact-integer power iteration toward the stationary distribution of
+    an empirical Markov chain given as transition COUNTS (src, dst, n).
+    π₀(s) = 10⁹; per round ``π(t) ← Σ_s (π(s)·n(s→t)) div n(s·)`` — every
+    operation a non-negative bigint multiply + floor division, so a fixed
+    iteration count is bit-reproducible across engines and unrolls as a
+    CTE cascade (the :func:`pagerank_fixed_point` playbook applied to a
+    row-stochastic matrix instead of a column-normalized graph).
+
+    Two documented deviations from the exact chain, both fine for the
+    where-does-the-process-settle read this serves: floor rounding loses
+    ≤1 nano-unit per (s,t) term per round, and SINK states (a type that
+    only ever ends sequences, so it has no outgoing transitions) drop
+    their mass rather than self-looping — the same dangling-mass choice
+    as :func:`pagerank_fixed_point`, so Σπ is non-increasing rather than
+    constant. Overflow: the binding intermediate is ``π(s)·n(s→t)`` with
+    ``π(s) ≤ S·10⁹`` (S = state count, mass can concentrate); int64-safe
+    while ``S·n_max ≤ 9·10⁸·10⁹/10⁹ ≈ 9·10⁹`` — e.g. 20 states with up
+    to ~4·10⁸ transitions per cell. Larger corpora scale π₀ down (the
+    distribution is scale-invariant up to floor rounding); ANSI mode
+    fails loudly, never wraps.
+
+    Scale: the state space is BOUNDED (event types / labels / languages —
+    schema-sized, not corpus-sized), so per round this is one tiny
+    equi-join + map-side-combinable sum; the corpus-sized work happened
+    upstream when the transition counts were aggregated once."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    t = trans.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(n_col).cast("long").alias("n"),
+    )
+    states = (
+        t.select(F.col("src").alias("sid"))
+        .unionByName(t.select(F.col("dst").alias("sid")))
+        .distinct()
+    )
+    rt = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_out"))
+    p = states.select("sid", F.lit(10**9).cast("long").alias("p"))
+    for _ in range(iters):
+        contrib = (
+            t.join(p, p.sid == t.src)
+            .join(rt, "src")
+            .select("dst", F.expr("(p * n) div n_out").alias("val"))
+            .groupBy("dst")
+            .agg(F.sum("val").cast("long").alias("s"))
+        )
+        p = states.join(contrib, states.sid == contrib.dst, "left").select(
+            "sid", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("p")
+        )
+    return p.select(F.col("sid").alias("state"), F.col("p").alias("pi_nano"))

@@ -422,3 +422,40 @@ def test_ppr_fixed_point_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         pagerank_fixed_point(e, iters=1, seeds=[])
+
+
+def test_markov_stationary_fixed_point_twin(spark):
+    """v22's operator vs a python-int twin on a hand-built chain with a
+    SINK state: identical pi_nano per state at every checked depth, mass
+    non-increasing (floor rounding + sink leakage), iters validated."""
+    import pytest
+
+    from research_knowledge_graph_spark.operators.pagerank import (
+        markov_stationary_fixed_point,
+    )
+
+    # a->a heavy self-loop, a<->b exchange, c is a pure sink (no out-row)
+    rows = [("a", "a", 6), ("a", "b", 2), ("b", "a", 3), ("a", "c", 2), ("b", "c", 1)]
+    trans = spark.createDataFrame(
+        rows, "from_type string, to_type string, n_transitions long"
+    )
+
+    def twin(iters):
+        out_tot = {"a": 10, "b": 4}
+        p = {s: 10**9 for s in ("a", "b", "c")}
+        for _ in range(iters):
+            nxt = {s: 0 for s in p}
+            for s, t, n in rows:
+                nxt[t] += p[s] * n // out_tot[s]
+            p = nxt
+        return p
+
+    for iters in (1, 4):
+        got = {
+            r.state: r.pi_nano
+            for r in markov_stationary_fixed_point(trans, iters=iters).collect()
+        }
+        assert got == twin(iters), f"iters={iters}"
+    assert sum(twin(4).values()) < sum(twin(1).values()) <= 3 * 10**9
+    with pytest.raises(ValueError):
+        markov_stationary_fixed_point(trans, iters=0)
