@@ -2660,6 +2660,21 @@ def t37_vocab_coverage(spark, sf_dir):
     return vocab_coverage(_t(spark, sf_dir, "documents"), top_n=100)
 
 
+def t41_term_burstiness(spark, sf_dir):
+    """Church/Gale term-burstiness profile
+    (operators/curation.py::term_burstiness): per top-100 corpus term, the
+    variance-to-mean ratio of its per-document count (zeros included) in
+    exact floor-ppm fixed point — low-VMR terms spread evenly (boilerplate
+    / stopword candidates), high-VMR terms burst inside the documents
+    that are about them (the topical signal). Same tokenizer and
+    (freq DESC, token ASC) total order as t37's coverage curve; the VMR
+    reduces to all-integer N·SS − S² arithmetic with a non-negative
+    dividend, so the profile hash-compares bit-exactly."""
+    from research_knowledge_graph_spark.operators.curation import term_burstiness
+
+    return term_burstiness(_t(spark, sf_dir, "documents"), top_n=100)
+
+
 def g43_graph_summary(spark, sf_dir):
     """One-row graph summary card of the order co-usage graph — nodes,
     edges, wedges (Σ d·(d−1)/2), triangles, max degree and global
@@ -2952,6 +2967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v22 Markov stationary: the g38 fixed-point cascade over v11's
         # transition matrix (shared _TRANSITIONS_SQL literal)
         "v22_markov_stationary": v22_markov_stationary,
+        # t41 burstiness: t37's tokenizer + top-N order, VMR as exact
+        # N·SS − S² integer arithmetic (boilerplate-vs-topical split)
+        "t41_term_burstiness": t41_term_burstiness,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4435,6 +4453,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT "rank", token, freq,
                    CAST(1000000 * cum_freq // total_tokens AS BIGINT) AS cum_ppm
             FROM r, tot
+        """,
+        # t41: same tokenizer + (freq DESC, token ASC) order as t37; VMR
+        # over all docs (zeros included) as N·SS − S² integer arithmetic —
+        # the dividend is non-negative by Cauchy–Schwarz, so // == div
+        "t41_term_burstiness": f"""
+            WITH per AS (
+                SELECT doc_id, unnest({_TOKENS.format(col="lower(text)")}) AS token
+                FROM documents
+            ),
+            pc AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+                FROM per GROUP BY doc_id, token
+            ),
+            st AS (
+                SELECT token,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(c) AS BIGINT) AS freq,
+                       CAST(sum(c * c) AS BIGINT) AS sq_freq
+                FROM pc GROUP BY token
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+            top AS (
+                SELECT token, n_docs, freq, sq_freq,
+                       CAST(row_number() OVER (ORDER BY freq DESC, token)
+                            AS BIGINT) AS "rank"
+                FROM st ORDER BY freq DESC, token LIMIT 100
+            )
+            SELECT "rank", token, n_docs, freq, sq_freq,
+                   CAST((n_corpus * sq_freq - freq * freq) * 1000000
+                        // (n_corpus * freq) AS BIGINT) AS vmr_ppm
+            FROM top, n
         """,
         # t38: same whitespace token count as t18/t36; uniform target =
         # total div n_sources; every division non-negative floor

@@ -621,3 +621,65 @@ def vocab_coverage(
             .alias("cum_ppm"),
         )
     )
+
+
+def term_burstiness(
+    docs: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Term burstiness profile — the Church/Gale dispersion read that
+    separates BOILERPLATE vocabulary (spread thinly and evenly across
+    documents, variance-to-mean ≈ or below 1) from TOPICAL vocabulary
+    (concentrated in bursts inside the documents that are about it,
+    VMR ≫ 1): for each of the top-N corpus terms, the variance-to-mean
+    ratio of its per-document count over ALL documents (zeros included),
+    in exact floor-ppm fixed point. Curation uses the split both ways:
+    low-VMR heads are stopword/boilerplate candidates, high-VMR terms are
+    the topical signal quality scoring should not strip.
+
+    VMR over all N docs reduces to integers: mean = S/N, N²·var =
+    N·SS − S² (zero-count docs add nothing to SS), so
+    ``vmr_ppm = (N·SS − S²)·10⁶ div (N·S)`` — the dividend is
+    non-negative by Cauchy–Schwarz, so Spark ``div`` == DuckDB ``//``
+    bit-exactly. Overflow: the binding terms are ``S²`` and ``10⁶·N·SS``
+    (S = corpus frequency of the term, SS ≤ S·c_max): int64-safe while
+    S ≤ 3·10⁹ and N·SS ≤ 9·10¹² — beyond that compute per stratum or
+    widen to DECIMAL; ANSI mode fails loudly, never wraps.
+
+    Returns (rank, token, n_docs, freq, sq_freq, vmr_ppm) on the total
+    order (freq DESC, token ASC) — deterministic ranks and top-N
+    boundary. Tokens via :func:`_tokens_col` (the ONE shared tokenizer).
+
+    Scale: per-(doc, term) counts reduce map-side before the term-keyed
+    aggregate; the doc-count scalar is a 1-row broadcast; the ordered
+    top-N is a TakeOrdered (per-partition heaps) and the only window runs
+    on the ≤ top_n bounded frame. No joins beyond the 1-row broadcast."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    per = (
+        docs.select("doc_id", F.explode(_tokens_col(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = per.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("freq"),
+        F.sum(F.expr("c * c")).cast("long").alias("sq_freq"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    top = stats.orderBy(F.desc("freq"), "token").limit(top_n)
+    order = Window.orderBy(F.desc("freq"), "token")
+    return (
+        top.withColumn("rank", F.row_number().over(order).cast("bigint"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rank",
+            "token",
+            "n_docs",
+            "freq",
+            "sq_freq",
+            F.expr(
+                "CAST((n_corpus * sq_freq - freq * freq) * 1000000L"
+                " div (n_corpus * freq) AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+    )

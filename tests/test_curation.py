@@ -299,3 +299,34 @@ def test_length_quality_correlation_numpy_pin(spark):
     expected = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
     assert got["A"].n_docs == 3
     assert abs(got["A"].len_quality_corr - expected) < 1e-6
+
+
+def test_term_burstiness_separates_boilerplate_from_topical(spark):
+    """t41: a term appearing once in EVERY doc has zero variance (vmr 0);
+    a term bursting 5x inside one doc scores VMR = 3.75 (hand-computed
+    N·SS − S² arithmetic); ranks follow (freq DESC, token ASC)."""
+    import pytest
+
+    from research_knowledge_graph_spark.operators.curation import term_burstiness
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common topic topic topic topic topic"),
+            (1, "common filler"),
+            (2, "common filler"),
+            (3, "common filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.token: r for r in term_burstiness(docs, top_n=10).collect()}
+    # boilerplate: c=1 in all 4 docs -> S=4, SS=4, N=4 -> (16-16)=0
+    assert got["common"].vmr_ppm == 0
+    assert (got["common"].n_docs, got["common"].freq, got["common"].sq_freq) == (4, 4, 4)
+    # topical burst: S=5, SS=25, N=4 -> (100-25)*1e6 // 20 = 3_750_000
+    assert got["topic"].vmr_ppm == 3_750_000
+    # ranks on (freq DESC, token ASC): topic(5) > common(4) > filler(3)
+    assert [r.token for r in sorted(got.values(), key=lambda r: r.rank)] == [
+        "topic", "common", "filler",
+    ]
+    with pytest.raises(ValueError):
+        term_burstiness(docs, top_n=0)
