@@ -2943,7 +2943,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # definition, shared oracle CTE literal).
         # t38 mixture rates (t32's composition agg feeding the t11
         # sampler's rate contract), v21 cohort matrix (v08's retention
-        # machinery at week granularity, v19's exact day arithmetic).
+        # machinery at week granularity, v19's exact day arithmetic),
+        # t39 containment (t07/t35's shared minhash CTE blocks), e17 SRP
+        # fidelity (e02's pair frame + e03's hyperplane construction),
+        # t40 bigram NLL (t23's fixed-point log machinery), e18 recall
+        # audit (e01's exact frame — shared literal — vs e03/e05), v22
+        # Markov stationary (v11's shared transition literal + the
+        # g38-cascade arithmetic), t41 burstiness (t37's tokenizer/order).
         "t36_sequence_packing": t36_sequence_packing,
         "t37_vocab_coverage": t37_vocab_coverage,
         "g43_graph_summary": g43_graph_summary,
