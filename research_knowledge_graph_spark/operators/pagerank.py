@@ -448,8 +448,9 @@ def markov_stationary_fixed_point(
     their mass rather than self-looping — the same dangling-mass choice
     as :func:`pagerank_fixed_point`, so Σπ is non-increasing rather than
     constant. Overflow: the binding intermediate is ``π(s)·n(s→t)`` with
-    ``π(s) ≤ S·10⁹`` (S = state count, mass can concentrate); int64-safe
-    while ``S·n_max ≤ 9·10⁸·10⁹/10⁹ ≈ 9·10⁹`` — e.g. 20 states with up
+    ``π(s) ≤ S·10⁹`` (S = state count, mass can concentrate), so the
+    product is ≤ ``S·10⁹·n_max``; int64 (≈9.2·10¹⁸) is safe while
+    ``S·n_max ≤ 9·10⁹`` — e.g. 20 states with up
     to ~4·10⁸ transitions per cell. Larger corpora scale π₀ down (the
     distribution is scale-invariant up to floor rounding); ANSI mode
     fails loudly, never wraps.

@@ -4,6 +4,7 @@ expression-vs-Python-twin property checks."""
 
 from __future__ import annotations
 
+import os
 import random
 import string
 
@@ -216,9 +217,10 @@ def test_bigram_nll_python_twin(spark, tmp_path):
 
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
     )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
 
@@ -265,6 +267,9 @@ def test_bigram_nll_python_twin(spark, tmp_path):
     assert got == want
     assert 2 not in got  # no-bigram doc dropped
     assert got[1][1] > got[0][1]  # salad transitions are more surprising
+
+
+def test_containment_verify_flags_subset_pairs(spark):
     """containment_verify (t39): a doc that is a strict PREFIX of a longer
     doc has containment exactly 1.0 (every k-shingle of the prefix is a
     substring of the superset doc) while symmetric Jaccard shrinks with the
