@@ -1325,13 +1325,15 @@ def v10_funnel_conversion(spark, sf_dir):
     )
 
 
-def _tok3(d: DataFrame) -> DataFrame:
-    """The shared t22/t23 corpus tokenizer: lower + split on runs of
+def _tok3(d: DataFrame, cols: tuple = ("doc_id",)) -> DataFrame:
+    """The shared t22/t23/t42 corpus tokenizer: lower + split on runs of
     non-letters, keep terms of ≥3 chars. ONE definition on each side
     (this for Spark, _TOK3_CTE for the DuckDB oracles) so the two
-    entries cannot drift from their oracles independently."""
+    entries cannot drift from their oracles independently. `cols` lets a
+    caller carry extra key columns (t42 carries `source`) through the
+    SAME tokenize expression instead of re-joining them on afterwards."""
     return d.select(
-        "doc_id",
+        *cols,
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
     ).filter(F.length("term") >= 3)
 
@@ -1343,6 +1345,13 @@ _TOK3_CTE = """toks AS (
                 FROM documents
             ),
             toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3)"""
+
+# source-carrying variant for t42 — derived MECHANICALLY from the one
+# _TOK3_CTE literal (not a second hand-written copy) so the tokenizer
+# definition still cannot drift between the three entries.
+_TOK3_SRC_CTE = _TOK3_CTE.replace(
+    "SELECT doc_id,\n", "SELECT doc_id, source,\n"
+).replace("SELECT doc_id, term FROM toks", "SELECT doc_id, source, term FROM toks")
 
 
 def t22_tfidf_keywords(spark, sf_dir):
@@ -2675,6 +2684,63 @@ def t41_term_burstiness(spark, sf_dir):
     return term_burstiness(_t(spark, sf_dir, "documents"), top_n=100)
 
 
+def t42_source_kl_drift(spark, sf_dir):
+    """Per-source unigram KL divergence vs the whole corpus — the
+    distribution-drift audit a training-data mixer runs before blending
+    sources: KL(P_source ‖ P_corpus) in nats says how far each source's
+    vocabulary usage sits from the blend it is entering (t30 answers the
+    SET-overlap question; this weighs the shared terms by how differently
+    they are USED). All probabilities are exact integer count ratios:
+    per (source, term) the log ratio ln(c_st·n / (n_s·c_t)) is computed
+    once in double (both factors cast to double BEFORE multiplying so the
+    product cannot overflow bigint on either engine, IEEE-identical
+    operand order cross-engine), fixed-pointed to nano units, and the
+    KL sum Σ c_st·ln_nano accumulates as bigint — bit-identical under any
+    partition merge order (the t23 rule); the single float division per
+    source happens once at the end. A single-source corpus scores exactly
+    0.0 (c_st==c_t and n_s==n make the double ratio exactly 1.0).
+    Scale: one tokenize scan → (source, term) hash-agg with map-side
+    combine; c_t reduces FROM c_st (no second corpus scan); the
+    per-source totals dim is #sources rows — unbounded at web scale
+    (sources are domains), so no broadcast hint, AQE decides (the t10
+    rule). Overflow: |ln ratio|·10⁹ ≤ ~28·10⁹ at n=10¹², so the weighted
+    term binds at c_st ≈ 3·10⁸ and the per-source sum at n_s ≈ 3·10⁸
+    tokens/source — beyond that ANSI fails loudly; rescale to micro units
+    for the 100-TB run. Tokenizer is the shared _tok3 (t22/t23), carrying
+    `source` through the one explode instead of re-joining it on."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tok3(d, cols=("doc_id", "source"))
+    cst = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    ct = cst.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = cst.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("n_terms")
+    )
+    # 1-row corpus total: broadcast bounded by construction
+    n = ct.agg(F.sum("c_t").alias("n_total"))
+    ratio = (F.col("c_st").cast("double") * F.col("n_total").cast("double")) / (
+        F.col("n_s").cast("double") * F.col("c_t").cast("double")
+    )
+    ln_nano = F.round(F.log(ratio) * F.lit(1e9)).cast("long")
+    ksum = (
+        cst.join(ct, "term")
+        .join(ns.select("source", "n_s"), "source")
+        .crossJoin(F.broadcast(n))
+        .select("source", (F.col("c_st") * ln_nano).alias("w"))
+        .groupBy("source")
+        .agg(F.sum("w").alias("s_nano"))
+    )
+    return ksum.join(ns, "source").select(
+        "source",
+        "n_s",
+        "n_terms",
+        F.round(F.col("s_nano") / (F.col("n_s") * F.lit(1e9)), 6).alias(
+            "kl_nats"
+        ),
+    )
+
+
 def g43_graph_summary(spark, sf_dir):
     """One-row graph summary card of the order co-usage graph — nodes,
     edges, wedges (Σ d·(d−1)/2), triangles, max degree and global
@@ -2976,6 +3042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t41 burstiness: t37's tokenizer + top-N order, VMR as exact
         # N·SS − S² integer arithmetic (boilerplate-vs-topical split)
         "t41_term_burstiness": t41_term_burstiness,
+        # t42 source KL drift: t23's fixed-point ln machinery over the
+        # shared _tok3 tokenizer, distribution-drift next to t30's
+        # set-overlap read
+        "t42_source_kl_drift": t42_source_kl_drift,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4490,6 +4560,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_corpus * sq_freq - freq * freq) * 1000000
                         // (n_corpus * freq) AS BIGINT) AS vmr_ppm
             FROM top, n
+        """,
+        # t42: shared _tok3 tokenizer (source-carrying variant derived
+        # from the ONE literal); ln ratio with double casts BEFORE the
+        # products (IEEE-identical operand order to the Spark side),
+        # nano fixed-point weighted sum as exact bigint (the t23 rule)
+        "t42_source_kl_drift": f"""
+            WITH {_TOK3_SRC_CTE},
+            cst AS (
+                SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+                FROM toks3 GROUP BY source, term
+            ),
+            ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term),
+            ns AS (
+                SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM cst GROUP BY source
+            ),
+            n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM ct),
+            w AS (
+                SELECT cst.source,
+                       cst.c_st * CAST(round(ln(
+                           (CAST(cst.c_st AS DOUBLE) * CAST(n.n_total AS DOUBLE))
+                           / (CAST(ns.n_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE))
+                       ) * 1e9) AS BIGINT) AS w
+                FROM cst
+                JOIN ct USING (term)
+                JOIN ns USING (source)
+                CROSS JOIN n
+            ),
+            ks AS (SELECT source, CAST(sum(w) AS BIGINT) AS s_nano FROM w GROUP BY source)
+            SELECT ns.source, ns.n_s, ns.n_terms,
+                   round(ks.s_nano / (ns.n_s * 1e9), 6) AS kl_nats
+            FROM ks JOIN ns USING (source)
         """,
         # t38: same whitespace token count as t18/t36; uniform target =
         # total div n_sources; every division non-negative floor

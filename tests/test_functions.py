@@ -269,6 +269,78 @@ def test_bigram_nll_python_twin(spark, tmp_path):
     assert got[1][1] > got[0][1]  # salad transitions are more surprising
 
 
+def test_source_kl_python_twin(spark, tmp_path):
+    """t42: bit-exact python twin of the fixed-point per-source KL drift
+    over a planted corpus — a source whose term usage matches the corpus
+    blend scores near 0, a vocabulary-skewed source scores strictly
+    higher, and a SINGLE-source corpus scores exactly 0.0 (the double
+    ratio is exactly 1.0 term by term)."""
+    import importlib.util
+    import math
+    import re
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    def run(rows):
+        sf = str(tmp_path / f"kl{len(rows)}")
+        os.makedirs(sf, exist_ok=True)
+        spark.createDataFrame(
+            rows, "doc_id int, text string, source string"
+        ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        return {
+            r.source: (r.n_s, r.n_terms, r.kl_nats)
+            for r in entry.queries()["t42_source_kl_drift"](spark, sf).collect()
+        }
+
+    # single-source corpus: KL is exactly 0.0, no float residue
+    got1 = run([(0, "alpha beta beta gamma", "solo"), (1, "alpha gamma", "solo")])
+    assert got1 == {"solo": (6, 3, 0.0)}
+
+    # two sources, one skewed: python-int twin of the whole cascade
+    rows = [
+        (0, "alpha beta gamma delta", "even"),
+        (1, "alpha beta gamma delta", "even"),
+        (2, "alpha alpha alpha alpha alpha beta", "skew"),
+    ]
+
+    def toks(t):
+        return [w for w in re.split("[^a-z]+", t.lower()) if len(w) >= 3]
+
+    cst: dict[tuple, int] = {}
+    for _, t, s in rows:
+        for w in toks(t):
+            cst[(s, w)] = cst.get((s, w), 0) + 1
+    ct: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    nt: dict[str, int] = {}
+    for (s, w), c in cst.items():
+        ct[w] = ct.get(w, 0) + c
+        ns[s] = ns.get(s, 0) + c
+        nt[s] = nt.get(s, 0) + 1
+    n = sum(ct.values())
+
+    def rnd(x):  # round half AWAY from zero, like Spark F.round / DuckDB
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    snano: dict[str, int] = {}
+    for (s, w), c in cst.items():
+        ln_nano = rnd(
+            math.log((float(c) * float(n)) / (float(ns[s]) * float(ct[w]))) * 1e9
+        )
+        snano[s] = snano.get(s, 0) + c * ln_nano
+    want = {
+        s: (ns[s], nt[s], round(snano[s] / (ns[s] * 1e9), 6)) for s in ns
+    }
+    got2 = run(rows)
+    assert got2 == want
+    assert got2["skew"][2] > got2["even"][2] > 0
+
+
 def test_containment_verify_flags_subset_pairs(spark):
     """containment_verify (t39): a doc that is a strict PREFIX of a longer
     doc has containment exactly 1.0 (every k-shingle of the prefix is a
