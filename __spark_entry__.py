@@ -2349,6 +2349,70 @@ def e18_ann_recall_audit(spark, sf_dir):
     )
 
 
+def v23_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic engagement-scoring grid every growth stack runs over an
+    event log: per user, days since last event (vs the corpus's last
+    active day, so the score is data-anchored and reproducible),
+    lifetime event count, lifetime value in EXACT integer cents
+    (per-event ``round(value·100)`` cast to bigint BEFORE the sum — a
+    double sum would drift with partition merge order, the t23 rule),
+    each mapped to its exact population quartile. Quartiles use the
+    rank formula ``q = ((rank−1)·4) div n + 1`` over the TOTAL order
+    (metric, user_id) — no ntile(), whose tie placement differs across
+    engines; recency ranks r_days DESC so quartile 4 always reads "best"
+    (most recent / most frequent / highest value) on all three axes.
+    rfm_code packs the three digits (e.g. 444 = champion, 111 = churned
+    one-timer). NULL ts dropped up front (the v16 rule).
+
+    Scale: the per-user reduce is one map-side-combinable hash-agg; the
+    three rank windows run on the REDUCED #users frame (the v17 rule) —
+    at extreme user cardinality replace each with a two-pass histogram
+    prefix-rank over the small-integer metric values (r_days and
+    f_events are bounded; cents can bucket), same exact quartiles. The
+    1-row anchor/count dims broadcast by construction."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("f_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("m_cents"),
+    )
+    anchor = per.agg(F.max("last_day").alias("corpus_last_day"))
+    base = per.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("corpus_last_day", "last_day").cast("long").alias("r_days"),
+        "f_events",
+        "m_cents",
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    wr = Window.orderBy(F.desc("r_days"), F.asc("user_id"))
+    wf = Window.orderBy(F.asc("f_events"), F.asc("user_id"))
+    wm = Window.orderBy(F.asc("m_cents"), F.asc("user_id"))
+    ranked = (
+        base.withColumn("ri", F.row_number().over(wr).cast("long"))
+        .withColumn("fi", F.row_number().over(wf).cast("long"))
+        .withColumn("mi", F.row_number().over(wm).cast("long"))
+        .crossJoin(F.broadcast(nrow))
+    )
+    return ranked.select(
+        "user_id",
+        "r_days",
+        "f_events",
+        "m_cents",
+        F.expr("((ri - 1) * 4) div n_users + 1").cast("long").alias("r_q"),
+        F.expr("((fi - 1) * 4) div n_users + 1").cast("long").alias("f_q"),
+        F.expr("((mi - 1) * 4) div n_users + 1").cast("long").alias("m_q"),
+        F.expr(
+            "(((ri - 1) * 4) div n_users + 1) * 100"
+            " + (((fi - 1) * 4) div n_users + 1) * 10"
+            " + (((mi - 1) * 4) div n_users + 1)"
+        )
+        .cast("long")
+        .alias("rfm_code"),
+    )
+
+
 def v22_markov_stationary(spark, sf_dir):
     """Stationary distribution of the per-user event-type Markov chain —
     where does the user process settle if it runs forever? Four exact
@@ -3046,6 +3110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared _tok3 tokenizer, distribution-drift next to t30's
         # set-overlap read
         "t42_source_kl_drift": t42_source_kl_drift,
+        # v23 RFM segmentation: v19's exact day arithmetic + v17's
+        # reduced-frame rank windows, quartiles by rank formula (no ntile)
+        "v23_rfm_segments": v23_rfm_segments,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5555,6 +5622,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * n_edges_gt * 1000000
                     // (n_nodes_gt * (n_nodes_gt - 1)) AS BIGINT) AS phi_ppm
         FROM s WHERE n_nodes_gt >= 2
+    """
+    # v23: exact integer cents summed as bigint, quartiles via the rank
+    # formula over a (metric, user_id) total order — no ntile()
+    sql["v23_rfm_segments"] = """
+        WITH per AS (
+            SELECT user_id,
+                   max(CAST(ts AS DATE)) AS last_day,
+                   CAST(count(*) AS BIGINT) AS f_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+            FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        ),
+        anchor AS (SELECT max(last_day) AS corpus_last_day FROM per),
+        base AS (
+            SELECT user_id,
+                   CAST(date_diff('day', last_day, corpus_last_day) AS BIGINT) AS r_days,
+                   f_events, m_cents
+            FROM per, anchor
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM base),
+        rk AS (
+            SELECT user_id, r_days, f_events, m_cents,
+                   CAST(row_number() OVER (ORDER BY r_days DESC, user_id) AS BIGINT) AS ri,
+                   CAST(row_number() OVER (ORDER BY f_events, user_id) AS BIGINT) AS fi,
+                   CAST(row_number() OVER (ORDER BY m_cents, user_id) AS BIGINT) AS mi
+            FROM base
+        )
+        SELECT user_id, r_days, f_events, m_cents,
+               CAST((ri - 1) * 4 // n_users + 1 AS BIGINT) AS r_q,
+               CAST((fi - 1) * 4 // n_users + 1 AS BIGINT) AS f_q,
+               CAST((mi - 1) * 4 // n_users + 1 AS BIGINT) AS m_q,
+               CAST(((ri - 1) * 4 // n_users + 1) * 100
+                    + ((fi - 1) * 4 // n_users + 1) * 10
+                    + ((mi - 1) * 4 // n_users + 1) AS BIGINT) AS rfm_code
+        FROM rk, n
     """
     sql["v19_user_tenure"] = """
         WITH pu AS (

@@ -341,6 +341,51 @@ def test_source_kl_python_twin(spark, tmp_path):
     assert got2["skew"][2] > got2["even"][2] > 0
 
 
+def test_rfm_segments_pinned(spark, tmp_path):
+    """v23: hand-computed RFM grid over 4 planted users — the champion
+    (most recent / most frequent / highest spend) lands exactly 444, the
+    churned one-timer exactly 111, cents are exact integers (19.99 →
+    1999, no float residue), and recency is anchored to the corpus's
+    last active day (the champion's r_days == 0)."""
+    import datetime as dt
+    import importlib.util
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    def ts(day):
+        return dt.datetime(2024, 1, day, 12, 0, 0)
+
+    # user 1: churned one-timer; 2,3 middle; 4 champion (4 events, last
+    # day 9 = corpus anchor, biggest spend). Metrics all distinct, so
+    # each quartile holds exactly one user: q = rank 1..4.
+    rows = [
+        (1, ts(1), 10.00),
+        (2, ts(3), 19.99), (2, ts(4), 0.01),
+        (3, ts(6), 30.00), (3, ts(6), 5.00), (3, ts(7), 5.00),
+        (4, ts(2), 25.00), (4, ts(5), 25.00), (4, ts(8), 25.00), (4, ts(9), 25.01),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows],
+        "user_id long, ts timestamp, value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.user_id: (r.r_days, r.f_events, r.m_cents, r.rfm_code)
+        for r in entry.queries()["v23_rfm_segments"](spark, sf).collect()
+    }
+    assert got == {
+        1: (8, 1, 1000, 111),
+        2: (5, 2, 2000, 222),
+        3: (2, 3, 4000, 333),
+        4: (0, 4, 10001, 444),
+    }
+
+
 def test_containment_verify_flags_subset_pairs(spark):
     """containment_verify (t39): a doc that is a strict PREFIX of a longer
     doc has containment exactly 1.0 (every k-shingle of the prefix is a
