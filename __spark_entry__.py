@@ -2512,6 +2512,25 @@ def g40_link_prediction(spark, sf_dir):
     )
 
 
+def e19_silhouette(spark, sf_dir):
+    """Per-label simplified silhouette
+    (operators/similarity.py::silhouette_audit): the clustering-quality
+    score — how much closer does each vector sit to its own label's
+    prototype than to the nearest foreign one — in exact per-mille fixed
+    point, with n_negative counting the misassignment candidates (the
+    per-vector view of e12's confusion matrix, the per-label view of
+    e13's centroid-separation read). Centroid-based simplified form, NOT
+    the O(N²) all-pairs classic — the only silhouette that scales.
+    Shares the e10 distance trunk on both sides (ONE definition of
+    vector × centroid distance; the oracle composes the same
+    _CENT_DIST_CTES literal)."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        silhouette_audit,
+    )
+
+    return silhouette_audit(_t(spark, sf_dir, "embeddings"))
+
+
 def e13_centroid_separation(spark, sf_dir):
     """Cluster-separation audit
     (operators/similarity.py::centroid_separation): each label's nearest
@@ -3113,6 +3132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v23 RFM segmentation: v19's exact day arithmetic + v17's
         # reduced-frame rank windows, quartiles by rank formula (no ntile)
         "v23_rfm_segments": v23_rfm_segments,
+        # e19 silhouette: e10's distance trunk (shared literal both
+        # sides), own-vs-nearest-foreign split in per-mille fixed point
+        "e19_silhouette": e19_silhouette,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -3995,6 +4017,41 @@ def _fingerprint_sql(col: str) -> str:
     return portable_hash64_sql(canon)
 
 
+# The ONE copy of the vector × candidate-centroid distance cascade
+# (micro fixed point) shared by the e10 argmin oracle and the e19
+# silhouette oracle — plain string (the struct braces would trip an
+# f-string), composed by concatenation like the e12-on-e10 pattern.
+_CENT_DIST_CTES = """vm AS (
+                SELECT vec_id, label AS own_label,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, u.dim AS dim,
+                       CAST(floor(sum(u.micro) / count(*)) AS BIGINT) AS c
+                FROM (
+                    SELECT label,
+                           unnest(list_transform(range(len(embedding)),
+                               i -> {'dim': CAST(i AS INT),
+                                     'micro': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT)})) AS u
+                    FROM embeddings
+                )
+                GROUP BY label, u.dim
+            ),
+            carr AS (
+                SELECT label AS cand_label, list(c ORDER BY dim) AS carr
+                FROM cent GROUP BY label
+            ),
+            d AS (
+                SELECT vm.vec_id, vm.own_label, carr.cand_label,
+                       list_sum(list_transform(range(len(vm.v)),
+                           i -> (vm.v[i+1] - carr.carr[i+1])
+                                * (vm.v[i+1] - carr.carr[i+1]))) AS dist_micro2
+                FROM vm CROSS JOIN carr
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     norm50 = NORMALIZE_LABEL_SQL_TEMPLATE.format(col="substr(text, 1, 50)")
     toks = _TOKENS.format(col="text")
@@ -4855,36 +4912,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT landmark, node_id, min(dist) AS dist
             FROM sp GROUP BY landmark, node_id
         """,
-        "e10_nearest_centroid": """
-            WITH vm AS (
-                SELECT vec_id, label AS own_label,
-                       list_transform(embedding,
-                           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
-                FROM embeddings
-            ),
-            cent AS (
-                SELECT label, u.dim AS dim,
-                       CAST(floor(sum(u.micro) / count(*)) AS BIGINT) AS c
-                FROM (
-                    SELECT label,
-                           unnest(list_transform(range(len(embedding)),
-                               i -> {'dim': CAST(i AS INT),
-                                     'micro': CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT)})) AS u
-                    FROM embeddings
-                )
-                GROUP BY label, u.dim
-            ),
-            carr AS (
-                SELECT label AS cand_label, list(c ORDER BY dim) AS carr
-                FROM cent GROUP BY label
-            ),
-            d AS (
-                SELECT vm.vec_id, vm.own_label, carr.cand_label,
-                       list_sum(list_transform(range(len(vm.v)),
-                           i -> (vm.v[i+1] - carr.carr[i+1])
-                                * (vm.v[i+1] - carr.carr[i+1]))) AS dist_micro2
-                FROM vm CROSS JOIN carr
-            ),
+        "e10_nearest_centroid": "WITH " + _CENT_DIST_CTES + """,
             r AS (
                 SELECT *, row_number() OVER (
                     PARTITION BY vec_id ORDER BY dist_micro2, cand_label) AS rn
@@ -5433,6 +5461,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_events) AS BIGINT) AS n_events,
                CAST(max(duration_sec) AS BIGINT) AS max_duration_sec
         FROM base GROUP BY 1
+    """
+    )
+    # e19 shares the _CENT_DIST_CTES trunk with e10 (one definition of
+    # the vector × centroid distance), then splits own-vs-nearest-foreign
+    # with sign-split per-mille divisions (non-negative dividends both
+    # branches: // == div)
+    sql["e19_silhouette"] = (
+        "WITH " + _CENT_DIST_CTES + """,
+        pv AS (
+            SELECT vec_id, own_label,
+                   max(CASE WHEN cand_label = own_label THEN dist_micro2 END) AS a2,
+                   min(CASE WHEN cand_label <> own_label THEN dist_micro2 END) AS b2
+            FROM d GROUP BY vec_id, own_label
+        ),
+        s AS (
+            SELECT own_label AS label,
+                   CASE WHEN b2 - a2 >= 0
+                        THEN (b2 - a2) * 1000 // greatest(a2, b2, 1)
+                        ELSE -((a2 - b2) * 1000 // greatest(a2, b2, 1)) END AS sil_milli
+            FROM pv WHERE a2 IS NOT NULL AND b2 IS NOT NULL
+        ),
+        ag AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN sil_milli < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+                   CAST(sum(sil_milli) AS BIGINT) AS sum_sil_milli
+            FROM s GROUP BY label
+        )
+        SELECT label, n_vecs, n_negative, sum_sil_milli,
+               CAST(CASE WHEN sum_sil_milli >= 0
+                         THEN sum_sil_milli // n_vecs
+                         ELSE -((-sum_sil_milli) // n_vecs) END AS BIGINT) AS mean_sil_milli
+        FROM ag
     """
     )
     # e12 is e10's assignment cascade extended with the confusion rollup

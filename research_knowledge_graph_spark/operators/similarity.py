@@ -328,6 +328,126 @@ def _centroid_fixed_point(
     )
 
 
+def _centroid_distances(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE copy of the vector × candidate-centroid distance trunk
+    shared by :func:`nearest_centroid_assign` (argmin tail) and
+    :func:`silhouette_audit` (own-vs-nearest-foreign split): components
+    scaled to integer MICROS map-side, per-label centroids from
+    ``_centroid_fixed_point``, squared L2 as exact bigint sums of
+    products — bit-exact under any partitioning. Returns one row per
+    (vec_id, own_label, cand_label, dist_micro2).
+
+    Scale: the centroid-array dim is #labels rows — a TRUE bounded
+    dimension (fixed taxonomy), so the broadcast is safe by construction;
+    the distance math is pure Catalyst ``zip_with``/``aggregate`` (no
+    Python)."""
+    def micro(c):
+        return F.round(c.cast("double") * F.lit(1e6)).cast("long")
+
+    if centroids is None:
+        centroids = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6)
+    cent = centroids.select("label", "dim", F.col("m").alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    ).select(F.col("label").alias("cand_label"), "carr")
+    vm = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("own_label"),
+        F.transform(F.col(vec_col), lambda x: micro(x)).alias("v"),
+    )
+    return vm.join(F.broadcast(carr)).select(
+        "vec_id",
+        "own_label",
+        "cand_label",
+        F.aggregate(
+            F.zip_with("v", "carr", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist_micro2"),
+    )
+
+
+def silhouette_audit(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label SIMPLIFIED silhouette — the standard clustering-quality
+    score computed against centroids instead of all-pairs (the only
+    silhouette form that scales: the classic definition is an O(N²)
+    all-pairs average; the simplified form is one bounded broadcast per
+    vector and is what large-scale libraries ship). Per vector:
+    ``a`` = squared micro-distance to its OWN label centroid, ``b`` =
+    squared distance to the nearest FOREIGN centroid, silhouette =
+    (b−a)/max(a,b) in PER-MILLE fixed point — per-mille, not ppm,
+    because |b−a|·10³ must stay int64: distances bound at
+    dims·(2·10⁶)², so the scaled product binds at dims ≈ 2300 (ANSI
+    fails loudly beyond; drop to centi-scale there). The division is
+    sign-split (non-negative dividend both branches) so Spark ``div`` ==
+    DuckDB ``//`` bit-exactly.
+
+    Returns one row per label: (label, n_vecs, n_negative, sum_sil_milli,
+    mean_sil_milli) — n_negative counts vectors sitting closer to a
+    foreign prototype than their own (misassignment candidates, the
+    per-vector view of e12's confusion matrix). A single-label corpus has
+    no foreign centroid: those vectors drop out (b undefined), matching
+    the SQL NULL-min semantics.
+
+    Scale: one row per vector × #labels (bounded) → per-vector
+    conditional agg keyed on the uniform vec_id → per-label rollup;
+    no windows, no unbounded broadcasts."""
+    d = _centroid_distances(embeddings, label_col, vec_col, id_col)
+    per_vec = (
+        d.groupBy("vec_id", "own_label")
+        .agg(
+            F.max(
+                F.when(F.col("cand_label") == F.col("own_label"), F.col("dist_micro2"))
+            ).alias("a2"),
+            F.min(
+                F.when(F.col("cand_label") != F.col("own_label"), F.col("dist_micro2"))
+            ).alias("b2"),
+        )
+        .filter(F.col("b2").isNotNull() & F.col("a2").isNotNull())
+    )
+    s = per_vec.select(
+        F.col("own_label").alias("label"),
+        F.expr(
+            "CASE WHEN b2 - a2 >= 0"
+            " THEN ((b2 - a2) * 1000) div greatest(a2, b2, 1L)"
+            " ELSE -(((a2 - b2) * 1000) div greatest(a2, b2, 1L)) END"
+        )
+        .cast("long")
+        .alias("sil_milli"),
+    )
+    agg = s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum((F.col("sil_milli") < 0).cast("long")).cast("long").alias("n_negative"),
+        F.sum("sil_milli").cast("long").alias("sum_sil_milli"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        "n_negative",
+        "sum_sil_milli",
+        F.expr(
+            "CASE WHEN sum_sil_milli >= 0"
+            " THEN sum_sil_milli div n_vecs"
+            " ELSE -((-sum_sil_milli) div n_vecs) END"
+        )
+        .cast("long")
+        .alias("mean_sil_milli"),
+    )
+
+
 def nearest_centroid_assign(
     embeddings: DataFrame,
     label_col: str = "label",
@@ -364,31 +484,8 @@ def nearest_centroid_assign(
     also needs the seed centroids (:func:`kmeans_update_step`) shares ONE
     logical subtree instead of relying on physical ReuseExchange to
     deduplicate two identical posexplode+shuffle plans."""
-    def micro(c):
-        return F.round(c.cast("double") * F.lit(1e6)).cast("long")
-
-    if centroids is None:
-        centroids = _centroid_fixed_point(embeddings, label_col, vec_col, 10**6)
-    cent = centroids.select("label", "dim", F.col("m").alias("c"))
-    carr = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-        ).alias("carr")
-    ).select(F.col("label").alias("cand_label"), "carr")
-    vm = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(label_col).alias("own_label"),
-        F.transform(F.col(vec_col), lambda x: micro(x)).alias("v"),
-    )
-    scored = vm.join(F.broadcast(carr)).select(
-        "vec_id",
-        "own_label",
-        "cand_label",
-        F.aggregate(
-            F.zip_with("v", "carr", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dist_micro2"),
+    scored = _centroid_distances(
+        embeddings, label_col, vec_col, id_col, centroids
     )
     from pyspark.sql.window import Window
 

@@ -181,6 +181,55 @@ def test_nearest_centroid_assign_hand_computed(spark):
     assert rows[5][2] < d((9_900_000, 11_100_000), c0)
 
 
+def test_silhouette_audit_hand_computed(spark):
+    """Two tight far-apart clusters score strongly positive silhouette
+    with n_negative 0; a vector planted ON the foreign centroid scores
+    negative (counted in n_negative); a single-label corpus returns no
+    rows (no foreign centroid to compare against)."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        silhouette_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.0, 2.0], 0),
+            (3, [10.0, 10.0], 1),
+            (4, [10.0, 12.0], 1),
+            (5, [10.0, 11.0], 0),  # sits exactly ON label-1's centroid
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.label: r for r in silhouette_audit(df).collect()}
+    # label-0 centroid over vecs 1,2,5: ((0+0+10e6)/3, (0+2e6+11e6)/3)
+    c0 = (3_333_333, 4_333_333)
+    c1 = (10_000_000, 11_000_000)
+
+    def d(v, c):
+        return (v[0] - c[0]) ** 2 + (v[1] - c[1]) ** 2
+
+    def sil(v):
+        a, b = d(v, c0), d(v, c1)
+        diff, den = b - a, max(a, b, 1)
+        return (diff * 1000) // den if diff >= 0 else -((a - b) * 1000 // den)
+
+    s015 = [sil((0, 0)), sil((0, 2_000_000)), sil((10_000_000, 11_000_000))]
+    assert rows[0].n_vecs == 3
+    assert rows[0].n_negative == 1  # vec 5: a > 0, b == 0
+    assert rows[0].sum_sil_milli == sum(s015)
+    exp_mean = rows[0].sum_sil_milli
+    exp_mean = (
+        exp_mean // 3 if exp_mean >= 0 else -((-exp_mean) // 3)
+    )
+    assert rows[0].mean_sil_milli == exp_mean
+    assert rows[1].n_negative == 0 and rows[1].mean_sil_milli > 900
+
+    solo = df.filter("label = 0").select(
+        "vec_id", "embedding", F.lit(7).alias("label")
+    )
+    assert silhouette_audit(solo).count() == 0
+
+
 def test_kmeans_update_step_hand_computed(spark):
     """1-D corpus where one vector flips cluster: label 0 = {0.0, 0.9},
     label 1 = {1.0}. Seed centroids c0 = 0.45, c1 = 1.0; the 0.9 vector
