@@ -1567,6 +1567,48 @@ def t27_decontaminate(spark, sf_dir):
     return out.withColumn("contaminated", F.col("contaminated").cast("long"))
 
 
+def v24_activity_tail_index(spark, sf_dir):
+    """Hill tail-index estimate of the per-user activity distribution,
+    per event type — THE number that says whether a key distribution is
+    heavy-tailed enough to need the degree-aware salting this repo
+    applies (α ≤ 2: infinite-variance tail, hot keys dominate and salting
+    is mandatory; α ≫ 3: light tail, plain hash partitioning is fine).
+    The quantitative companion to v17's Gini read, feeding the same
+    functions/salt.py thresholds. ``α̂ = 1 + n / Σ ln(x_i / x_min)`` over
+    per-user event counts x_i ≥ x_min (the Hill/Clauset MLE for a
+    discrete power-law tail, x_min = 2 by convention here: count-1 users
+    carry no tail information). Each ln term is fixed-pointed to nano
+    bigints (the t23 rule: exact under any merge order); the one float
+    division per type happens at the end. Types where every tail count
+    equals x_min (Σ = 0, α undefined) DROP out — the v12 baseline-less
+    rule, matching the oracle's WHERE.
+
+    Scale: one map-side-combinable (type, user) count, a map-only ln
+    projection, one bounded-key (#types) hash-agg — no joins, no
+    windows."""
+    ev = _t(spark, sf_dir, "events")
+    x_min = 2
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tail = per.filter(F.col("cnt") >= x_min)
+    ln_nano = F.round(
+        F.log(F.col("cnt").cast("double") / F.lit(float(x_min))) * F.lit(1e9)
+    ).cast("long")
+    agg = tail.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(ln_nano).cast("long").alias("sum_ln_nano"),
+    )
+    return agg.filter(F.col("sum_ln_nano") > 0).select(
+        "event_type",
+        "n_tail",
+        "sum_ln_nano",
+        F.round(
+            F.lit(1.0) + F.col("n_tail") * F.lit(1e9) / F.col("sum_ln_nano"), 6
+        ).alias("alpha"),
+    )
+
+
 def v12_interarrival_stats(spark, sf_dir):
     """Per-user inter-event gap statistics
     (operators/sessions.py::interarrival_stats): exact integer
@@ -3135,6 +3177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # e19 silhouette: e10's distance trunk (shared literal both
         # sides), own-vs-nearest-foreign split in per-mille fixed point
         "e19_silhouette": e19_silhouette,
+        # v24 Hill tail index: t23's fixed-point ln terms over v17's
+        # per-(type,user) reduce — the quantitative salting-threshold read
+        "v24_activity_tail_index": v24_activity_tail_index,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5682,6 +5727,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * n_edges_gt * 1000000
                     // (n_nodes_gt * (n_nodes_gt - 1)) AS BIGINT) AS phi_ppm
         FROM s WHERE n_nodes_gt >= 2
+    """
+    # v24: Hill MLE over per-(type,user) counts; ln terms nano bigints
+    # (exact sums), zero-sum types dropped on both sides (α undefined)
+    sql["v24_activity_tail_index"] = """
+        WITH per AS (
+            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type, user_id
+        ),
+        tail AS (SELECT * FROM per WHERE cnt >= 2),
+        ag AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_tail,
+                   CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(2 AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sum_ln_nano
+            FROM tail GROUP BY event_type
+        )
+        -- CAST(1 AS DOUBLE): a bare 1.0 literal is DECIMAL in DuckDB
+        SELECT event_type, n_tail, sum_ln_nano,
+               round(CAST(1 AS DOUBLE) + n_tail * 1e9 / sum_ln_nano, 6) AS alpha
+        FROM ag WHERE sum_ln_nano > 0
     """
     # v23: exact integer cents summed as bigint, quartiles via the rank
     # formula over a (metric, user_id) total order — no ntile()

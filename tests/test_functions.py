@@ -386,6 +386,58 @@ def test_rfm_segments_pinned(spark, tmp_path):
     }
 
 
+def test_activity_tail_index_python_twin(spark, tmp_path):
+    """v24: bit-exact python twin of the fixed-point Hill estimator over
+    planted per-user counts; a type whose tail counts all equal x_min
+    (Σ ln = 0, α undefined) drops out, and a type with no user at ≥2
+    events never enters."""
+    import datetime as dt
+    import importlib.util
+    import math
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    counts = {  # (event_type, user_id) -> n events
+        ("hot", 1): 2, ("hot", 2): 4, ("hot", 3): 8, ("hot", 4): 1,
+        ("flat", 1): 2, ("flat", 2): 2,   # Σ ln(x/2) == 0 → dropped
+        ("thin", 1): 1, ("thin", 2): 1,   # no tail rows at all
+    }
+    rows, eid = [], 0
+    for (et, u), n in counts.items():
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1), u, et, 1.0, "{}"))
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    tail = [c for (et, _), c in counts.items() if et == "hot" and c >= 2]
+    s_nano = sum(rnd(math.log(float(c) / 2.0) * 1e9) for c in tail)
+    want = {
+        "hot": (
+            len(tail),
+            s_nano,
+            round(1.0 + len(tail) * 1e9 / s_nano, 6),
+        )
+    }
+    got = {
+        r.event_type: (r.n_tail, r.sum_ln_nano, r.alpha)
+        for r in entry.queries()["v24_activity_tail_index"](spark, sf).collect()
+    }
+    assert got == want
+
+
 def test_containment_verify_flags_subset_pairs(spark):
     """containment_verify (t39): a doc that is a strict PREFIX of a longer
     doc has containment exactly 1.0 (every k-shingle of the prefix is a
