@@ -2762,6 +2762,21 @@ def g32_truncated_closeness(spark, sf_dir):
     )
 
 
+def g44_truncated_harmonic(spark, sf_dir):
+    """Truncated harmonic centrality over FOLLOWS∪USES_PART
+    (operators/graph_queries.py::truncated_harmonic): Σ 1/dist within 3
+    directed hops — the Boldi–Vigna web-graph centrality (robust on
+    disconnected graphs: unreachable nodes contribute 0 instead of
+    poisoning closeness's mean) in EXACT lcm-denominator integers
+    (h_units = 6n₁+3n₂+2n₃ sixths, zero rounding). Shares the bounded-BFS
+    trunk with g32 on BOTH sides (_bounded_bfs_visited in Spark, the
+    _BFS3_CTES literal in the oracle)."""
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.truncated_harmonic(
+        edges, max_depth=3, edge_types=["FOLLOWS", "USES_PART"]
+    )
+
+
 def t36_sequence_packing(spark, sf_dir):
     """Training-sequence packing (operators/packing.py::pack_sequences) —
     the concat-and-chunk shard layout that turns the deduped corpus into
@@ -3141,6 +3156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audit (e01's exact frame — shared literal — vs e03/e05), v22
         # Markov stationary (v11's shared transition literal + the
         # g38-cascade arithmetic), t41 burstiness (t37's tokenizer/order).
+        # Round-5 continuation additions (same local-gate rule, each with
+        # an in-window sibling): t42 KL drift (t23's fixed-point ln + the
+        # shared _tok3, t23/t30 in window), v23 RFM (v17's reduced-frame
+        # rank windows, in window), e19 silhouette (e10's distance trunk,
+        # in window), v24 Hill tail index (v17's per-(type,user) reduce,
+        # in window), g44 harmonic (g32's BFS trunk, in window).
         "t36_sequence_packing": t36_sequence_packing,
         "t37_vocab_coverage": t37_vocab_coverage,
         "g43_graph_summary": g43_graph_summary,
@@ -3180,6 +3201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v24 Hill tail index: t23's fixed-point ln terms over v17's
         # per-(type,user) reduce — the quantitative salting-threshold read
         "v24_activity_tail_index": v24_activity_tail_index,
+        # g44 harmonic centrality: g32's bounded-BFS trunk (shared on
+        # both sides), exact lcm-denominator score
+        "g44_truncated_harmonic": g44_truncated_harmonic,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4062,6 +4086,26 @@ def _fingerprint_sql(col: str) -> str:
     return portable_hash64_sql(canon)
 
 
+# The ONE copy of the 3-hop bounded-BFS min-distance cascade over
+# FOLLOWS∪USES_PART, shared by the g32 (closeness) and g44 (harmonic)
+# oracles — composed under each query's `WITH RECURSIVE {GRAPH_CTE}, ...`
+_BFS3_CTES = """g AS (
+                SELECT DISTINCT from_node_id AS u, to_node_id AS v FROM edges
+                WHERE edge_type IN ('FOLLOWS', 'USES_PART')
+            ),
+            sp AS (
+                SELECT u AS src, u AS node, 0 AS dist
+                FROM (SELECT DISTINCT u FROM g)
+                UNION
+                SELECT sp.src, g.v, sp.dist + 1
+                FROM sp JOIN g ON g.u = sp.node
+                WHERE sp.dist < 3
+            ),
+            md AS (
+                SELECT src, node, min(dist) AS dist FROM sp GROUP BY src, node
+            )"""
+
+
 # The ONE copy of the vector × candidate-centroid distance cascade
 # (micro fixed point) shared by the e10 argmin oracle and the e19
 # silhouette oracle — plain string (the struct braces would trip an
@@ -4919,25 +4963,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g32_truncated_closeness": f"""
             WITH RECURSIVE {GRAPH_CTE},
-            g AS (
-                SELECT DISTINCT from_node_id AS u, to_node_id AS v FROM edges
-                WHERE edge_type IN ('FOLLOWS', 'USES_PART')
-            ),
-            sp AS (
-                SELECT u AS src, u AS node, 0 AS dist
-                FROM (SELECT DISTINCT u FROM g)
-                UNION
-                SELECT sp.src, g.v, sp.dist + 1
-                FROM sp JOIN g ON g.u = sp.node
-                WHERE sp.dist < 3
-            ),
-            md AS (
-                SELECT src, node, min(dist) AS dist FROM sp GROUP BY src, node
-            )
+            {_BFS3_CTES}
             SELECT src AS node_id,
                    CAST(count(*) AS BIGINT) AS n_reached,
                    CAST(sum(dist) AS BIGINT) AS total_dist,
                    CAST((1000000 * count(*)) // sum(dist) AS BIGINT) AS closeness_ppm
+            FROM md WHERE dist > 0 GROUP BY src
+        """,
+        # g44 shares g32's bounded-BFS CTE blocks (ONE definition of the
+        # 3-hop min-distance frame); 6 // dist is exact for dist in 1..3
+        # (6 = lcm), so the harmonic score carries zero rounding
+        "g44_truncated_harmonic": f"""
+            WITH RECURSIVE {GRAPH_CTE},
+            {_BFS3_CTES}
+            SELECT src AS node_id,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(6 // dist) AS BIGINT) AS h_units,
+                   CAST((1000 * sum(6 // dist)) // 6 AS BIGINT) AS harmonic_milli
             FROM md WHERE dist > 0 GROUP BY src
         """,
         "g17_shortest_paths": f"""

@@ -22,6 +22,8 @@ cut lineage — at depth d the alternative is a 2^d-deep plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -879,6 +881,91 @@ def link_prediction_scoreboard(
     ).orderBy(F.desc("aa_nano"), "node_a", "node_b").limit(top_k)
 
 
+def _bounded_bfs_visited(
+    edges: DataFrame,
+    max_depth: int,
+    edge_types: list[str] | None = None,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE copy of the bounded all-sources BFS trunk shared by
+    :func:`truncated_closeness` and :func:`truncated_harmonic`: returns
+    the (src, node_id, dist) min-distance frame for every source within
+    ``max_depth`` directed hops. Per-level join → distinct → anti-join
+    against visited, each level localCheckpoint-ed (iterative lineage +
+    growing visited set — the :func:`shortest_paths` shape). Scale notes
+    (Σ|ball| working set, the ``sources`` sampling escape hatch) live on
+    :func:`truncated_closeness`."""
+    if max_depth < 1:
+        raise ValueError(f"bounded BFS needs max_depth >= 1, got {max_depth}")
+    e = edges
+    if edge_types is not None:
+        e = e.filter(F.col("edge_type").isin(edge_types))
+    fwd = e.select(
+        F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
+    ).distinct()
+    if sources is None:
+        # only nodes WITH out-edges can reach anything within the horizon
+        sources = fwd.select(F.col("u").alias("node_id")).distinct()
+    visited = sources.select(
+        F.col("node_id").alias("src"),
+        F.col("node_id").alias("node_id"),
+        F.lit(0).alias("dist"),
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(fwd, frontier.node_id == fwd.u)
+            .select("src", F.col("v").alias("node_id"), F.lit(d).alias("dist"))
+            .distinct()
+            .join(visited.select("src", "node_id"), ["src", "node_id"], "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def truncated_harmonic(
+    edges: DataFrame,
+    max_depth: int = 3,
+    edge_types: list[str] | None = None,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Truncated HARMONIC centrality — Σ 1/dist over the nodes reachable
+    within ``max_depth`` directed hops. The robust sibling of
+    :func:`truncated_closeness` (Boldi–Vigna's recommended centrality for
+    disconnected/web graphs: unreachable nodes contribute 0 instead of
+    poisoning a mean), and the EXACT-arithmetic one: with hop distances
+    in 1..max_depth the reciprocals are rationals over
+    ``L = lcm(1..max_depth)``, so the score is the exact integer
+    ``h_units = Σ n_d · (L div d)`` with NO rounding anywhere (at depth 3,
+    L = 6: h = 6·n₁ + 3·n₂ + 2·n₃ sixths). ``harmonic_milli =
+    (1000·h_units) div L`` is published for readability — non-negative
+    floor division, Spark ``div`` == DuckDB ``//``.
+
+    Returns (node_id, n_reached, h_units, harmonic_milli); sources that
+    reach nothing are absent (same contract as closeness). Scale: shares
+    the :func:`_bounded_bfs_visited` trunk — same Σ|ball| working set and
+    ``sources`` sampling escape hatch."""
+    L = math.lcm(*range(1, max_depth + 1))
+    visited = _bounded_bfs_visited(edges, max_depth, edge_types, sources)
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("src").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            # L div dist is EXACT by construction (L = lcm of all dists)
+            F.sum(F.expr(f"{L}L div dist")).cast("long").alias("h_units"),
+        )
+        .withColumn(
+            "harmonic_milli",
+            F.expr("(1000 * h_units) div " + str(L)).cast("long"),
+        )
+    )
+
+
 def truncated_closeness(
     edges: DataFrame,
     max_depth: int = 3,
@@ -910,35 +997,7 @@ def truncated_closeness(
     :func:`shortest_paths` shape — many rounds + growing visited set, the
     case where per-level checkpointing wins; contrast the measured
     no-checkpoint choice for 2-3 round unrolls in ``pagerank.hits``)."""
-    if max_depth < 1:
-        raise ValueError(f"truncated_closeness() needs max_depth >= 1, got {max_depth}")
-    e = edges
-    if edge_types is not None:
-        e = e.filter(F.col("edge_type").isin(edge_types))
-    fwd = e.select(
-        F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
-    ).distinct()
-    if sources is None:
-        # only nodes WITH out-edges can reach anything within the horizon
-        sources = fwd.select(F.col("u").alias("node_id")).distinct()
-    visited = sources.select(
-        F.col("node_id").alias("src"),
-        F.col("node_id").alias("node_id"),
-        F.lit(0).alias("dist"),
-    )
-    frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(fwd, frontier.node_id == fwd.u)
-            .select("src", F.col("v").alias("node_id"), F.lit(d).alias("dist"))
-            .distinct()
-            .join(visited.select("src", "node_id"), ["src", "node_id"], "left_anti")
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+    visited = _bounded_bfs_visited(edges, max_depth, edge_types, sources)
     return (
         visited.filter(F.col("dist") > 0)
         .groupBy(F.col("src").alias("node_id"))

@@ -304,6 +304,34 @@ def test_truncated_closeness_validates_depth(spark):
         truncated_closeness(edges, max_depth=0)
 
 
+def test_truncated_harmonic_hand_computed(spark):
+    """Same chain+branch as the closeness pin, depth 3 (lcm 6): exact
+    sixths with zero rounding — a reaches b@1,c@2,e@2,d@3 → 6+3+3+2=14
+    sixths (harmonic_milli 2333); sinks absent; the depth guard fires."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        truncated_harmonic,
+    )
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")],
+        "from_node_id string, to_node_id string",
+    )
+    rows = {
+        r.node_id: (r.n_reached, r.h_units, r.harmonic_milli)
+        for r in truncated_harmonic(edges, max_depth=3).collect()
+    }
+    # b: c@1, e@1, d@2 -> 6+6+3 = 15 sixths -> 2500 milli
+    # c: d@1 -> 6 sixths -> 1000 milli
+    assert rows == {
+        "a": (4, 14, 2333),
+        "b": (3, 15, 2500),
+        "c": (1, 6, 1000),
+    }
+    with _pytest.raises(ValueError):
+        truncated_harmonic(edges, max_depth=0)
+
+
 def test_reciprocity_hand_computed(spark):
     """Mutual pair counts both directions; self-loops and duplicate rows
     are excluded before counting; types with no mutuals read 0."""
