@@ -2777,6 +2777,134 @@ def g44_truncated_harmonic(spark, sf_dir):
     )
 
 
+def g45_neighborhood_function(spark, sf_dir):
+    """Distance distribution / neighbourhood function N(d) over
+    FOLLOWS∪USES_PART within 3 directed hops
+    (operators/graph_queries.py::neighborhood_function): exact
+    reachable-pair counts per min-distance, cumulative, and floor-ppm of
+    the horizon total — the HyperANF-style effective-diameter audit,
+    exact because the horizon bounds the ball. Third member of the g32
+    (closeness) / g44 (harmonic) family: ONE bounded-BFS trunk on BOTH
+    sides (_bounded_bfs_visited in Spark, _BFS3_CTES in the oracle)."""
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.neighborhood_function(
+        edges, max_depth=3, edge_types=["FOLLOWS", "USES_PART"]
+    )
+
+
+def v25_cusum_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM changepoint over the daily volume series —
+    the distribution-SHIFT detector next to v18's point-outlier z test
+    (v18 asks "which single days are anomalous", this asks "where did
+    the level move"). For each type with nd days, daily counts n_i,
+    sn = Σn, snn = Σn²: the centered prefix statistic
+    ``s_k = nd·Σ_{i≤k} n_i − k·sn`` is an EXACT bigint for every prefix
+    k (the classic single-changepoint CUSUM estimator is the day
+    maximizing |s_k|; ties break to the earliest day via an explicit
+    (|s_k| desc, day asc) row_number). The normalized statistic
+    ``cusum_z = |s_k| / sqrt(nd·(nd·snn − sn²))`` is ONE double
+    expression from the same exact integers on both engines (the v18
+    z-algebra pattern — sqrt and divide are correctly-rounded IEEE,
+    round 9 published). Zero-variance types (denominator 0) DROP by the
+    exact integer predicate — the v12 baseline-less rule.
+
+    Scale: the per-(type, day) reduce is map-side combinable; both
+    windows partition by event_type over per-day rows (bounded by the
+    calendar, thousands at most — never by event volume); the stats dim
+    is #types rows, joined plain for AQE to broadcast."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pre = (
+        daily.join(stats, "event_type")
+        .withColumn(
+            "s_k",
+            (
+                F.col("nd") * F.sum("n").over(w)
+                - F.row_number().over(w).cast("long") * F.col("sn")
+            ).cast("long"),
+        )
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_k")).desc(), F.col("day").asc()
+    )
+    return (
+        pre.withColumn("rn", F.row_number().over(w_pick))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("nd") * F.col("snn") - F.col("sn") * F.col("sn") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("nd").alias("nd_days"),
+            F.col("day").alias("change_day"),
+            F.abs(F.col("s_k")).cast("long").alias("s_abs_max"),
+            (
+                F.col("nd") * (F.col("nd") * F.col("snn") - F.col("sn") * F.col("sn"))
+            ).cast("long").alias("d_denom"),
+            F.round(
+                F.abs(F.col("s_k")).cast("double")
+                / F.sqrt(
+                    (
+                        F.col("nd")
+                        * (F.col("nd") * F.col("snn") - F.col("sn") * F.col("sn"))
+                    ).cast("double")
+                ),
+                9,
+            ).alias("cusum_z"),
+        )
+    )
+
+
+def t43_term_zipf_tail(spark, sf_dir):
+    """Hill tail-index of the per-source TERM-frequency distribution —
+    v24's estimator pointed at the vocabulary: α̂ = 1 + n/Σ ln(x/x_min)
+    over per-(source, term) counts x ≥ x_min = 2 (hapaxes carry no tail
+    information). THE shuffle-planning number for every term-keyed stage
+    this repo ships (t16 BM25's df agg, t22's idf, t42's drift join all
+    shuffle on the term key): a Zipfian vocabulary (α ≈ 2) means the head
+    terms dominate term-keyed partitions exactly the way hot users
+    dominate user-keyed ones, quantifying when the functions/salt.py
+    treatment must extend to term aggs. Same fixed-point discipline as
+    v24: each ln term rounded to nano bigints (merge-order-exact sums),
+    Σ = 0 sources drop by the exact predicate, ONE float division per
+    source at the end. Tokenizer is the shared _tok3 (t22/t23/t42 —
+    cannot drift from its oracle twin _TOK3_SRC_CTE).
+
+    Scale: tokenize is a map-side explode; the (source, term) count is
+    map-side combinable (the composite key de-hot-keys the head terms
+    across sources); the final agg is #sources keys."""
+    d = _t(spark, sf_dir, "documents")
+    x_min = 2
+    per = _tok3(d, cols=("source",)).groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tail = per.filter(F.col("cnt") >= x_min)
+    ln_nano = F.round(
+        F.log(F.col("cnt").cast("double") / F.lit(float(x_min))) * F.lit(1e9)
+    ).cast("long")
+    agg = tail.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(ln_nano).cast("long").alias("sum_ln_nano"),
+    )
+    return agg.filter(F.col("sum_ln_nano") > 0).select(
+        "source",
+        "n_tail",
+        "sum_ln_nano",
+        F.round(
+            F.lit(1.0) + F.col("n_tail") * F.lit(1e9) / F.col("sum_ln_nano"), 6
+        ).alias("alpha"),
+    )
+
+
 def t36_sequence_packing(spark, sf_dir):
     """Training-sequence packing (operators/packing.py::pack_sequences) —
     the concat-and-chunk shard layout that turns the deduped corpus into
@@ -3204,6 +3332,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # g44 harmonic centrality: g32's bounded-BFS trunk (shared on
         # both sides), exact lcm-denominator score
         "g44_truncated_harmonic": g44_truncated_harmonic,
+        # g45 neighbourhood function: the SAME shared BFS trunk/CTE as
+        # g32/g44 (g32 in window), exact distance histogram
+        "g45_neighborhood_function": g45_neighborhood_function,
+        # v25 CUSUM changepoint: v18's exact z-algebra over v16's daily
+        # reduce (v16 in window), row_number tie-broken argmax
+        "v25_cusum_changepoint": v25_cusum_changepoint,
+        # t43 term Zipf tail: v24's Hill fixed point over the shared
+        # _tok3 tokenizer (t23 in window carries the same twin CTE)
+        "t43_term_zipf_tail": t43_term_zipf_tail,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5786,6 +5923,79 @@ def oracle_sql() -> dict[str, str]:
         )
         -- CAST(1 AS DOUBLE): a bare 1.0 literal is DECIMAL in DuckDB
         SELECT event_type, n_tail, sum_ln_nano,
+               round(CAST(1 AS DOUBLE) + n_tail * 1e9 / sum_ln_nano, 6) AS alpha
+        FROM ag WHERE sum_ln_nano > 0
+    """
+    # g45: the SAME _BFS3_CTES min-distance frame as g32/g44; histogram +
+    # running windows on the ≤3-row per-dist aggregate, all exact bigints
+    sql["g45_neighborhood_function"] = f"""
+        WITH RECURSIVE {GRAPH_CTE},
+        {_BFS3_CTES},
+        pd AS (
+            SELECT CAST(dist AS BIGINT) AS dist,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM md WHERE dist > 0 GROUP BY dist
+        )
+        SELECT dist, n_pairs,
+               CAST(sum(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs,
+               CAST(sum(n_pairs) OVER () AS BIGINT) AS total_pairs,
+               CAST((1000000 * sum(n_pairs) OVER (ORDER BY dist))
+                    // (sum(n_pairs) OVER ()) AS BIGINT) AS cum_ppm
+        FROM pd
+    """
+    # v25: centered prefix statistic s_k = nd·prefix − k·sn exact bigint
+    # per prefix; argmax tie-broken (|s_k| desc, day asc); the published
+    # z is ONE double expression from the same exact ints (v18 pattern);
+    # zero-variance types dropped by the exact predicate
+    sql["v25_cusum_changepoint"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        st AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n) AS BIGINT) AS sn,
+                   CAST(sum(n * n) AS BIGINT) AS snn
+            FROM daily GROUP BY event_type
+        ),
+        pre AS (
+            SELECT d.event_type, d.day, s.nd, s.sn, s.snn,
+                   CAST(s.nd * sum(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day)
+                        - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)) * s.sn
+                        AS BIGINT) AS s_k
+            FROM daily d JOIN st s USING (event_type)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(s_k) DESC, day ASC) AS rn
+            FROM pre
+        )
+        SELECT event_type, nd AS nd_days, day AS change_day,
+               CAST(abs(s_k) AS BIGINT) AS s_abs_max,
+               CAST(nd * (nd * snn - sn * sn) AS BIGINT) AS d_denom,
+               round(CAST(abs(s_k) AS DOUBLE)
+                     / sqrt(CAST(nd * (nd * snn - sn * sn) AS DOUBLE)), 9) AS cusum_z
+        FROM ranked WHERE rn = 1 AND nd * snn - sn * sn > 0
+    """
+    # t43: v24's Hill fixed point over the shared source-carrying
+    # tokenizer CTE (derived from the ONE _TOK3_CTE literal)
+    sql["t43_term_zipf_tail"] = f"""
+        WITH {_TOK3_SRC_CTE},
+        per AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks3 GROUP BY source, term
+        ),
+        tail AS (SELECT * FROM per WHERE cnt >= 2),
+        ag AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tail,
+                   CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(2 AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sum_ln_nano
+            FROM tail GROUP BY source
+        )
+        -- CAST(1 AS DOUBLE): a bare 1.0 literal is DECIMAL in DuckDB
+        SELECT source, n_tail, sum_ln_nano,
                round(CAST(1 AS DOUBLE) + n_tail * 1e9 / sum_ln_nano, 6) AS alpha
         FROM ag WHERE sum_ln_nano > 0
     """

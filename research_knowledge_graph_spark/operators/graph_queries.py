@@ -966,6 +966,60 @@ def truncated_harmonic(
     )
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    max_depth: int = 3,
+    edge_types: list[str] | None = None,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """The neighbourhood function N(d) within ``max_depth`` directed hops:
+    for each distance d, the EXACT number of ordered (src, dst) pairs at
+    min-distance exactly d, its running cumulative, and the cumulative as
+    ppm of all reachable pairs at the horizon — the web-graph
+    distance-distribution / effective-diameter audit (the statistic
+    HyperANF approximates with sketches; here the horizon bound makes the
+    exact count affordable, and the ``sources`` sampling hook is the
+    sketch-free fallback at extreme scale). The smallest d whose
+    ``cum_ppm ≥ 900000`` is the (horizon-clipped) 90%-effective-diameter
+    read.
+
+    Completes the bounded-BFS family: g32 closeness (mean distance), g44
+    harmonic (Σ 1/d), this (the full distribution) — all three share ONE
+    :func:`_bounded_bfs_visited` trunk, so the pair frame is computed
+    identically. Returns (dist, n_pairs, cum_pairs, total_pairs,
+    cum_ppm), every column an exact bigint (floor-div ppm, Spark ``div``
+    == DuckDB ``//``).
+
+    Scale: the only unbounded work is the shared BFS (Σ|ball| rows); the
+    distance histogram is a map-side-combinable count on ≤ max_depth
+    keys, and the two windows below run on the ≤ max_depth-row AGGREGATE
+    (a deliberate single-partition window over a handful of rows — the
+    exception to the no-global-window rule, bounded by construction)."""
+    from pyspark.sql.window import Window
+
+    visited = _bounded_bfs_visited(edges, max_depth, edge_types, sources)
+    per = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w_cum = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "dist",
+        "n_pairs",
+        F.sum("n_pairs").over(w_cum).cast("long").alias("cum_pairs"),
+        F.sum("n_pairs").over(w_all).cast("long").alias("total_pairs"),
+    ).withColumn(
+        "cum_ppm",
+        F.expr("(1000000 * cum_pairs) div total_pairs").cast("long"),
+    )
+
+
 def truncated_closeness(
     edges: DataFrame,
     max_depth: int = 3,

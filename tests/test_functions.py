@@ -438,6 +438,118 @@ def test_activity_tail_index_python_twin(spark, tmp_path):
     assert got == want
 
 
+def test_cusum_changepoint_python_twin(spark, tmp_path):
+    """v25: a planted level shift 10→20 maximizes |s_k| at the LAST day of
+    the first regime (the CUSUM estimator); |s_k| ties break to the
+    earliest day; a constant-volume type (zero variance) drops out; the
+    published z is the one double expression from the exact integers."""
+    import datetime as dt
+    import importlib.util
+    import math
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    daily = {  # (event_type, day-of-month) -> n events that day
+        "step": {1: 10, 2: 10, 3: 10, 4: 20, 5: 20, 6: 20},
+        "tie": {1: 3, 2: 1, 3: 3, 4: 1},   # |s_k| = 4 at days 1 AND 3
+        "flat": {1: 5, 2: 5, 3: 5},        # zero variance -> dropped
+    }
+    rows, eid = [], 0
+    for et, per_day in daily.items():
+        for d, n in per_day.items():
+            for _ in range(n):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, d, 12, 0), 1, et, 1.0, "{}")
+                )
+                eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    def twin(per_day):
+        ns = [per_day[d] for d in sorted(per_day)]
+        nd, sn, snn = len(ns), sum(ns), sum(n * n for n in ns)
+        denom = nd * (nd * snn - sn * sn)
+        if denom == 0:
+            return None
+        best = None
+        pref = 0
+        for k, (d, n) in enumerate(sorted(per_day.items()), start=1):
+            pref += n
+            s_abs = abs(nd * pref - k * sn)
+            if best is None or s_abs > best[1]:
+                best = (d, s_abs)
+        return (
+            nd,
+            dt.date(2024, 1, best[0]),
+            best[1],
+            denom,
+            round(best[1] / math.sqrt(denom), 9),
+        )
+
+    want = {
+        et: twin(per_day)
+        for et, per_day in daily.items()
+        if twin(per_day) is not None
+    }
+    got = {
+        r.event_type: (r.nd_days, r.change_day, r.s_abs_max, r.d_denom, r.cusum_z)
+        for r in entry.queries()["v25_cusum_changepoint"](spark, sf).collect()
+    }
+    assert got == want
+    assert got["step"][1] == dt.date(2024, 1, 3)   # last day of regime 1
+    assert got["tie"][1] == dt.date(2024, 1, 1)    # earliest on the tie
+
+
+def test_term_zipf_tail_python_twin(spark, tmp_path):
+    """t43: bit-exact python twin of the Hill fixed point over planted
+    per-(source, term) counts through the shared _tok3 tokenizer: a
+    source whose tail counts all equal x_min (Σ ln = 0) drops out, a
+    source of hapaxes never enters, sub-3-char tokens never count."""
+    import importlib.util
+    import math
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    docs = [
+        # s1: aaa x2, bbb x4 (cc is sub-3-char: ignored) -> tail [2, 4]
+        (0, "aaa aaa bbb bbb cc", "en", "s1", 18),
+        (1, "bbb bbb", "en", "s1", 7),
+        # s2: all hapaxes -> no tail rows -> absent
+        (2, "xxx yyy zzz", "en", "s2", 11),
+        # s3: both terms at exactly x_min -> sum_ln_nano = 0 -> dropped
+        (3, "ppp ppp qqq qqq", "en", "s3", 15),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    s_nano = rnd(math.log(2.0 / 2.0) * 1e9) + rnd(math.log(4.0 / 2.0) * 1e9)
+    want = {"s1": (2, s_nano, round(1.0 + 2 * 1e9 / s_nano, 6))}
+    got = {
+        r.source: (r.n_tail, r.sum_ln_nano, r.alpha)
+        for r in entry.queries()["t43_term_zipf_tail"](spark, sf).collect()
+    }
+    assert got == want
+
+
 def test_containment_verify_flags_subset_pairs(spark):
     """containment_verify (t39): a doc that is a strict PREFIX of a longer
     doc has containment exactly 1.0 (every k-shingle of the prefix is a

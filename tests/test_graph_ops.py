@@ -332,6 +332,28 @@ def test_truncated_harmonic_hand_computed(spark):
         truncated_harmonic(edges, max_depth=0)
 
 
+def test_neighborhood_function_hand_computed(spark):
+    """Same chain+branch graph as the closeness/harmonic pins: pairs at
+    dist 1/2/3 are 4/3/1 (total 8), cumulative 4/7/8, floor-ppm
+    500000/875000/1000000 — all exact bigints."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        neighborhood_function,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")],
+        "from_node_id string, to_node_id string",
+    )
+    rows = sorted(
+        tuple(r) for r in neighborhood_function(edges, max_depth=3).collect()
+    )
+    assert rows == [
+        (1, 4, 4, 8, 500000),
+        (2, 3, 7, 8, 875000),
+        (3, 1, 8, 8, 1000000),
+    ]
+
+
 def test_reciprocity_hand_computed(spark):
     """Mutual pair counts both directions; self-loops and duplicate rows
     are excluded before counting; types with no mutuals read 0."""
