@@ -2905,6 +2905,24 @@ def t43_term_zipf_tail(spark, sf_dir):
     )
 
 
+def t44_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (operators/bpe.py::learn_bpe)
+    — the canonical LLM-tokenizer training pass over the corpus: merges
+    learned from the word-TYPE frequency table (one corpus groupBy
+    collapses the token stream to a vocabulary-sized frame; every merge
+    round is one map-side-combinable pair agg + one pure-Catalyst fold,
+    argmax is a single-row driver collect per round). Returns the merge
+    table (rank, left, right, merged, pair_freq), a pure function of the
+    corpus via the (freq desc, left asc, right asc) total order. NO SQL
+    oracle — the iterative argmax + greedy list fold is not reasonably
+    SQL-expressible; exactness is pinned by the bit-exact pure-python
+    Sennrich-loop twin in tests/test_bpe.py (12 merges, self-pair
+    greedy edge, early-stop, train/apply agreement)."""
+    from research_knowledge_graph_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(_t(spark, sf_dir, "documents"), num_merges=10)
+
+
 def t36_sequence_packing(spark, sf_dir):
     """Training-sequence packing (operators/packing.py::pack_sequences) —
     the concat-and-chunk shard layout that turns the deduped corpus into
@@ -3405,6 +3423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "g24_personalized_pagerank": g24_personalized_pagerank,
+        # t44 BPE induction: rows-only by design (iterative argmax +
+        # greedy fold), bit-exact python twin in tests/test_bpe.py
+        "t44_bpe_merges": t44_bpe_merges,
     }
 
 

@@ -78,6 +78,9 @@ ROWS_ONLY = {
     # correctness is pinned vs numpy in tests/test_pagerank.py
     "g16_pagerank",
     "g24_personalized_pagerank",
+    # iterative argmax + greedy list fold: not reasonably SQL-expressible;
+    # bit-exact python-twin pin in tests/test_bpe.py
+    "t44_bpe_merges",
 }
 
 
