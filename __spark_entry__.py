@@ -2905,6 +2905,52 @@ def t43_term_zipf_tail(spark, sf_dir):
     )
 
 
+def t45_token_entropy(spark, sf_dir):
+    """Per-document unigram token entropy — the THIRD axis of the
+    within-doc quality triad (t02 surface ratios, t26 repetition, this:
+    distributional shape): gibberish reads near-uniform (entropy ≈ ln n),
+    template/boilerplate reads low. H = ln n − (Σ c·ln c)/n in nats,
+    carried EXACTLY: per-(doc, term) counts c are exact bigints, each
+    ln c is fixed-pointed to nano bigints BEFORE the multiply (t23's
+    rule — c · round(ln c · 1e9) is an exact int product, merge-order
+    exact under any partial-agg order), ln n gets the same treatment,
+    and ``entropy_nano = ln_n_nano − (Σ div n)`` is a pure bigint
+    (non-negative floor div == Spark div == DuckDB //). The readable
+    ``entropy_nats`` is that integer / 1e9 rounded 9 — no float ever
+    crosses an aggregation boundary. Tokenizer is the shared _tok3
+    (t22/t23/t42 twin CTE); docs with no ≥3-char token are absent on
+    both sides.
+
+    Scale: one (doc, term) hash-agg + one doc hash-agg, both map-side
+    combinable, keys are per-doc composites (no hot key)."""
+    d = _t(spark, sf_dir, "documents")
+    pc = _tok3(d).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        F.col("c")
+        * F.round(F.log(F.col("c").cast("double")) * F.lit(1e9)).cast("long")
+    ).cast("long")
+    ag = pc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(w).cast("long").alias("s_clnc_nano"),
+    )
+    ln_n_nano = F.round(
+        F.log(F.col("n_tokens").cast("double")) * F.lit(1e9)
+    ).cast("long")
+    return ag.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (ln_n_nano - F.expr("s_clnc_nano div n_tokens"))
+        .cast("long")
+        .alias("entropy_nano"),
+    ).withColumn(
+        "entropy_nats", F.round(F.col("entropy_nano") / F.lit(1e9), 9)
+    )
+
+
 def t44_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary induction (operators/bpe.py::learn_bpe)
     — the canonical LLM-tokenizer training pass over the corpus: merges
@@ -3359,6 +3405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t43 term Zipf tail: v24's Hill fixed point over the shared
         # _tok3 tokenizer (t23 in window carries the same twin CTE)
         "t43_term_zipf_tail": t43_term_zipf_tail,
+        # t45 token entropy: t23's nano fixed point end-to-end (the
+        # entropy itself is an exact bigint), shared _tok3/_TOK3_CTE
+        "t45_token_entropy": t45_token_entropy,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6019,6 +6068,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, n_tail, sum_ln_nano,
                round(CAST(1 AS DOUBLE) + n_tail * 1e9 / sum_ln_nano, 6) AS alpha
         FROM ag WHERE sum_ln_nano > 0
+    """
+    # t45: nano fixed-point ln BEFORE the c· multiply (exact int product),
+    # floor div (non-negative) — the entropy integer is engine-exact
+    sql["t45_token_entropy"] = f"""
+        WITH {_TOK3_CTE},
+        pc AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+            FROM toks3 GROUP BY doc_id, term
+        ),
+        ag AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS s_clnc_nano
+            FROM pc GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+                    - s_clnc_nano // n_tokens AS BIGINT) AS entropy_nano,
+               round((CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+                      - s_clnc_nano // n_tokens) / 1e9, 9) AS entropy_nats
+        FROM ag
     """
     # v23: exact integer cents summed as bigint, quartiles via the rank
     # formula over a (metric, user_id) total order — no ntile()

@@ -550,6 +550,48 @@ def test_term_zipf_tail_python_twin(spark, tmp_path):
     assert got == want
 
 
+def test_token_entropy_python_twin(spark, tmp_path):
+    """t45: bit-exact python twin of the all-integer entropy — skewed doc
+    below ln n, uniform doc exactly at ln n (nano-rounded), sub-3-char
+    docs absent."""
+    import importlib.util
+    import math
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    docs = [
+        (0, "aaa aaa aaa bbb ccc", "en", "s1", 19),  # skewed: H < ln 5
+        (1, "aaa bbb ccc", "en", "s1", 11),          # uniform: H == ln 3
+        (2, "ab cd", "en", "s1", 5),                 # no >=3-char token
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def rnd(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def twin(counts):
+        n = sum(counts)
+        s = sum(c * rnd(math.log(c) * 1e9) for c in counts)
+        e_nano = rnd(math.log(n) * 1e9) - s // n
+        return (n, len(counts), e_nano, round(e_nano / 1e9, 9))
+
+    want = {0: twin([3, 1, 1]), 1: twin([1, 1, 1])}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy_nano, r.entropy_nats)
+        for r in entry.queries()["t45_token_entropy"](spark, sf).collect()
+    }
+    assert got == want
+    assert got[1][2] == rnd(math.log(3) * 1e9)  # uniform doc hits ln n
+
+
 def test_containment_verify_flags_subset_pairs(spark):
     """containment_verify (t39): a doc that is a strict PREFIX of a longer
     doc has containment exactly 1.0 (every k-shingle of the prefix is a
