@@ -2905,6 +2905,26 @@ def t43_term_zipf_tail(spark, sf_dir):
     )
 
 
+def t46_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit (operators/bpe.py::segmentation_fertility)
+    — train t44's BPE merges on the corpus, segment the vocabulary with
+    the SAME fold used in training, and report pieces-per-word-token per
+    source in exact floor ppm (1.0 = every word one piece; the standard
+    does-the-vocabulary-fit-the-corpus read, and the per-source split
+    shows which mixture component the tokenizer underserves). Work is
+    word-type-compressed end to end: segmentation runs on DISTINCT
+    words, the corpus-sized pass is one groupBy. Rows-only like t44
+    (same non-SQL-expressible merge chain); exactness pinned by the
+    python-twin fertility test in tests/test_bpe.py."""
+    from research_knowledge_graph_spark.operators.bpe import (
+        learn_bpe,
+        segmentation_fertility,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return segmentation_fertility(d, learn_bpe(d, num_merges=10))
+
+
 def t45_token_entropy(spark, sf_dir):
     """Per-document unigram token entropy — the THIRD axis of the
     within-doc quality triad (t02 surface ratios, t26 repetition, this:
@@ -3475,6 +3495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t44 BPE induction: rows-only by design (iterative argmax +
         # greedy fold), bit-exact python twin in tests/test_bpe.py
         "t44_bpe_merges": t44_bpe_merges,
+        # t46 fertility: t44's learned merges applied via the same fold,
+        # rows-only for the same reason, python twin alongside t44's
+        "t46_bpe_fertility": t46_bpe_fertility,
     }
 
 

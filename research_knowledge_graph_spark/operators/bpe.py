@@ -147,6 +147,57 @@ def learn_bpe(
     )
 
 
+def segmentation_fertility(
+    docs: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility per source — the standard tokenizer-quality
+    read (pieces emitted per word token; 1.0 = every word is one piece,
+    higher = the vocabulary fits the corpus worse). Applies the learned
+    merge table via :func:`segment_words` to the DISTINCT word types
+    (vocabulary-sized work), then joins the per-word piece count back
+    onto per-(source, word) frequencies, so corpus-proportional work is
+    one groupBy — the same word-type compression as training.
+
+    A word-final bare ``</w>`` (marker never merged into a piece) is not
+    a piece: ``n_pieces(word) = size(pieces) − 1`` in that case.
+    Returns (source, n_tokens, n_word_types, pieces_total,
+    fertility_ppm) — exact bigints, floor-div ppm."""
+    wt = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word"),
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seg = segment_words(wt.select("word").distinct(), merges)
+    n_pieces = (
+        F.size("pieces")
+        - F.when(
+            F.try_element_at(F.col("pieces"), F.lit(-1)) == F.lit(END_OF_WORD),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        wt.join(seg.select("word", n_pieces.alias("n_pieces")), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_word_types"),
+            F.sum(F.col("freq") * F.col("n_pieces"))
+            .cast("long")
+            .alias("pieces_total"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("(1000000 * pieces_total) div n_tokens").cast("long"),
+        )
+    )
+
+
 def segment_words(
     words: DataFrame, merges: DataFrame, word_col: str = "word"
 ) -> DataFrame:

@@ -117,6 +117,44 @@ def test_learn_bpe_stop_and_guard(spark):
         learn_bpe(docs, num_merges=0)
 
 
+def test_segmentation_fertility_python_twin(spark):
+    """Per-source pieces-per-token in exact floor ppm vs the twin: the
+    word-final bare END_OF_WORD marker is not a piece; sources are split
+    correctly; weighting is by token frequency, not word type."""
+    from research_knowledge_graph_spark.operators.bpe import (
+        segmentation_fertility,
+    )
+
+    rows = [(i, t, "s%d" % (i % 2)) for i, t in enumerate(TEXTS)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    merges = learn_bpe(docs, num_merges=12)
+    table = [
+        (r.left, r.right) for r in merges.orderBy("rank").collect()
+    ]
+
+    def pieces(word):
+        syms = tuple(word) + (END_OF_WORD,)
+        for left, right in table:
+            syms = _py_apply(syms, left, right)
+        return len(syms) - (1 if syms[-1] == END_OF_WORD else 0)
+
+    per_source = collections.defaultdict(collections.Counter)
+    for _, t, src in rows:
+        per_source[src].update(_py_word_types([t]))
+    want = {}
+    for src, wc in per_source.items():
+        n_tok = sum(wc.values())
+        p_tot = sum(f * pieces(w) for w, f in wc.items())
+        want[src] = (n_tok, len(wc), p_tot, (1000000 * p_tot) // n_tok)
+    got = {
+        r.source: (r.n_tokens, r.n_word_types, r.pieces_total, r.fertility_ppm)
+        for r in segmentation_fertility(docs, merges).collect()
+    }
+    assert got == want
+    # fertility must be >= 1 token-piece per token everywhere
+    assert all(v[3] >= 1000000 for v in got.values())
+
+
 def test_segment_words_applies_in_rank_order(spark):
     """Training segmentation == applying the learned table: segmenting the
     training words with the learned merges reproduces the final training

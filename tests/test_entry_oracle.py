@@ -79,8 +79,9 @@ ROWS_ONLY = {
     "g16_pagerank",
     "g24_personalized_pagerank",
     # iterative argmax + greedy list fold: not reasonably SQL-expressible;
-    # bit-exact python-twin pin in tests/test_bpe.py
+    # bit-exact python-twin pins in tests/test_bpe.py
     "t44_bpe_merges",
+    "t46_bpe_fertility",
 }
 
 
