@@ -2989,6 +2989,26 @@ def t44_bpe_merges(spark, sf_dir):
     return learn_bpe(_t(spark, sf_dir, "documents"), num_merges=10)
 
 
+def t47_dup_span_coverage(spark, sf_dir):
+    """Exact duplicated-span coverage audit
+    (operators/dedup.py::dup_span_coverage): per document, the fraction of
+    tokens inside a 13-token gram that also appears in ≥ 1 OTHER document
+    — the Lee et al. exact-substring dedup read at the famous k=13
+    memorization span, measured exactly where winnowing (t19/t20) samples
+    it. Cross-doc only (within-doc repetition is t26's read). Interval
+    union by the sorted-starts sweep (equal-length intervals ⇒ one window,
+    Σ min(k, next−start)); coverage_ppm is a floor division, so the whole
+    row hashes bit-exactly cross-engine. Gram formation is map-side
+    (transform over sequence on the per-doc token array — zero shuffles to
+    FORM grams); only the duplicated-gram hash-aggs and the hits join
+    shuffle."""
+    from research_knowledge_graph_spark.operators.dedup import (
+        dup_span_coverage,
+    )
+
+    return dup_span_coverage(_t(spark, sf_dir, "documents"), k=13)
+
+
 def t36_sequence_packing(spark, sf_dir):
     """Training-sequence packing (operators/packing.py::pack_sequences) —
     the concat-and-chunk shard layout that turns the deduped corpus into
@@ -3428,6 +3448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t45 token entropy: t23's nano fixed point end-to-end (the
         # entropy itself is an exact bigint), shared _tok3/_TOK3_CTE
         "t45_token_entropy": t45_token_entropy,
+        # t47 dup-span coverage: t25/t27's gram machinery (both in
+        # window) + the t05 set arithmetic, interval union by one window
+        "t47_dup_span_coverage": t47_dup_span_coverage,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6113,6 +6136,46 @@ def oracle_sql() -> dict[str, str]:
                round((CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)
                       - s_clnc_nano // n_tokens) / 1e9, 9) AS entropy_nats
         FROM ag
+    """
+    # t47: same tokenizer (array form), same 1-based gram starts, same
+    # sorted-starts sweep; sums CAST to BIGINT (DuckDB sum(int)→HUGEINT)
+    sql["t47_dup_span_coverage"] = """
+        WITH arrs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               t -> length(t) >= 3) AS arr
+            FROM documents
+        ),
+        base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr FROM arrs),
+        grams AS (
+            SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                   array_to_string(list_slice(arr, s, s + 12), ' ') AS gram
+            FROM base, unnest(range(1, CAST(n_tokens AS BIGINT) - 11)) AS t(s)
+        ),
+        dup AS (
+            SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM grams)
+            GROUP BY gram HAVING count(*) >= 2
+        ),
+        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        sweep AS (
+            SELECT doc_id,
+                   least(13, coalesce(
+                       lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                       13)) AS c
+            FROM hits
+        ),
+        cov AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions,
+                   CAST(sum(c) AS BIGINT) AS covered_tokens
+            FROM sweep GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(cov.n_dup_positions, 0) AS n_dup_positions,
+               coalesce(cov.covered_tokens, 0) AS covered_tokens,
+               CASE WHEN b.n_tokens = 0 THEN 0
+                    ELSE coalesce(cov.covered_tokens, 0) * 1000000 // b.n_tokens
+               END AS coverage_ppm
+        FROM base b LEFT JOIN cov USING (doc_id)
     """
     # v23: exact integer cents summed as bigint, quartiles via the rank
     # formula over a (metric, user_id) total order — no ntile()

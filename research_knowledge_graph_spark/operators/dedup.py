@@ -419,3 +419,116 @@ def winnow_near_dups(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """Per-document CROSS-DOC duplicated-span coverage — the exact-substring
+    dedup audit of Lee et al. ("Deduplicating Training Data Makes Language
+    Models Better"): for every document, what fraction of its tokens sits
+    inside a ``k``-token gram that also appears in at least one OTHER
+    document. The famous k=13 default is the memorization-risk span length
+    that suffix-array dedup pipelines target; winnowing (t19/t20) SAMPLES
+    this signal, this operator measures it exactly. Within-doc repetition
+    is deliberately NOT counted (that is t26's repetition read) — a gram is
+    "duplicated" iff it occurs in ≥ 2 DISTINCT documents.
+
+    Returns one row per document: (doc_id, n_tokens, n_dup_positions,
+    covered_tokens, coverage_ppm). Coverage is the exact size of the UNION
+    of the length-k intervals starting at each duplicated gram position,
+    computed with the sorted-starts sweep: since every interval has the
+    same length k, union = Σ min(k, next_start − start) with the last
+    interval contributing k — one window over the hit positions, no
+    interval-merge UDF. coverage_ppm is a floor integer division, so the
+    whole result hash-compares bit-exactly cross-engine.
+
+    Scale shape: grams are generated map-side from the per-doc token array
+    (transform over sequence — no join, no shuffle to FORM grams); the
+    duplicated-gram set is two hash-aggs (distinct (gram, doc) then
+    count ≥ 2, both partial-aggregatable); the join back is gram→hits and
+    the sweep window partitions by doc_id (bounded per-doc rows). The gram
+    key here is the raw k-token string — exact, collision-free, and what
+    the oracle checks; at 10¹²-doc scale swap the key for
+    sha2(gram, 256) (128-bit collision headroom) so the two shuffles move
+    fixed-width keys instead of ~80-byte strings — the plan is otherwise
+    unchanged. Tokens are the shared ≥3-letter lower/[^a-z]+ tokenizer
+    (the t22/t23 _tok3 definition, array form).
+
+    Reference analog: the dedup/canonicalization stage of the reference's
+    linking pipeline (src/services/graph_service.py) dedups entities by
+    exact key; this is the corpus-level text-span variant a web-scale
+    pretraining pipeline runs before training.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: F.length(t) >= 3,
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), arr.alias("arr")
+    ).select(
+        "doc_id", F.size("arr").cast("long").alias("n_tokens"), "arr"
+    )
+    # sequence(1, n) with n < 1 would DESCEND in Spark (step defaults to
+    # -1), so gram generation is gated on n_tokens >= k.
+    grams = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(arr) - {k - 1}), "
+                    f"s -> struct(s AS pos, concat_ws(' ', slice(arr, s, {k})) AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    dup = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        hits.withColumn(
+            "c",
+            F.least(
+                F.lit(k),
+                F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k)),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_positions"),
+            F.sum("c").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+                "n_dup_positions"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("coalesce(covered_tokens, 0L) * 1000000L div n_tokens")
+            )
+            .alias("coverage_ppm"),
+        )
+    )
