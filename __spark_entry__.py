@@ -2864,6 +2864,79 @@ def v25_cusum_changepoint(spark, sf_dir):
     )
 
 
+def v26_benford_audit(spark, sf_dir):
+    """Per-event-type Benford first-digit audit — the classic
+    synthetic-vs-organic value-distribution read (fabricated or
+    machine-generated numeric fields drift from Benford's law long before
+    any point-outlier test fires; next to v18's z-days and v25's level
+    shifts this asks "does the VALUE column look organically generated at
+    all"). First significant digit comes from the exact integer CENTS
+    (v23's ``round(value·100)`` idiom — proven engine-exact) via a string
+    head, so no float log10 ever runs on data; the nine Benford expected
+    shares are hardcoded integer ppm constants (they sum to exactly
+    1,000,000 — universal constants, not computed, so there is no
+    cross-engine ulp risk in the expectation either). Zero-count digits
+    materialize on a full type×digit spine (a missing digit must still
+    contribute its expected share to the deviation), obs_ppm is a floor
+    division, and tvd_ppm = Σ|obs−exp|//2 per type — all-bigint, so the
+    result hashes bit-exactly.
+
+    Scale: one map-side-combinable (type, digit) hash-agg over the event
+    stream; everything after runs on the ≤ 9·#types spine (the digit
+    dimension is literal 9 rows — broadcast bounded by construction);
+    windows partition by event_type over exactly 9 rows."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    digits = (
+        ev.select("event_type", cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+    )
+    counts = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    benford = spark.createDataFrame(
+        [
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+            (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+        ],
+        "digit long, benford_ppm long",
+    )
+    spine = counts.select("event_type").distinct().crossJoin(
+        F.broadcast(benford)
+    )
+    full = spine.join(counts, ["event_type", "digit"], "left").select(
+        "event_type",
+        "digit",
+        "benford_ppm",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        full.withColumn("n_type", F.sum("n_events").over(w))
+        .withColumn(
+            "obs_ppm", F.expr("n_events * 1000000L div n_type").cast("long")
+        )
+        .withColumn(
+            "dev_ppm", (F.col("obs_ppm") - F.col("benford_ppm")).cast("long")
+        )
+        .withColumn(
+            "tvd_ppm",
+            F.expr("sum(abs(dev_ppm)) over (partition by event_type) div 2")
+            .cast("long"),
+        )
+        .select(
+            "event_type", "digit", "n_events", "obs_ppm", "benford_ppm",
+            "dev_ppm", "tvd_ppm",
+        )
+    )
+
+
 def t43_term_zipf_tail(spark, sf_dir):
     """Hill tail-index of the per-source TERM-frequency distribution —
     v24's estimator pointed at the vocabulary: α̂ = 1 + n/Σ ln(x/x_min)
@@ -3451,6 +3524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t47 dup-span coverage: t25/t27's gram machinery (both in
         # window) + the t05 set arithmetic, interval union by one window
         "t47_dup_span_coverage": t47_dup_span_coverage,
+        # v26 Benford: v23's exact-cents idiom + v14's distribution-audit
+        # shape (v14 in window), hardcoded integer expectation constants
+        "v26_benford_audit": v26_benford_audit,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6176,6 +6252,48 @@ def oracle_sql() -> dict[str, str]:
                     ELSE coalesce(cov.covered_tokens, 0) * 1000000 // b.n_tokens
                END AS coverage_ppm
         FROM base b LEFT JOIN cov USING (doc_id)
+    """
+    # v26: first digit from the exact-cents string head, hardcoded ppm
+    # expectation constants, full type×digit spine so absent digits count
+    sql["v26_benford_audit"] = """
+        WITH digits AS (
+            SELECT event_type,
+                   CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM events
+            WHERE CAST(round(value * 100) AS BIGINT) > 0
+        ),
+        counts AS (
+            SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_events
+            FROM digits GROUP BY event_type, digit
+        ),
+        benford(digit, benford_ppm) AS (
+            VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                   (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+        ),
+        spine AS (
+            SELECT t.event_type, CAST(b.digit AS BIGINT) AS digit,
+                   CAST(b.benford_ppm AS BIGINT) AS benford_ppm
+            FROM (SELECT DISTINCT event_type FROM counts) t, benford b
+        ),
+        fullg AS (
+            SELECT s.event_type, s.digit, s.benford_ppm,
+                   coalesce(c.n_events, 0) AS n_events
+            FROM spine s LEFT JOIN counts c USING (event_type, digit)
+        ),
+        w AS (
+            SELECT event_type, digit, n_events, benford_ppm,
+                   CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+            FROM fullg
+        ),
+        d AS (
+            SELECT event_type, digit, n_events,
+                   n_events * 1000000 // n_type AS obs_ppm, benford_ppm,
+                   n_events * 1000000 // n_type - benford_ppm AS dev_ppm
+            FROM w
+        )
+        SELECT event_type, digit, n_events, obs_ppm, benford_ppm, dev_ppm,
+               CAST(sum(abs(dev_ppm)) OVER (PARTITION BY event_type) AS BIGINT) // 2 AS tvd_ppm
+        FROM d
     """
     # v23: exact integer cents summed as bigint, quartiles via the rank
     # formula over a (metric, user_id) total order — no ntile()
