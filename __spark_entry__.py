@@ -2391,6 +2391,25 @@ def e18_ann_recall_audit(spark, sf_dir):
     )
 
 
+def e20_hubness_audit(spark, sf_dir):
+    """Label-blocked hubness audit (operators/similarity.py::
+    hubness_audit): per vector, inbound degree in other vectors' EXACT
+    k=5 nearest lists within its label block — the Radovanović
+    high-dimensional pathology read that decides whether cosine top-k
+    serving degrades on this corpus (hubs dominate result lists,
+    anti-hubs go unreachable; e18 measures the index's recall, this
+    measures the SPACE's retrievability skew). Distances are exact
+    bigint squared-L2 over micro fixed-point components (the e16/e19
+    rule) so ranks, inbound counts and the inbound/k ppm are all
+    engine-exact integers. Pair volume O(Σ block²) — the e02/e17/e19
+    blocked-family scale shape."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        hubness_audit,
+    )
+
+    return hubness_audit(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def v23_rfm_segments(spark, sf_dir):
     """RFM (recency / frequency / monetary) user segmentation — the
     classic engagement-scoring grid every growth stack runs over an
@@ -3527,6 +3546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v26 Benford: v23's exact-cents idiom + v14's distribution-audit
         # shape (v14 in window), hardcoded integer expectation constants
         "v26_benford_audit": v26_benford_audit,
+        # e20 hubness: e19's micro fixed-point distance arithmetic over
+        # e02's label-blocked pair frame (e10's trunk in window)
+        "e20_hubness_audit": e20_hubness_audit,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6294,6 +6316,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, digit, n_events, obs_ppm, benford_ppm, dev_ppm,
                CAST(sum(abs(dev_ppm)) OVER (PARTITION BY event_type) AS BIGINT) // 2 AS tvd_ppm
         FROM d
+    """
+    # e20: micro fixed-point components, exact bigint squared-L2, total
+    # order (d2, id) so every rank is engine-exact; inbound in pure ints
+    sql["e20_hubness_audit"] = """
+        WITH vm AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       c -> CAST(round(CAST(c AS DOUBLE) * 1000000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d2
+            FROM vm a JOIN vm b ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT b_id FROM (
+                SELECT a_id, b_id,
+                       row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+                FROM pairs
+            ) WHERE rn <= 5
+        ),
+        inb AS (
+            SELECT b_id AS vec_id, CAST(count(*) AS BIGINT) AS n_inbound
+            FROM topk GROUP BY b_id
+        ),
+        blocks AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_block
+            FROM embeddings GROUP BY label
+        )
+        SELECT e.vec_id, e.label, blocks.n_block,
+               coalesce(inb.n_inbound, 0) AS n_inbound,
+               coalesce(inb.n_inbound, 0) * 1000000 // 5 AS inbound_ppm_of_k
+        FROM embeddings e JOIN blocks USING (label) LEFT JOIN inb USING (vec_id)
     """
     # v23: exact integer cents summed as bigint, quartiles via the rank
     # formula over a (metric, user_id) total order — no ntile()

@@ -629,3 +629,89 @@ def centroid_separation(
             F.col("dist_micro2").cast("long").alias("dist_micro2"),
         )
     )
+
+
+def hubness_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Per-vector HUBNESS audit — the classic high-dimensional ANN
+    pathology read (Radovanović et al.): count how often each vector
+    appears in OTHER vectors' exact k-nearest lists inside its block. In a
+    well-behaved space inbound degree concentrates near k; hubs (inbound
+    ≫ k) dominate retrieval results and anti-hubs (inbound 0) become
+    unreachable — the shape that decides whether cosine top-k serving
+    (e01/e03/e06) degrades on this corpus.
+
+    Exactness: components are fixed-pointed to micros (the e16/e19 rule)
+    and the squared L2 distance is an exact bigint via zip_with/aggregate,
+    so the neighbor ORDER — (d2 asc, id asc) — is a total order over
+    integers and every rank is engine-exact; inbound counts and the
+    inbound/k ppm ratio are pure bigint arithmetic. No float crosses an
+    ordering or aggregation boundary.
+
+    Scale: pair volume is O(Σ block²) like the e02/e17/e19 family — the
+    block column is the LSH/IVF bucket at web scale, never the whole
+    corpus; the top-k window partitions by source vector (bounded by
+    block size), and the inbound count is one map-side-combinable
+    hash-agg. Blocks of size ≤ k simply rank everyone (n_block carried so
+    readers can condition on it)."""
+    vm = F.transform(
+        F.col(vec_col),
+        lambda c: F.round(c.cast("double") * F.lit(1e6)).cast("long"),
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(block_col).alias("label"),
+        vm.alias("v"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") != F.col("b_id")))
+        .select(
+            "a_id",
+            "b_id",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.col("d2").asc(), F.col("b_id").asc())
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("b_id")
+    )
+    inbound = topk.groupBy("b_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inbound")
+    )
+    blocks = emb.groupBy(F.col(block_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_block")
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(block_col).alias("label"))
+        .join(blocks, "label")
+        .join(inbound, F.col("vec_id") == F.col("b_id"), "left")
+        .select(
+            "vec_id",
+            "label",
+            "n_block",
+            F.coalesce("n_inbound", F.lit(0)).cast("long").alias("n_inbound"),
+            F.expr(f"coalesce(n_inbound, 0L) * 1000000L div {k}")
+            .cast("long")
+            .alias("inbound_ppm_of_k"),
+        )
+    )
