@@ -2956,6 +2956,46 @@ def v26_benford_audit(spark, sf_dir):
     )
 
 
+def t48_lexical_complexity(spark, sf_dir):
+    """Per-document lexical-complexity audit — the readability ingredient
+    that survives a punctuation-less web corpus (FK/FOG sentence length is
+    degenerate here; the vocabulary-complexity axis is not): per doc, the
+    exact syllable-group count (maximal ``[aeiou]+`` runs per token — the
+    deterministic syllable proxy every readability formula builds on) and
+    the Gunning-FOG complex-word count (tokens with ≥ 3 vowel groups).
+    Publishes syllables-per-token and complex-share in floor ppm — pure
+    bigint, engine-exact. Completes the within-doc quality quartet: t02
+    surface ratios, t26 repetition, t45 distributional shape, this the
+    morphological weight. Tokenizer is the shared _tok3; vowel-group
+    counting is one regexp_extract_all + size per token — map-side, the
+    only shuffle is the per-doc hash-agg. Token-less docs are absent (the
+    t45 rule)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tok3(d)
+    syl = F.size(F.regexp_extract_all("term", F.lit("[aeiou]+"), F.lit(0))).cast(
+        "long"
+    )
+    per = toks.select("doc_id", syl.alias("s")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("s").cast("long").alias("n_syllables"),
+        F.sum(F.when(F.col("s") >= 3, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_complex"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_syllables",
+        "n_complex",
+        F.expr("n_syllables * 1000000L div n_tokens").cast("long").alias(
+            "syll_per_token_ppm"
+        ),
+        F.expr("n_complex * 1000000L div n_tokens").cast("long").alias(
+            "complex_ppm"
+        ),
+    )
+
+
 def t43_term_zipf_tail(spark, sf_dir):
     """Hill tail-index of the per-source TERM-frequency distribution —
     v24's estimator pointed at the vocabulary: α̂ = 1 + n/Σ ln(x/x_min)
@@ -3549,6 +3589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # e20 hubness: e19's micro fixed-point distance arithmetic over
         # e02's label-blocked pair frame (e10's trunk in window)
         "e20_hubness_audit": e20_hubness_audit,
+        # t48 lexical complexity: shared _tok3 (t23 in window), pure
+        # integer vowel-group counts, the t02/t26/t45 quality-quartet axis
+        "t48_lexical_complexity": t48_lexical_complexity,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6316,6 +6359,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, digit, n_events, obs_ppm, benford_ppm, dev_ppm,
                CAST(sum(abs(dev_ppm)) OVER (PARTITION BY event_type) AS BIGINT) // 2 AS tvd_ppm
         FROM d
+    """
+    # t48: shared tokenizer CTE, vowel-group runs via regexp_extract_all,
+    # all-integer counts and floor-ppm ratios
+    sql["t48_lexical_complexity"] = f"""
+        WITH {_TOK3_CTE},
+        syl AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(term, '[aeiou]+')) AS BIGINT) AS s
+            FROM toks3
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(s) AS BIGINT) AS n_syllables,
+                   CAST(sum(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_complex
+            FROM syl GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_syllables, n_complex,
+               n_syllables * 1000000 // n_tokens AS syll_per_token_ppm,
+               n_complex * 1000000 // n_tokens AS complex_ppm
+        FROM per
     """
     # e20: micro fixed-point components, exact bigint squared-L2, total
     # order (d2, id) so every rank is engine-exact; inbound in pure ints
