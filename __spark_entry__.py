@@ -2956,6 +2956,72 @@ def v26_benford_audit(spark, sf_dir):
     )
 
 
+def v27_diurnal_autocorr(spark, sf_dir):
+    """Per-event-type lag-24h autocorrelation of the hourly volume series
+    — the PERIODICITY read next to v25's level shifts and v18's point
+    outliers: human-driven streams repeat daily (acf24 → 1), bot/replay
+    traffic does not. Hours are exact epoch integers
+    (``unix_micros div 3600·10⁶`` / DuckDB ``epoch_us // ...``) on a
+    COMPLETE per-type hour spine (missing hours are real zeros — skipping
+    them would misalign every lag pair), and the lag pairing is
+    ``lead(n, 24)`` over the contiguous spine. The Pearson numerator and
+    both variance terms are EXACT bigints from the summed pair frame
+    (n·Σxy − ΣxΣy etc., the v18/t33 z-algebra); zero-variance sides drop
+    by the exact integer predicate (the v12 rule) and the published acf24
+    is ONE double expression (vx·vy multiplied in double for the sqrt),
+    rounded 9.
+
+    Scale: hourly reduce is map-side combinable; the spine is bounded by
+    the CALENDAR (hours, not events — the v25 argument), so the window
+    and the per-type stats frame stay small at any corpus size. Int64
+    bound: vx ≈ n_hours·Σn², binding around ~10⁶ events/hour over a
+    decade — rescale counts beyond."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .cast("long")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    full = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = full.withColumn("y", F.lead("x", 24).over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    st = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return st.filter((vx > 0) & (vy > 0)).select(
+        "event_type",
+        "n_pairs",
+        num.cast("long").alias("acf_num"),
+        vx.cast("long").alias("var_x"),
+        vy.cast("long").alias("var_y"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            9,
+        ).alias("acf24"),
+    )
+
+
 def t48_lexical_complexity(spark, sf_dir):
     """Per-document lexical-complexity audit — the readability ingredient
     that survives a punctuation-less web corpus (FK/FOG sentence length is
@@ -3592,6 +3658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t48 lexical complexity: shared _tok3 (t23 in window), pure
         # integer vowel-group counts, the t02/t26/t45 quality-quartet axis
         "t48_lexical_complexity": t48_lexical_complexity,
+        # v27 diurnal autocorrelation: v18/t33's exact z-algebra over a
+        # calendar-bounded hour spine (v18/v12 siblings in window)
+        "v27_diurnal_autocorr": v27_diurnal_autocorr,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6380,6 +6449,51 @@ def oracle_sql() -> dict[str, str]:
                n_syllables * 1000000 // n_tokens AS syll_per_token_ppm,
                n_complex * 1000000 // n_tokens AS complex_ppm
         FROM per
+    """
+    # v27: exact epoch-hour spine (zeros are real), lead-24 pairing,
+    # all-bigint Pearson algebra, one double at the end
+    sql["v27_diurnal_autocorr"] = """
+        WITH hourly AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY event_type, h
+        ),
+        span AS (
+            SELECT event_type, min(h) AS h0, max(h) AS h1
+            FROM hourly GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type, CAST(t.h AS BIGINT) AS h
+            FROM span, unnest(range(h0, h1 + 1)) AS t(h)
+        ),
+        fullh AS (
+            SELECT s.event_type, s.h, coalesce(hourly.n, 0) AS x
+            FROM spine s LEFT JOIN hourly USING (event_type, h)
+        ),
+        pairs AS (
+            SELECT event_type, x,
+                   lead(x, 24) OVER (PARTITION BY event_type ORDER BY h) AS y
+            FROM fullh
+        ),
+        st AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n_pairs,
+               CAST(n_pairs * sxy - sx * sy AS BIGINT) AS acf_num,
+               CAST(n_pairs * sxx - sx * sx AS BIGINT) AS var_x,
+               CAST(n_pairs * syy - sy * sy AS BIGINT) AS var_y,
+               round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 9) AS acf24
+        FROM st
+        WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
     """
     # e20: micro fixed-point components, exact bigint squared-L2, total
     # order (d2, id) so every rank is engine-exact; inbound in pure ints
