@@ -3062,6 +3062,62 @@ def t48_lexical_complexity(spark, sf_dir):
     )
 
 
+def t49_vocab_growth(spark, sf_dir):
+    """Per-source vocabulary-growth profile — Heaps'-law position plus the
+    hapax mass: token volume N, type inventory V, hapax / dis legomena
+    counts, type-token ratio and hapax share in floor ppm, and the Heaps
+    exponent read β = ln V / ln N. A source still minting vocabulary
+    (hapax-heavy, β near 1) behaves differently under dedup, BPE sizing
+    (t44/t46) and mixture weighting (t38) than one that has saturated —
+    this is the per-source "is the vocabulary still growing" dial next to
+    t43's tail index and t37's corpus-level coverage curve. Both lns are
+    nano-rounded bigints BEFORE the ratio (the t23 rule — the published β
+    is ONE double division of two exact integers, round 9); every count
+    and ppm is pure bigint. Sources with N < 2 drop (no growth curve from
+    one token — the v12 baseline-less rule).
+
+    Scale: one tokenize scan → (source, term) hash-agg with map-side
+    combine → per-source reduce over the type inventory; nothing after
+    the first agg touches corpus-sized data. Tokenizer is the shared
+    _tok3 (source-carrying form, t42's idiom)."""
+    d = _t(spark, sf_dir, "documents")
+    per = _tok3(d, cols=("source",)).groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ag = per.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias(
+            "hapax_count"
+        ),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias(
+            "dis_count"
+        ),
+    )
+    ln_n = F.round(F.log(F.col("n_tokens").cast("double")) * F.lit(1e9)).cast(
+        "long"
+    )
+    ln_v = F.round(F.log(F.col("v_types").cast("double")) * F.lit(1e9)).cast(
+        "long"
+    )
+    return ag.filter(F.col("n_tokens") >= 2).select(
+        "source",
+        "n_tokens",
+        "v_types",
+        "hapax_count",
+        "dis_count",
+        F.expr("v_types * 1000000L div n_tokens").cast("long").alias("ttr_ppm"),
+        F.expr("hapax_count * 1000000L div v_types").cast("long").alias(
+            "hapax_ppm"
+        ),
+        ln_v.alias("ln_v_nano"),
+        ln_n.alias("ln_n_nano"),
+        F.round(ln_v.cast("double") / ln_n.cast("double"), 9).alias(
+            "heaps_beta"
+        ),
+    )
+
+
 def t43_term_zipf_tail(spark, sf_dir):
     """Hill tail-index of the per-source TERM-frequency distribution —
     v24's estimator pointed at the vocabulary: α̂ = 1 + n/Σ ln(x/x_min)
@@ -3661,6 +3717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v27 diurnal autocorrelation: v18/t33's exact z-algebra over a
         # calendar-bounded hour spine (v18/v12 siblings in window)
         "v27_diurnal_autocorr": v27_diurnal_autocorr,
+        # t49 vocab growth: the shared source-carrying _tok3 + t43/v24's
+        # nano-ln fixed point (t23/t30 siblings in window)
+        "t49_vocab_growth": t49_vocab_growth,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6449,6 +6508,31 @@ def oracle_sql() -> dict[str, str]:
                n_syllables * 1000000 // n_tokens AS syll_per_token_ppm,
                n_complex * 1000000 // n_tokens AS complex_ppm
         FROM per
+    """
+    # t49: shared source-carrying tokenizer CTE, nano-rounded lns BEFORE
+    # the ratio, all counts/ppm pure bigint
+    sql["t49_vocab_growth"] = f"""
+        WITH {_TOK3_SRC_CTE},
+        per AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS c
+            FROM toks3 GROUP BY source, term
+        ),
+        ag AS (
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS v_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_count
+            FROM per GROUP BY source
+        )
+        SELECT source, n_tokens, v_types, hapax_count, dis_count,
+               v_types * 1000000 // n_tokens AS ttr_ppm,
+               hapax_count * 1000000 // v_types AS hapax_ppm,
+               CAST(round(ln(CAST(v_types AS DOUBLE)) * 1e9) AS BIGINT) AS ln_v_nano,
+               CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS ln_n_nano,
+               round(CAST(CAST(round(ln(CAST(v_types AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE)
+                     / CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT), 9) AS heaps_beta
+        FROM ag WHERE n_tokens >= 2
     """
     # v27: exact epoch-hour spine (zeros are real), lead-24 pairing,
     # all-bigint Pearson algebra, one double at the end
