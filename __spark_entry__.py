@@ -2905,7 +2905,9 @@ def v26_benford_audit(spark, sf_dir):
     dimension is literal 9 rows — broadcast bounded by construction);
     windows partition by event_type over exactly 9 rows."""
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    # standard Benford reads the first digit of |value| — refunds /
+    # chargebacks count by magnitude; only true sub-cent zeros drop
+    cents = F.abs(F.round(F.col("value") * 100).cast("long"))
     digits = (
         ev.select("event_type", cents.alias("cents"))
         .filter(F.col("cents") > 0)
@@ -6451,9 +6453,9 @@ def oracle_sql() -> dict[str, str]:
     sql["v26_benford_audit"] = """
         WITH digits AS (
             SELECT event_type,
-                   CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   CAST(substring(CAST(abs(CAST(round(value * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
             FROM events
-            WHERE CAST(round(value * 100) AS BIGINT) > 0
+            WHERE abs(CAST(round(value * 100) AS BIGINT)) > 0
         ),
         counts AS (
             SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_events

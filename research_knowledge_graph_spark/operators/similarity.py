@@ -687,9 +687,9 @@ def hubness_audit(
             ).alias("d2"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("a_id").orderBy(F.col("d2").asc(), F.col("b_id").asc())
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("b_id").asc()
+    )
     topk = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -25,10 +25,18 @@ def _load_entry():
     return m
 
 
+def _away_from_zero(x: float) -> int:
+    """Both engines round half AWAY FROM ZERO (Spark HALF_UP, DuckDB
+    round()); python's round() is banker's — don't use it in the twin."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
 def _twin(values: list[float]) -> dict[int, tuple]:
     counts = {d: 0 for d in range(1, 10)}
     for v in values:
-        cents = round(v * 100)
+        cents = abs(_away_from_zero(v * 100))
         if cents > 0:
             counts[int(str(cents)[0])] += 1
     n = sum(counts.values())
@@ -44,8 +52,9 @@ def test_benford_twin(spark, tmp_path):
     import datetime as dt
 
     # digits: 1.00->1, 19.99->1 (cents head, not dollar head), 0.02->2,
-    # 0.004 -> cents 0 -> dropped; digits 3..9 absent but must appear
-    values = [1.00, 19.99, 0.02, 0.004, 150.00, 2.50]
+    # 0.004 -> cents 0 -> dropped; -2.50 -> |cents| 250 -> 2 (Benford on
+    # magnitude: refunds count); digits 3..9 absent but must appear
+    values = [1.00, 19.99, 0.02, 0.004, 150.00, -2.50]
     rows = [
         (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "typea", v, "{}")
         for i, v in enumerate(values)
@@ -72,5 +81,5 @@ def test_benford_twin(spark, tmp_path):
     assert got == exp
     # all nine digits materialize even though only 1/2 occur
     assert set(got) == set(range(1, 10))
-    # 19.99 counted under digit 1 (cents head): digits 1 -> {1.00, 19.99, 150.00}
+    # 19.99 under digit 1 (cents head); -2.50 under digit 2 (magnitude)
     assert got[1][0] == 3 and got[2][0] == 2
