@@ -3120,6 +3120,27 @@ def t49_vocab_growth(spark, sf_dir):
     )
 
 
+def v28_burstiness_profile(spark, sf_dir):
+    """Per-event-type Goh–Barabási burstiness of the inter-event gap
+    process (operators/sessions.py::burstiness_profile) — the dispersion
+    surrogate B' = 1 − 2S²/(nQ) over integer-second gaps pooled across
+    per-(user, type) sequences: periodic heartbeats read −1, Poisson 0,
+    bursty human traffic → +1. Completes the cadence family next to
+    v12's per-user gap moments and v27's daily periodicity. n/S/Q are
+    exact bigints off one (user, type)-keyed lag window + one hash-agg;
+    the published burstiness is ONE double expression in the identical
+    IEEE shape both engines (casts before products — the t42 overflow
+    rule); all-sub-second types drop by the exact S=Q=0 predicate (the
+    v12 baseline-less rule)."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.sessions import (
+        burstiness_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return burstiness_profile(ev)
+
+
 def t43_term_zipf_tail(spark, sf_dir):
     """Hill tail-index of the per-source TERM-frequency distribution —
     v24's estimator pointed at the vocabulary: α̂ = 1 + n/Σ ln(x/x_min)
@@ -3722,6 +3743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t49 vocab growth: the shared source-carrying _tok3 + t43/v24's
         # nano-ln fixed point (t23/t30 siblings in window)
         "t49_vocab_growth": t49_vocab_growth,
+        # v28 burstiness: v12's lag-window gap machinery (v12 in window)
+        # + t42's cast-before-product double rule
+        "v28_burstiness_profile": v28_burstiness_profile,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5904,6 +5928,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap_us) // count(*) AS BIGINT) AS avg_gap_us
             FROM lagged WHERE gap_us IS NOT NULL
             GROUP BY user_id
+        """,
+        "v28_burstiness_profile": """
+            WITH lagged AS (
+                SELECT event_type, user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            ), gaps AS (
+                SELECT event_type, user_id,
+                       gap_us // 1000000 AS gap_s
+                FROM lagged WHERE gap_us IS NOT NULL
+            ), agg AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS n_sequences,
+                       CAST(count(*) AS BIGINT) AS n_gaps,
+                       CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+                       CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap2_s
+                FROM gaps GROUP BY event_type
+            )
+            SELECT event_type, n_sequences, n_gaps, sum_gap_s, sum_gap2_s,
+                   CAST(sum_gap_s // n_gaps AS BIGINT) AS mean_gap_s,
+                   CAST(1 AS DOUBLE) - (2 * CAST(sum_gap_s AS DOUBLE)
+                       * CAST(sum_gap_s AS DOUBLE))
+                       / (CAST(n_gaps AS DOUBLE)
+                          * CAST(sum_gap2_s AS DOUBLE)) AS burstiness
+            FROM agg WHERE sum_gap2_s > 0
         """,
         "t24_frequent_kgrams": r"""
             WITH toks AS (

@@ -150,3 +150,85 @@ def interarrival_stats(
         F.max("gap_us").cast("long").alias("max_gap_us"),
         F.expr("sum(gap_us) div count(1)").cast("long").alias("avg_gap_us"),
     )
+
+
+def burstiness_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event-type BURSTINESS of the inter-event gap process — the
+    Goh–Barabási "is this cadence periodic, Poisson, or bursty" read that
+    separates machine heartbeats (periodic, burstiness → −1) from human
+    activity (bursty, → +1), pooled over every per-(user, type) gap
+    sequence. Completes the cadence family: v12 gives per-user gap
+    moments, v27 the daily periodicity; this is the dispersion SHAPE of
+    the gap distribution itself.
+
+    Instead of the classic B = (σ−μ)/(σ+μ) (a square root — not exact
+    cross-engine), we publish the algebraically equivalent-in-sign
+    dispersion surrogate B' = (CV²−1)/(CV²+1) = 1 − 2S²/(nQ) where
+    S = Σgap, Q = Σgap², n = #gaps: a monotone transform of B with the
+    same fixed points (periodic −1, Poisson 0, bursty → +1) and PURE
+    integer inputs. Gaps are integer SECONDS (``gap_us div 1_000_000`` —
+    exact floor) so Q stays in int64 (µs² would overflow at ~10¹³);
+    n/S/Q are exact bigints, and the one double expression at the end is
+    written in the identical IEEE shape on both engines (the t42 rule:
+    cast to double BEFORE the products so neither engine's bigint
+    multiply overflows — n·Q and 2S² may exceed int64 even though each
+    factor fits). Overflow bound (ANSI fails loudly): Q ≤ 9.2·10¹⁸ binds
+    at e.g. 10⁴ gaps of 10⁷ s — far past any realistic event stream; the
+    t33/v24 documented-bound precedent.
+
+    Types whose gaps all floor to 0 s (sub-second-only cadence) carry no
+    dispersion information at second resolution and are dropped (the v12
+    baseline-less rule; the oracle filters identically — and a sub-second
+    bot stream should be read off v12's exact-µs min/avg instead).
+
+    Returns (event_type, n_sequences, n_gaps, sum_gap_s, sum_gap2_s,
+    mean_gap_s, burstiness). Scale: one lag window on the (user, type)
+    composite key (finer than v12's user key — strictly better skew
+    spread), then a map-side-combinable hash-agg onto #types keys; the
+    countDistinct runs on the already-reduced gaps frame."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        us.asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.col(user_col).alias("user_id"),
+            (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("gap_us div 1000000L").cast("long").alias("gap_s"),
+        )
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_sequences"),
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("sum_gap_s"),
+        F.sum(F.expr("gap_s * gap_s")).cast("long").alias("sum_gap2_s"),
+    )
+    return (
+        agg.filter(F.col("sum_gap2_s") > 0)
+        .withColumn(
+            "mean_gap_s",
+            F.expr("sum_gap_s div n_gaps").cast("long"),
+        )
+        .withColumn(
+            "burstiness",
+            # identical IEEE double shape as the DuckDB oracle: casts
+            # BEFORE the products (t42's overflow rule), left-assoc (2·S)·S
+            F.expr(
+                "CAST(1 AS DOUBLE) - (2 * CAST(sum_gap_s AS DOUBLE)"
+                " * CAST(sum_gap_s AS DOUBLE))"
+                " / (CAST(n_gaps AS DOUBLE) * CAST(sum_gap2_s AS DOUBLE))"
+            ),
+        )
+    )

@@ -127,3 +127,45 @@ def test_interarrival_stats_hand_computed(spark):
     assert (rows[3].n_gaps, rows[3].min_gap_us, rows[3].max_gap_us, rows[3].avg_gap_us) == (
         2, 0, 1_000_000, 500_000,
     )
+
+
+def test_burstiness_profile_planted(spark):
+    """Planted extremes pin the dispersion surrogate: a constant-gap
+    (periodic) type reads exactly -1.0, a one-big-gap-rest-zero bursty
+    type reads exactly 1 - 2/n, an all-sub-second type is dropped (S=Q=0
+    at second resolution), and sequences pool per (user, type) — the gap
+    BETWEEN users never enters."""
+    from research_knowledge_graph_spark.operators.sessions import (
+        burstiness_profile,
+    )
+
+    rows = []
+    eid = 0
+    # type "beat": user 1, gaps exactly 10s x 4 (periodic -> -1.0)
+    for i in range(5):
+        rows.append((eid, 1, "beat", f"1970-01-01 00:00:{10*i:02d}")); eid += 1
+    # type "burst": user 2, 8 gaps = seven 0s (same second, distinct ids,
+    # microsecond 0) + one 80s jump -> burst = 1 - 2/8 = 0.75
+    for i in range(8):
+        rows.append((eid, 2, "burst", "1970-01-01 00:01:00")); eid += 1
+    rows.append((eid, 2, "burst", "1970-01-01 00:02:20")); eid += 1
+    # type "subsec": user 3, gaps 0.5s each -> floor to 0s -> dropped
+    for frac in ("00.0", "00.5", "01.0"):
+        rows.append((eid, 3, "subsec", f"1970-01-01 00:03:{frac}")); eid += 1
+    # type "beat" also has user 4 with ONE event: no gap, not a sequence
+    rows.append((eid, 4, "beat", "1970-01-01 09:00:00")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_type: r for r in burstiness_profile(ev).collect()}
+    assert set(got) == {"beat", "burst"}  # subsec dropped by the S=Q=0 rule
+    b = got["beat"]
+    # 4 gaps of 10s: S=40, Q=400, burst = 1 - 2*1600/(4*400) = -1.0 exact
+    assert (b.n_sequences, b.n_gaps, b.sum_gap_s, b.sum_gap2_s) == (1, 4, 40, 400)
+    assert b.mean_gap_s == 10
+    assert b.burstiness == -1.0
+    u = got["burst"]
+    # 8 gaps: seven 0s + one 80s: S=80, Q=6400 -> 1 - 2*6400/(8*6400) = 0.75
+    assert (u.n_sequences, u.n_gaps, u.sum_gap_s, u.sum_gap2_s) == (1, 8, 80, 6400)
+    assert u.mean_gap_s == 10
+    assert u.burstiness == 0.75
