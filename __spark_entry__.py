@@ -2811,6 +2811,21 @@ def g45_neighborhood_function(spark, sf_dir):
     )
 
 
+def g46_bowtie_probe(spark, sf_dir):
+    """Broder bowtie macro-structure probe over PLACED∪FOLLOWS∪USES_PART
+    (operators/graph_queries.py::bowtie_probe): CORE/IN/OUT/
+    OUTSIDE_HORIZON node counts around the max-out-degree pivot, both
+    membership balls within 3 directed hops off the SAME
+    _bounded_bfs_visited trunk as g32/g44/g45 (forward, and once over
+    the reversed edge frame) — the WWW'00 crawl-graph shape read, exact
+    because the horizon bounds each ball. Oracle: two bounded recursive
+    CTEs (forward + reversed) from the identically-selected pivot."""
+    edges = TG.derive_edges(spark, sf_dir)
+    return G.bowtie_probe(
+        edges, max_depth=3, edge_types=["PLACED", "FOLLOWS", "USES_PART"]
+    )
+
+
 def v25_cusum_changepoint(spark, sf_dir):
     """Per-event-type CUSUM changepoint over the daily volume series —
     the distribution-SHIFT detector next to v18's point-outlier z test
@@ -3746,6 +3761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v28 burstiness: v12's lag-window gap machinery (v12 in window)
         # + t42's cast-before-product double rule
         "v28_burstiness_profile": v28_burstiness_profile,
+        # g46 bowtie: g32's shared _bounded_bfs_visited trunk (g32 in
+        # window) run forward + reversed from a degree-selected pivot
+        "g46_bowtie_probe": g46_bowtie_probe,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5517,6 +5535,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dist) AS BIGINT) AS total_dist,
                    CAST((1000000 * count(*)) // sum(dist) AS BIGINT) AS closeness_ppm
             FROM md WHERE dist > 0 GROUP BY src
+        """,
+        # g46 bowtie: two single-source bounded recursive CTEs (forward +
+        # reversed) from the max-out-degree pivot — membership only, so
+        # UNION-dedup on (node, dist) rows terminates at the horizon
+        "g46_bowtie_probe": f"""
+            WITH RECURSIVE {GRAPH_CTE},
+            bt_g AS (
+                SELECT DISTINCT from_node_id AS u, to_node_id AS v
+                FROM edges
+                WHERE edge_type IN ('PLACED', 'FOLLOWS', 'USES_PART')
+            ),
+            bt_pivot AS (
+                SELECT u AS p FROM bt_g GROUP BY u
+                ORDER BY count(*) DESC, u ASC LIMIT 1
+            ),
+            bt_fw(node, dist) AS (
+                SELECT p, 0 FROM bt_pivot
+                UNION
+                SELECT bt_g.v, bt_fw.dist + 1
+                FROM bt_fw JOIN bt_g ON bt_g.u = bt_fw.node
+                WHERE bt_fw.dist < 3
+            ),
+            bt_bw(node, dist) AS (
+                SELECT p, 0 FROM bt_pivot
+                UNION
+                SELECT bt_g.u, bt_bw.dist + 1
+                FROM bt_bw JOIN bt_g ON bt_g.v = bt_bw.node
+                WHERE bt_bw.dist < 3
+            ),
+            bt_f AS (SELECT DISTINCT node FROM bt_fw),
+            bt_b AS (SELECT DISTINCT node FROM bt_bw),
+            -- NOT `UNION`: inside WITH RECURSIVE, DuckDB 1.0 gives every
+            -- CTE's UNION recursive (non-deduplicating) semantics even
+            -- when the CTE never references itself — verified live; use
+            -- UNION ALL + DISTINCT for plain set union here
+            bt_all AS (
+                SELECT DISTINCT node FROM (
+                    SELECT u AS node FROM bt_g
+                    UNION ALL SELECT v FROM bt_g
+                )
+            ),
+            bt_cls AS (
+                SELECT CASE
+                    WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'CORE'
+                    WHEN b.node IS NOT NULL THEN 'IN'
+                    WHEN f.node IS NOT NULL THEN 'OUT'
+                    ELSE 'OUTSIDE_HORIZON' END AS region
+                FROM bt_all a
+                LEFT JOIN bt_f f ON f.node = a.node
+                LEFT JOIN bt_b b ON b.node = a.node
+            )
+            SELECT region, CAST(count(*) AS BIGINT) AS n_nodes,
+                   (SELECT p FROM bt_pivot) AS pivot_node_id
+            FROM bt_cls GROUP BY region
         """,
         # g44 shares g32's bounded-BFS CTE blocks (ONE definition of the
         # 3-hop min-distance frame); 6 // dist is exact for dist in 1..3

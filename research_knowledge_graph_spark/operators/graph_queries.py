@@ -1151,3 +1151,90 @@ def two_hop_reach(pairs: DataFrame) -> DataFrame:
     return reach.groupBy("reach").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def bowtie_probe(
+    edges: DataFrame,
+    max_depth: int = 3,
+    edge_types: list[str] | None = None,
+) -> DataFrame:
+    """Broder-style BOWTIE probe of the graph around a deterministic pivot
+    — the classic web-graph macro-structure read (Broder et al., WWW'00:
+    CORE / IN / OUT decomposition of the crawl graph), horizon-bounded so
+    every set is exact. Pivot = the max-out-degree node (ties to the
+    smallest node_id — a total order); two balls off the ONE shared
+    :func:`_bounded_bfs_visited` trunk: F = nodes reachable FROM the
+    pivot within ``max_depth`` directed hops, B = nodes that REACH the
+    pivot (the same trunk over the reversed edge frame). Regions:
+    ``CORE`` = F∩B (the pivot's within-horizon SCC approximation),
+    ``IN`` = B∖F, ``OUT`` = F∖B, ``OUTSIDE_HORIZON`` = every other
+    endpoint (tendrils/tubes/disconnected — named honestly: the horizon
+    clips the classic unbounded definition). Empty regions are absent
+    (the oracle computes the same sets).
+
+    Returns (region, n_nodes, pivot_node_id) — exact bigint counts, the
+    pivot carried as a constant column off a bounded 1-row broadcast.
+
+    Scale: the two BFS balls grow with the pivot's neighborhood, not the
+    corpus; pivot selection is a degree hash-agg + TakeOrdered(1); the
+    node universe is one distinct over edge endpoints; the two
+    membership joins are ball-sized → AQE broadcasts them. No stage
+    touches all-pairs anything."""
+    e = edges
+    if edge_types is not None:
+        e = e.filter(F.col("edge_type").isin(edge_types))
+    fwd = e.select(
+        F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
+    ).distinct()
+    pivot = (
+        fwd.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .orderBy(F.col("outdeg").desc(), F.col("u").asc())
+        .limit(1)
+        .select(F.col("u").alias("node_id"))
+    )
+    # both trunk inputs derive from the ONE distinct (u,v) frame — already
+    # type-filtered, so the trunk gets edge_types=None (and this keeps the
+    # operator usable on bare (from,to) frames with no edge_type column)
+    fe = fwd.select(
+        F.col("u").alias("from_node_id"), F.col("v").alias("to_node_id")
+    )
+    rev = fwd.select(
+        F.col("v").alias("from_node_id"), F.col("u").alias("to_node_id")
+    )
+    f_ball = (
+        _bounded_bfs_visited(fe, max_depth, None, sources=pivot)
+        .select("node_id")
+        .distinct()
+        .withColumn("in_f", F.lit(True))
+    )
+    b_ball = (
+        _bounded_bfs_visited(rev, max_depth, None, sources=pivot)
+        .select("node_id")
+        .distinct()
+        .withColumn("in_b", F.lit(True))
+    )
+    universe = (
+        fwd.select(F.col("u").alias("node_id"))
+        .unionByName(fwd.select(F.col("v").alias("node_id")))
+        .distinct()
+    )
+    cls = (
+        universe.join(f_ball, "node_id", "left")
+        .join(b_ball, "node_id", "left")
+        .select(
+            F.when(F.col("in_f") & F.col("in_b"), F.lit("CORE"))
+            .when(F.col("in_b"), F.lit("IN"))
+            .when(F.col("in_f"), F.lit("OUT"))
+            .otherwise(F.lit("OUTSIDE_HORIZON"))
+            .alias("region")
+        )
+    )
+    counts = cls.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    # bounded 1-row dim by construction (limit(1)) — the broadcast-hint
+    # guard the t10 fix established: hint only provably-bounded dims
+    return counts.crossJoin(
+        F.broadcast(pivot.select(F.col("node_id").alias("pivot_node_id")))
+    )

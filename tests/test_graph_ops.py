@@ -532,3 +532,32 @@ def test_link_prediction_scoreboard_salted_parity(spark):
     a = sorted(map(tuple, link_prediction_scoreboard(pairs, top_k=1000, salt_above=None).collect()))
     b = sorted(map(tuple, link_prediction_scoreboard(pairs, top_k=1000, salt_above=1, max_salts=4).collect()))
     assert a == b
+
+
+def test_bowtie_probe_hand_computed(spark):
+    """Planted bowtie: cycle a→b→c→a plus branch a→x, feeder i→a, and a
+    detached pair y→z. Pivot = a (out-degree 2, all others 1). F(a,3) =
+    {a,b,x,c}, B(a,3) = {a,b,c,i} → CORE {a,b,c}, IN {i}, OUT {x},
+    OUTSIDE_HORIZON {y,z}; pivot rides every row as a constant."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        bowtie_probe,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "x"), ("b", "c"), ("c", "a"),
+            ("i", "a"), ("y", "z"),
+        ],
+        "from_node_id string, to_node_id string",
+    )
+    rows = {r.region: r for r in bowtie_probe(edges, max_depth=3).collect()}
+    assert {k: v.n_nodes for k, v in rows.items()} == {
+        "CORE": 3, "IN": 1, "OUT": 1, "OUTSIDE_HORIZON": 2,
+    }
+    assert all(r.pivot_node_id == "a" for r in rows.values())
+    # horizon clip: depth 1 shrinks the core to {a} (b needs 2 hops back)
+    rows1 = {
+        r.region: r.n_nodes for r in bowtie_probe(edges, max_depth=1).collect()
+    }
+    assert rows1["CORE"] == 1  # a alone: F={a,b,x}, B={a,c,i}
+    assert rows1["IN"] == 2 and rows1["OUT"] == 2
