@@ -3156,6 +3156,22 @@ def v28_burstiness_profile(spark, sf_dir):
     return burstiness_profile(ev)
 
 
+def t50_length_ks_drift(spark, sf_dir):
+    """Per-source Kolmogorov–Smirnov drift of the doc-length distribution
+    vs the rest of the corpus (operators/curation.py::length_ks_drift) —
+    the nonparametric extraction-regression read next to t42's KL: exact
+    integer ECDF cross-multiplication on a COMPLETE per-source pooled-
+    value spine, max deviation + argmax length via an explicit
+    (d desc, v asc) row_number, one floor-ppm division at the end;
+    single-source corpora drop by the n_rest = 0 predicate."""
+    from research_knowledge_graph_spark.operators.curation import (
+        length_ks_drift,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return length_ks_drift(d)
+
+
 def t43_term_zipf_tail(spark, sf_dir):
     """Hill tail-index of the per-source TERM-frequency distribution —
     v24's estimator pointed at the vocabulary: α̂ = 1 + n/Σ ln(x/x_min)
@@ -3764,6 +3780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # g46 bowtie: g32's shared _bounded_bfs_visited trunk (g32 in
         # window) run forward + reversed from a degree-selected pivot
         "g46_bowtie_probe": g46_bowtie_probe,
+        # t50 length KS drift: t42's drift read made nonparametric — the
+        # v26 complete-spine rule + v23's reduced-frame rank windows
+        "t50_length_ks_drift": t50_length_ks_drift,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6028,6 +6047,54 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_gaps AS DOUBLE)
                           * CAST(sum_gap2_s AS DOUBLE)) AS burstiness
             FROM agg WHERE sum_gap2_s > 0
+        """,
+        # t50: exact-integer KS — DuckDB's SUM(BIGINT) runs in HUGEINT so
+        # the cross-multiplied deviations never overflow there; Spark's
+        # long arithmetic is the binding side (documented on the operator)
+        "t50_length_ks_drift": """
+            WITH per AS (
+                SELECT source, CAST(length(text) AS BIGINT) AS v
+                FROM documents WHERE text IS NOT NULL
+            ), cnt AS (
+                SELECT source, v, CAST(count(*) AS BIGINT) AS c_sv
+                FROM per GROUP BY source, v
+            ), vals AS (SELECT DISTINCT v FROM cnt),
+            srcs AS (
+                SELECT source, CAST(sum(c_sv) AS BIGINT) AS n_s
+                FROM cnt GROUP BY source
+            ), cv AS (
+                SELECT v, CAST(sum(c_sv) AS BIGINT) AS c_v
+                FROM cnt GROUP BY v
+            ), tot AS (SELECT CAST(sum(c_v) AS BIGINT) AS n_total FROM cv),
+            spine AS (SELECT s.source, s.n_s, vals.v FROM srcs s CROSS JOIN vals),
+            j AS (
+                SELECT sp.source, sp.n_s, sp.v,
+                       COALESCE(cnt.c_sv, 0) AS c_sv, cv.c_v
+                FROM spine sp
+                LEFT JOIN cnt ON cnt.source = sp.source AND cnt.v = sp.v
+                JOIN cv ON cv.v = sp.v
+            ), cum AS (
+                SELECT source, n_s, v,
+                       sum(c_sv) OVER (PARTITION BY source ORDER BY v) AS cum_s,
+                       sum(c_v) OVER (PARTITION BY source ORDER BY v) AS cum_all
+                FROM j
+            ), d AS (
+                SELECT source, n_s, v,
+                       tot.n_total - n_s AS n_rest,
+                       abs(cum_s * (tot.n_total - n_s)
+                           - (cum_all - cum_s) * n_s) AS d_num
+                FROM cum CROSS JOIN tot
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY d_num DESC, v ASC
+                ) AS rn
+                FROM d
+            )
+            SELECT source, n_s AS n_docs, CAST(n_rest AS BIGINT) AS n_rest,
+                   CAST(d_num AS BIGINT) AS ks_num,
+                   CAST((1000000 * d_num) // (n_s * n_rest) AS BIGINT) AS ks_ppm,
+                   CAST(v AS BIGINT) AS ks_at_value
+            FROM r WHERE rn = 1 AND n_rest > 0
         """,
         "t24_frequent_kgrams": r"""
             WITH toks AS (

@@ -683,3 +683,105 @@ def term_burstiness(
             ).alias("vmr_ppm"),
         )
     )
+
+
+def length_ks_drift(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Kolmogorov–Smirnov drift of the document-LENGTH
+    distribution against the rest of the corpus — the NONPARAMETRIC
+    sibling of t42's unigram KL: KL asks "is the vocabulary used
+    differently", this asks "did the SHAPE of the length distribution
+    move" (the classic extraction-regression signature: a boilerplate
+    stripper that starts truncating one domain shifts its whole length
+    ECDF long before any vocabulary statistic notices). KS is the right
+    tool because it is distribution-free and EXACT in integers: with
+    cum_s(v) the source's doc count at length ≤ v and cum_r(v) the
+    rest's, the KS statistic max_v |cum_s/n_s − cum_r/n_r| cross-
+    multiplies to ``ks_num = max_v |cum_s·n_r − cum_r·n_s|`` — every
+    term an exact bigint, the division deferred to one final floor-ppm
+    (``ks_ppm = 10⁶·ks_num div (n_s·n_r)``). Both ECDFs only jump at
+    observed lengths, so evaluating on the pooled distinct-value spine
+    is exact, and the spine must be COMPLETE per source (a source
+    missing a value still has an ECDF step there — the v26/v27 real-
+    zeros rule). ``ks_at_value`` is the argmax length (ties to the
+    smallest — an explicit (d desc, v asc) row_number), the "where do
+    the two distributions split" diagnostic.
+
+    Returns (source, n_docs, n_rest, ks_num, ks_ppm, ks_at_value);
+    single-source corpora drop out (n_rest = 0, the v12 baseline-less
+    rule). NULL-text docs carry no length and are excluded on both
+    sides.
+
+    Scale: one (source, v) hash-agg over the corpus (map-side
+    combinable); everything downstream runs on the #sources × #distinct-
+    lengths spine — bounded by the max document length, not the corpus
+    (the v26 spine argument); the per-source cumulative windows and the
+    argmax row_number run on that same reduced frame (v23's rule). The
+    1-row corpus total is a bounded broadcast. Overflow: 10⁶·ks_num ≤
+    10⁶·n_s·n_r binds at n_s·n_r ≈ 9.2·10¹² (e.g. 10⁵ docs in the
+    source × 10⁸ in the rest) — ANSI fails loudly beyond; rescale to
+    per-mille or sample the ECDF there (t33's documented-bound
+    precedent)."""
+    per = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.length(text_col).cast("long").alias("v"),
+    )
+    cnt = per.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sv")
+    )
+    vals = cnt.select("v").distinct()
+    srcs = cnt.groupBy("source").agg(F.sum("c_sv").cast("long").alias("n_s"))
+    cv = cnt.groupBy("v").agg(F.sum("c_sv").cast("long").alias("c_v"))
+    total = cv.agg(F.sum("c_v").cast("long").alias("n_total"))
+    spine = srcs.crossJoin(vals)
+    j = (
+        spine.join(cnt, ["source", "v"], "left")
+        .join(cv, "v")
+        .select(
+            "source",
+            "n_s",
+            "v",
+            F.coalesce(F.col("c_sv"), F.lit(0)).cast("long").alias("c_sv"),
+            "c_v",
+        )
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cum = j.select(
+        "source",
+        "n_s",
+        "v",
+        F.sum("c_sv").over(w).cast("long").alias("cum_s"),
+        F.sum("c_v").over(w).cast("long").alias("cum_all"),
+    )
+    d = cum.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_s",
+        "v",
+        (F.col("n_total") - F.col("n_s")).cast("long").alias("n_rest"),
+        F.abs(
+            F.col("cum_s") * (F.col("n_total") - F.col("n_s"))
+            - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    r = Window.partitionBy("source").orderBy(
+        F.col("d_num").desc(), F.col("v").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(r))
+        .filter((F.col("rn") == 1) & (F.col("n_rest") > 0))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            "n_rest",
+            F.col("d_num").alias("ks_num"),
+            F.expr("(1000000 * d_num) div (n_s * n_rest)")
+            .cast("long")
+            .alias("ks_ppm"),
+            F.col("v").alias("ks_at_value"),
+        )
+    )

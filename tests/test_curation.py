@@ -330,3 +330,43 @@ def test_term_burstiness_separates_boilerplate_from_topical(spark):
     ]
     with pytest.raises(ValueError):
         term_burstiness(docs, top_n=0)
+
+
+def test_length_ks_drift_hand_computed(spark):
+    """Two 4-doc sources with lengths {1,2,3,4} vs {3,4,5,6}: pooled-spine
+    ECDF deviations 4·|cumA−cumB| peak at 8 over values {2,3,4} → ties
+    break to the SMALLEST length (v=2), ks_ppm = 10⁶·8 div 16 = 500000,
+    symmetric for both sources; identical twin sources read exactly 0
+    with the argmax at the smallest pooled value; a NULL-text doc is
+    excluded before counting."""
+    from research_knowledge_graph_spark.operators.curation import (
+        length_ks_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [("A", "x" * n) for n in (1, 2, 3, 4)]
+        + [("B", "x" * n) for n in (3, 4, 5, 6)]
+        + [("A", None)],
+        "source string, text string",
+    )
+    rows = {r.source: r for r in length_ks_drift(docs).collect()}
+    assert set(rows) == {"A", "B"}
+    for s in ("A", "B"):
+        r = rows[s]
+        assert (r.n_docs, r.n_rest, r.ks_num, r.ks_ppm, r.ks_at_value) == (
+            4, 4, 8, 500_000, 2,
+        )
+    twins = spark.createDataFrame(
+        [("E", "x" * 7), ("E", "x" * 8), ("F", "x" * 7), ("F", "x" * 8)],
+        "source string, text string",
+    )
+    trows = {r.source: r for r in length_ks_drift(twins).collect()}
+    assert all(
+        (r.ks_num, r.ks_ppm, r.ks_at_value) == (0, 0, 7)
+        for r in trows.values()
+    )
+    # single-source corpus: baseline-less, empty result
+    solo = spark.createDataFrame(
+        [("Z", "abc")], "source string, text string"
+    )
+    assert length_ks_drift(solo).count() == 0
