@@ -1515,6 +1515,50 @@ def v11_event_transition_matrix(spark, sf_dir):
     )
 
 
+def v29_transition_entropy(spark, sf_dir):
+    """Per-state conditional next-event entropy H(next | cur) of the
+    empirical Markov chain — the "how predictable is behavior from this
+    state" read completing the v11 (transition counts) / v22 (stationary
+    mass) family: a near-zero H state is scripted/bot-like, a high-H
+    state is exploratory. Exactness is the t23/t45 nano-ln rule applied
+    to the entropy decomposition H_i = Σ_j (c_ij/c_i)·ln(c_i/c_ij): each
+    ln of an exact integer count is nano-rounded to a bigint BEFORE the
+    c_ij multiply (so partial-agg merge order cannot move a bit), every
+    term is ≥ 0 because round is monotone and c_i ≥ c_ij, the per-state
+    sum is an exact bigint and ``h_nano = sum div c_i`` is one
+    non-negative floor division. Transitions come from the SAME
+    v11_event_transition_matrix frame (ONE Spark definition) and the
+    oracle nests the SAME _TRANSITIONS_SQL literal (v22's pattern), so
+    chain, stationary mass and entropy cannot drift apart. Scale: v11's
+    one window + hash-agg, then everything on the #types² reduced frame.
+    Overflow: c_ij·Δln_nano binds near c_ij ≈ 3·10⁸ per cell (the t42
+    bound) — rescale to micro units beyond."""
+    t = v11_event_transition_matrix(spark, sf_dir)
+    tot = t.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_out"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+    )
+    ln_nano = lambda c: F.round(  # noqa: E731 — the t42 nano-ln idiom
+        F.log(c.cast("double")) * F.lit(1e9)
+    ).cast("long")
+    j = t.join(tot, "from_type")
+    term = F.col("n_transitions").cast("long") * (
+        ln_nano(F.col("n_out")) - ln_nano(F.col("n_transitions"))
+    )
+    agg = j.groupBy("from_type").agg(
+        F.max("n_out").alias("n_out"),
+        F.max("n_next_types").alias("n_next_types"),
+        F.sum(term).cast("long").alias("sum_term_nano"),
+    )
+    return agg.select(
+        "from_type",
+        "n_out",
+        "n_next_types",
+        "sum_term_nano",
+        F.expr("sum_term_nano div n_out").cast("long").alias("h_nano"),
+    )
+
+
 def t25_ngram_novelty(spark, sf_dir):
     """Per-document cross-doc duplication exposure
     (operators/curation.py::ngram_novelty): distinct 8-grams per doc, how
@@ -3783,6 +3827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t50 length KS drift: t42's drift read made nonparametric — the
         # v26 complete-spine rule + v23's reduced-frame rank windows
         "t50_length_ks_drift": t50_length_ks_drift,
+        # v29 transition entropy: v11's ONE transition frame (v11 in
+        # window) + t23/t45's nano-ln fixed point on the #types² frame
+        "v29_transition_entropy": v29_transition_entropy,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -6047,6 +6094,39 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_gaps AS DOUBLE)
                           * CAST(sum_gap2_s AS DOUBLE)) AS burstiness
             FROM agg WHERE sum_gap2_s > 0
+        """,
+        # v29: the SAME _TRANSITIONS_SQL literal as v11/v22 nested as a
+        # derived table; nano-ln per exact count, sum as bigint, one
+        # non-negative floor division (every term >= 0: round is monotone)
+        "v29_transition_entropy": f"""
+            WITH t AS (
+                SELECT from_type, to_type,
+                       CAST(n_transitions AS BIGINT) AS n
+                FROM ({_TRANSITIONS_SQL})
+            ),
+            tot AS (
+                SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+                       CAST(count(*) AS BIGINT) AS n_next_types
+                FROM t GROUP BY from_type
+            ),
+            j AS (
+                SELECT t.from_type,
+                       t.n * (CAST(round(ln(CAST(tot.n_out AS DOUBLE)) * 1e9) AS BIGINT)
+                              - CAST(round(ln(CAST(t.n AS DOUBLE)) * 1e9) AS BIGINT)) AS term,
+                       tot.n_out, tot.n_next_types
+                FROM t JOIN tot USING (from_type)
+            ),
+            a AS (
+                SELECT from_type, max(n_out) AS n_out,
+                       max(n_next_types) AS n_next_types,
+                       CAST(sum(term) AS BIGINT) AS sum_term_nano
+                FROM j GROUP BY from_type
+            )
+            SELECT from_type, CAST(n_out AS BIGINT) AS n_out,
+                   CAST(n_next_types AS BIGINT) AS n_next_types,
+                   sum_term_nano,
+                   CAST(sum_term_nano // n_out AS BIGINT) AS h_nano
+            FROM a
         """,
         # t50: exact-integer KS — DuckDB's SUM(BIGINT) runs in HUGEINT so
         # the cross-multiplied deviations never overflow there; Spark's

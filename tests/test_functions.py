@@ -665,3 +665,53 @@ def test_winnow_near_dups_guard_and_threshold(spark):
     # without the guard, boilerplate alone pairs EVERY doc with every other
     allp = winnow_near_dups(docs, min_shared=2, max_bucket=10_000).count()
     assert allp == 6
+
+
+def test_transition_entropy_pinned(spark, tmp_path):
+    """v29: deterministic states read exactly 0 nano-entropy, a 50/50
+    branching state reads exactly round(ln4·1e9) − round(ln2·1e9) =
+    693147180 (the nano-ln of 2 up to the two independent roundings),
+    and counts/next-type fanouts are exact."""
+    import importlib.util
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    rows = []
+    # user 1: a,b,a,b,a,b — a only ever goes to b (H_a = 0), b only to a
+    seq1 = ["a", "b", "a", "b", "a", "b"]
+    # user 2: u,x,u,y,u,x,u,y — u branches 50/50 to x and y (H_u = ln 2)
+    seq2 = ["u", "x", "u", "y", "u", "x", "u", "y"]
+    eid = 0
+    for uid, seq in ((1, seq1), (2, seq2)):
+        for i, t in enumerate(seq):
+            rows.append((eid, uid, t, f"1970-01-01 00:00:{i:02d}"))
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    got = {
+        r.from_type: r
+        for r in entry.queries()["v29_transition_entropy"](spark, sf).collect()
+    }
+    assert set(got) == {"a", "b", "u", "x", "y"}
+    # deterministic states: sum_term and h both exactly 0
+    for s, n_out in (("a", 3), ("b", 2), ("x", 2), ("y", 1)):
+        r = got[s]
+        assert (r.n_out, r.n_next_types, r.sum_term_nano, r.h_nano) == (
+            n_out, 1, 0, 0,
+        )
+    u = got["u"]
+    # ln4_nano = round(1.3862943611...e9) = 1386294361;
+    # ln2_nano = round(0.6931471805...e9) = 693147181; each of the 4
+    # transitions contributes (ln4n − ln2n) = 693147180; div 4 = same
+    assert (u.n_out, u.n_next_types) == (4, 2)
+    assert u.sum_term_nano == 4 * 693147180
+    assert u.h_nano == 693147180
