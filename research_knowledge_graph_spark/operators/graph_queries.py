@@ -1183,15 +1183,24 @@ def bowtie_probe(
     e = edges
     if edge_types is not None:
         e = e.filter(F.col("edge_type").isin(edge_types))
-    fwd = e.select(
-        F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
-    ).distinct()
+    # materialize ONCE: pivot's lineage (full edge distinct + degree agg +
+    # TakeOrdered) is otherwise embedded in both balls' seeds, both
+    # membership joins and the final crossJoin — and the trunk's per-level
+    # isEmpty() actions would recompute it ~5+ times per query
+    fwd = (
+        e.select(
+            F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pivot = (
         fwd.groupBy("u")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .orderBy(F.col("outdeg").desc(), F.col("u").asc())
         .limit(1)
         .select(F.col("u").alias("node_id"))
+        .localCheckpoint(eager=True)
     )
     # both trunk inputs derive from the ONE distinct (u,v) frame — already
     # type-filtered, so the trunk gets edge_types=None (and this keeps the
