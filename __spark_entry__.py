@@ -1140,6 +1140,62 @@ def t20_winnow_near_dups(spark, sf_dir):
     return winnow_near_dups(d, min_shared=2, max_bucket=1000)
 
 
+def t51_detector_agreement(spark, sf_dir):
+    """Near-dup DETECTOR-ENSEMBLE agreement audit: the exact overlap of
+    the MinHash-LSH candidate set (t07 — whole-doc Jaccard estimator)
+    and the winnowing candidate set (t20 — shared-text-run detector) as
+    one summary row: n_lsh / n_winnow / n_both / each-only plus the
+    pair-set Jaccard in floor ppm. The two families fail differently
+    (LSH misses a short plagiarized block inside an otherwise-different
+    doc; winnowing misses the 80%-similar rewrite with no verbatim
+    k+w−1 run), so a production dedup pass runs both — this entry is
+    the standing answer to "what does each detector see that the other
+    doesn't", on exactly the t07/t20 frames (same k/bands/min_shared/
+    max_bucket knobs, both sides). Counts are exact bigints off one
+    (doc_a, doc_b)-keyed full-outer join of two bucket-bounded pair
+    frames; empty corpora read zeros with a NULL ppm (0/0 has no
+    value). Scale: both inputs are already blocked (never all-pairs);
+    the outer join keys on the pair id — no new skew surface."""
+    from research_knowledge_graph_spark.operators.dedup import winnow_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
+    lsh = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_l")
+    )
+    win = winnow_near_dups(d, min_shared=2, max_bucket=1000).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_w")
+    )
+    j = lsh.join(win, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_l", F.lit(False)).alias("in_l"),
+        F.coalesce("in_w", F.lit(False)).alias("in_w"),
+    )
+    agg = j.agg(
+        F.coalesce(F.sum(F.col("in_l").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_lsh"),
+        F.coalesce(F.sum(F.col("in_w").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_winnow"),
+        F.coalesce(F.sum((F.col("in_l") & F.col("in_w")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_both"),
+    )
+    return agg.select(
+        "n_lsh",
+        "n_winnow",
+        "n_both",
+        (F.col("n_lsh") - F.col("n_both")).cast("long").alias("n_lsh_only"),
+        (F.col("n_winnow") - F.col("n_both")).cast("long").alias("n_winnow_only"),
+        F.expr(
+            "CASE WHEN n_lsh + n_winnow - n_both = 0 THEN NULL"
+            " ELSE (1000000 * n_both) div (n_lsh + n_winnow - n_both) END"
+        )
+        .cast("long")
+        .alias("agreement_ppm"),
+    )
+
+
 def t08_chunk_stats(spark, sf_dir):
     """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF.
     The per-document walk is iterative, but its STATE is one integer (the
@@ -3830,6 +3886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v29 transition entropy: v11's ONE transition frame (v11 in
         # window) + t23/t45's nano-ln fixed point on the #types² frame
         "v29_transition_entropy": v29_transition_entropy,
+        # t51 detector agreement: t07's minhash blocks + t20's winnow
+        # cascade (t07 in window), pure set algebra on the pair frames
+        "t51_detector_agreement": t51_detector_agreement,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5508,6 +5567,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
             FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # t51: the SAME sh/sig/banded minhash blocks as t07/t35 plus the
+        # SAME winnow cascade as t20 (wf/wkeep/wg renames avoid CTE
+        # collisions), then plain set algebra on the two pair frames
+        "t51_detector_agreement": f"""
+            WITH {_minhash_blocks(8, 4, 4)},
+            lshp AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a
+                JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+            ),
+            wf AS MATERIALIZED (
+                SELECT doc_id, unnest({winnow_fingerprints_sql("text")}) AS fp
+                FROM documents
+            ),
+            wkeep AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= 1000),
+            wg AS MATERIALIZED (
+                SELECT wf.doc_id, wf.fp FROM wf JOIN wkeep USING (fp)
+            ),
+            winp AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM wg a JOIN wg b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            u AS (
+                SELECT l.doc_a IS NOT NULL AS in_l,
+                       w.doc_a IS NOT NULL AS in_w
+                FROM lshp l
+                FULL JOIN winp w
+                    ON l.doc_a = w.doc_a AND l.doc_b = w.doc_b
+            ),
+            a AS (
+                SELECT
+                    CAST(COALESCE(sum(CASE WHEN in_l THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lsh,
+                    CAST(COALESCE(sum(CASE WHEN in_w THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_winnow,
+                    CAST(COALESCE(sum(CASE WHEN in_l AND in_w THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both
+                FROM u
+            )
+            SELECT n_lsh, n_winnow, n_both,
+                   CAST(n_lsh - n_both AS BIGINT) AS n_lsh_only,
+                   CAST(n_winnow - n_both AS BIGINT) AS n_winnow_only,
+                   CAST(CASE WHEN n_lsh + n_winnow - n_both = 0 THEN NULL
+                        ELSE (1000000 * n_both) // (n_lsh + n_winnow - n_both)
+                        END AS BIGINT) AS agreement_ppm
+            FROM a
         """,
         "t17_bm25_indexed": bm25_sql(["spark", "hash", "vector"]),
         # unnormalized fixed-iteration HITS: exact integer sums, both

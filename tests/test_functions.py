@@ -715,3 +715,73 @@ def test_transition_entropy_pinned(spark, tmp_path):
     assert (u.n_out, u.n_next_types) == (4, 2)
     assert u.sum_term_nano == 4 * 693147180
     assert u.h_nano == 693147180
+
+
+def test_detector_agreement_consistency(spark, tmp_path):
+    """t51: the agreement row's set algebra is pinned against the two
+    detector frames computed independently on the same corpus (the
+    detectors themselves carry their own pinned tests — t07/t19/t20);
+    identities n_lsh = n_both + n_lsh_only etc. and the floor-ppm
+    pair-set Jaccard are recomputed in python ints; a no-dup corpus
+    reads zeros with a NULL ppm."""
+    import importlib.util
+
+    entry_path = os.path.join(
+        os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        (0, base, "en", "s1", len(base)),
+        (1, base, "en", "s1", len(base)),              # exact dup of 0
+        (2, base + " extra tail words here", "en", "s1", 1),
+        (3, "totally different text with shared block "
+            + " ".join(base.split()[:8]), "en", "s2", 1),
+        (4, "unrelated words entirely disjoint vocabulary "
+            "qqq www eee rrr ttt yyy uuu", "en", "s2", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    from research_knowledge_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        winnow_near_dups,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4),
+            bands=4, rows_per_band=2,
+        ).collect()
+    }
+    win = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_near_dups(d, min_shared=2, max_bucket=1000).collect()
+    }
+    assert (0, 1) in lsh and (0, 1) in win  # the exact dup: both see it
+    row = entry.queries()["t51_detector_agreement"](spark, sf).collect()
+    assert len(row) == 1
+    r = row[0]
+    both = lsh & win
+    assert (r.n_lsh, r.n_winnow, r.n_both) == (len(lsh), len(win), len(both))
+    assert r.n_lsh_only == len(lsh - win)
+    assert r.n_winnow_only == len(win - lsh)
+    denom = len(lsh | win)
+    assert r.agreement_ppm == (1_000_000 * len(both)) // denom
+    # no-dup corpus: zeros, NULL ppm
+    sf2 = os.path.join(str(tmp_path), "empty")
+    spark.createDataFrame(
+        [(0, "one single document", "en", "s1", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf2}/documents.parquet")
+    r0 = entry.queries()["t51_detector_agreement"](spark, sf2).collect()[0]
+    assert (r0.n_lsh, r0.n_winnow, r0.n_both, r0.agreement_ppm) == (0, 0, 0, None)
