@@ -1615,6 +1615,24 @@ def v29_transition_entropy(spark, sf_dir):
     )
 
 
+def v30_gap_histogram(spark, sf_dir):
+    """Per-event-type log₂-bucketed inter-event gap histogram
+    (operators/sessions.py::gap_histogram) — the full marginal behind
+    the cadence scalars (v12 moments, v28 dispersion): bucket 0 =
+    sub-second, bucket b = gaps in [2^(b−1), 2^b) seconds via the exact
+    ``length(bin(gap_s))`` bit-length (no float log2 touches data — the
+    v26 rule); counts/extrema exact bigints off the SAME _typed_gaps
+    frame as v28 (ONE definition both sides, _GAPS_SQL in the oracle),
+    per-type floor-ppm shares on the bounded histogram frame."""
+    _utc(spark)
+    from research_knowledge_graph_spark.operators.sessions import (
+        gap_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return gap_histogram(ev)
+
+
 def t25_ngram_novelty(spark, sf_dir):
     """Per-document cross-doc duplication exposure
     (operators/curation.py::ngram_novelty): distinct 8-grams per doc, how
@@ -3889,6 +3907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t51 detector agreement: t07's minhash blocks + t20's winnow
         # cascade (t07 in window), pure set algebra on the pair frames
         "t51_detector_agreement": t51_detector_agreement,
+        # v30 gap histogram: v28's ONE _typed_gaps frame (v12 sibling in
+        # window) + the exact bit-length bucket rule (no float log2)
+        "v30_gap_histogram": v30_gap_histogram,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4316,6 +4337,24 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 # ONE literal for the per-user event-type transition counts — v11's oracle
 # AND the transition block of v22's stationary cascade, so the chain
 # definition cannot drift between them
+# The ONE copy of the per-(user, type) integer-second gap frame shared by
+# the v28 burstiness and v30 gap-histogram oracles — matches
+# operators/sessions.py::_typed_gaps exactly (lag over (user, type) ordered
+# by (ts, event_id), floor to seconds)
+_GAPS_SQL = """
+            SELECT event_type, user_id, gap_us // 1000000 AS gap_s
+            FROM (
+                SELECT event_type, user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            ) lagged
+            WHERE gap_us IS NOT NULL
+        """
+
+
 _TRANSITIONS_SQL = """
             WITH lagged AS (
                 SELECT event_type,
@@ -6172,19 +6211,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged WHERE gap_us IS NOT NULL
             GROUP BY user_id
         """,
-        "v28_burstiness_profile": """
-            WITH lagged AS (
-                SELECT event_type, user_id,
-                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                           PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id
-                       ) AS gap_us
-                FROM events
-            ), gaps AS (
-                SELECT event_type, user_id,
-                       gap_us // 1000000 AS gap_s
-                FROM lagged WHERE gap_us IS NOT NULL
-            ), agg AS (
+        "v28_burstiness_profile": f"""
+            WITH gaps AS ({_GAPS_SQL}), agg AS (
                 SELECT event_type,
                        CAST(count(DISTINCT user_id) AS BIGINT) AS n_sequences,
                        CAST(count(*) AS BIGINT) AS n_gaps,
@@ -6199,6 +6227,28 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_gaps AS DOUBLE)
                           * CAST(sum_gap2_s AS DOUBLE)) AS burstiness
             FROM agg WHERE sum_gap2_s > 0
+        """,
+        # v30: the SAME _GAPS_SQL literal as v28; bucket = exact binary
+        # bit-length (length(bin(x)) identical both engines), shares via
+        # a window over the bounded histogram frame
+        "v30_gap_histogram": f"""
+            WITH g AS (
+                SELECT event_type, gap_s,
+                       CASE WHEN gap_s = 0 THEN 0
+                            ELSE length(bin(gap_s)) END AS bucket
+                FROM ({_GAPS_SQL})
+            ),
+            h AS (
+                SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS n_gaps,
+                       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+                       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+                FROM g GROUP BY event_type, bucket
+            )
+            SELECT event_type, bucket, n_gaps, min_gap_s, max_gap_s,
+                   CAST((1000000 * n_gaps) // (sum(n_gaps) OVER (
+                       PARTITION BY event_type)) AS BIGINT) AS share_ppm
+            FROM h
         """,
         # v29: the SAME _TRANSITIONS_SQL literal as v11/v22 nested as a
         # derived table; nano-ln per exact count, sum as bigint, one

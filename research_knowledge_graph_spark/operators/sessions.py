@@ -152,6 +152,39 @@ def interarrival_stats(
     )
 
 
+def _typed_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The ONE copy of the per-(user, type) inter-event gap frame shared
+    by :func:`burstiness_profile` and :func:`gap_histogram` (the oracle
+    side shares the matching ``_GAPS_SQL`` literal): exact integer-µs
+    gaps off a (user, type)-keyed lag window, floored to integer seconds
+    (``gap_us div 10⁶``) so downstream squares stay in int64. Returns
+    (event_type, user_id, gap_s); first events per sequence (NULL gap)
+    are excluded."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        us.asc(), F.col(id_col).asc()
+    )
+    return (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.col(user_col).alias("user_id"),
+            (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("gap_us div 1000000L").cast("long").alias("gap_s"),
+        )
+    )
+
+
 def burstiness_profile(
     events: DataFrame,
     user_col: str = "user_id",
@@ -192,23 +225,7 @@ def burstiness_profile(
     composite key (finer than v12's user key — strictly better skew
     spread), then a map-side-combinable hash-agg onto #types keys; the
     countDistinct runs on the already-reduced gaps frame."""
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(user_col, type_col).orderBy(
-        us.asc(), F.col(id_col).asc()
-    )
-    gaps = (
-        events.select(
-            F.col(type_col).alias("event_type"),
-            F.col(user_col).alias("user_id"),
-            (us - F.lag(us).over(w)).cast("long").alias("gap_us"),
-        )
-        .filter(F.col("gap_us").isNotNull())
-        .select(
-            "event_type",
-            "user_id",
-            F.expr("gap_us div 1000000L").cast("long").alias("gap_s"),
-        )
-    )
+    gaps = _typed_gaps(events, user_col, type_col, ts_col, id_col)
     agg = gaps.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_sequences"),
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
@@ -231,4 +248,58 @@ def burstiness_profile(
                 " / (CAST(n_gaps AS DOUBLE) * CAST(sum_gap2_s AS DOUBLE))"
             ),
         )
+    )
+
+
+def gap_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event-type LOG₂-bucketed inter-event gap histogram — the full
+    marginal the cadence family's scalars summarize (v12 moments, v28
+    the dispersion scalar, this the distribution itself): a bot-mixed
+    stream shows up as a sub-second spike PLUS a diurnal hump, which no
+    single scalar can separate. Buckets are exact integers both engines:
+    bucket 0 holds sub-second gaps (gap_s = 0), bucket b ≥ 1 holds
+    gap_s ∈ [2^(b−1), 2^b) via ``length(bin(gap_s))`` — the binary
+    bit-length, a pure string-length expression Spark and DuckDB compute
+    identically (no float log2 ever touches data; the v26
+    no-float-log10 rule). ≤ ~40 buckets per type by construction.
+
+    Returns (event_type, bucket, n_gaps, min_gap_s, max_gap_s,
+    share_ppm) — counts and extrema exact bigints, share_ppm the
+    per-type floor share computed by a window over the reduced
+    #types × #buckets frame (v23's reduced-frame rule). Empty buckets
+    are absent on both sides (no downstream alignment needs the spine —
+    unlike v26/v27 nothing pairs rows across buckets).
+
+    Scale: the ONE shared :func:`_typed_gaps` lag window, then a
+    map-side-combinable (type, bucket) hash-agg; everything after runs
+    on the bounded histogram frame."""
+    gaps = _typed_gaps(events, user_col, type_col, ts_col, id_col)
+    h = gaps.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN gap_s = 0 THEN 0L"
+            " ELSE CAST(length(bin(gap_s)) AS BIGINT) END"
+        ).alias("bucket"),
+        "gap_s",
+    ).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+    total = F.sum("n_gaps").over(Window.partitionBy("event_type"))
+    return h.withColumn("total_gaps", total.cast("long")).select(
+        "event_type",
+        "bucket",
+        "n_gaps",
+        "min_gap_s",
+        "max_gap_s",
+        F.expr("(1000000 * n_gaps) div total_gaps")
+        .cast("long")
+        .alias("share_ppm"),
     )

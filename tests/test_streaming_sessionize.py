@@ -169,3 +169,27 @@ def test_burstiness_profile_planted(spark):
     assert (u.n_sequences, u.n_gaps, u.sum_gap_s, u.sum_gap2_s) == (1, 8, 80, 6400)
     assert u.mean_gap_s == 10
     assert u.burstiness == 0.75
+
+
+def test_gap_histogram_planted(spark):
+    """Bucket rule pinned at the boundaries: gap 0s -> bucket 0, 1s ->
+    bucket 1, 2-3s -> bucket 2, 4-7s -> bucket 3; shares are per-type
+    floor ppm; gaps never pool across (user, type) sequences."""
+    from research_knowledge_graph_spark.operators.sessions import (
+        gap_histogram,
+    )
+
+    rows, eid = [], 0
+    # user 1, type "t": events at 0,1,3,7,7 -> gaps 1,2,4,0
+    for sec, frac in ((0, 0), (1, 0), (3, 0), (7, 0), (7, 1)):
+        rows.append((eid, 1, "t", f"1970-01-01 00:00:{sec:02d}.{frac}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.bucket: r for r in gap_histogram(ev).collect()}
+    # 4 gaps: 1s (bucket 1), 2s (bucket 2), 4s (bucket 3), 0.1s -> 0s (bucket 0)
+    assert {b: (r.n_gaps, r.min_gap_s, r.max_gap_s) for b, r in got.items()} == {
+        0: (1, 0, 0), 1: (1, 1, 1), 2: (1, 2, 2), 3: (1, 4, 4),
+    }
+    assert all(r.share_ppm == 250_000 for r in got.values())
