@@ -178,3 +178,88 @@ def test_e15_split_class_covers_python_whitespace_exactly():
     assert duck_ws == py_ws, sorted(
         hex(c) for c in duck_ws.symmetric_difference(py_ws)
     )
+
+
+# --- v28/v30 gap-family twins -------------------------------------------
+# The per-(user, type) gap frame (operators/sessions.py::_typed_gaps) and
+# both consumers must match a pure-python reference on random event sets:
+# same (ts, event_id) ordering, same floor-to-seconds rule, same
+# fixed-point arithmetic. Timezone cannot leak in: gaps are differences,
+# so any fixed session-tz offset cancels.
+
+
+def _gap_reference(events):
+    """events: [(eid, uid, typ, ts_us)] → (burstiness rows, histogram rows)
+    computed with python ints exactly as the operators define them."""
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for eid, uid, typ, us in events:
+        seqs[(uid, typ)].append((us, eid))
+    per_type = defaultdict(list)  # typ -> [(uid, gap_s)]
+    for (uid, typ), es in seqs.items():
+        es.sort()
+        for prev, cur in zip(es, es[1:]):
+            per_type[typ].append((uid, (cur[0] - prev[0]) // 1_000_000))
+    burst, hist = {}, {}
+    for typ, rows in per_type.items():
+        gs = [g for _, g in rows]
+        n, s, q = len(gs), sum(gs), sum(g * g for g in gs)
+        if q > 0:
+            b = 1.0 - (2 * float(s) * float(s)) / (float(n) * float(q))
+            burst[typ] = (len({u for u, _ in rows}), n, s, q, s // n, b)
+        buckets = defaultdict(list)
+        for g in gs:
+            buckets[0 if g == 0 else g.bit_length()].append(g)
+        hist[typ] = {
+            bkt: (len(v), min(v), max(v), 1_000_000 * len(v) // n)
+            for bkt, v in buckets.items()
+        }
+    return burst, hist
+
+
+@st.composite
+def event_sets(draw):
+    n = draw(st.integers(min_value=2, max_value=25))
+    out = []
+    for eid in range(n):
+        uid = draw(st.integers(min_value=1, max_value=3))
+        typ = draw(st.sampled_from(["a", "b"]))
+        us = draw(st.integers(min_value=0, max_value=20_000_000_000))
+        out.append((eid, uid, typ, us))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(event_sets())
+def test_gap_family_python_twin(spark, events):
+    import datetime as dt
+
+    from research_knowledge_graph_spark.operators.sessions import (
+        burstiness_profile,
+        gap_histogram,
+    )
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        (eid, uid, typ, epoch + dt.timedelta(microseconds=us))
+        for eid, uid, typ, us in events
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    ref_burst, ref_hist = _gap_reference(events)
+    got_burst = {
+        r.event_type: (
+            r.n_sequences, r.n_gaps, r.sum_gap_s, r.sum_gap2_s,
+            r.mean_gap_s, r.burstiness,
+        )
+        for r in burstiness_profile(ev).collect()
+    }
+    assert got_burst == ref_burst
+    got_hist = {}
+    for r in gap_histogram(ev).collect():
+        got_hist.setdefault(r.event_type, {})[r.bucket] = (
+            r.n_gaps, r.min_gap_s, r.max_gap_s, r.share_ppm,
+        )
+    assert got_hist == ref_hist
