@@ -31,12 +31,22 @@ def get_spark(
       to AQE coalescing).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Under ``spark-submit`` the JVM gateway already carries the submitted
+    # --master (PythonRunner starts the JVM first and hands python a
+    # gateway via PYSPARK_GATEWAY_PORT); setting .master() here would
+    # silently override the cluster manager the operator asked for. Only
+    # default to local[N] when we own the JVM launch.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", None if under_submit else f"local[{cpus}]"
+    )
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

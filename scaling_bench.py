@@ -90,16 +90,11 @@ print(json.dumps({{"executors": {execs}, "cores": {cores},
 
 
 def _make_pkg_zip() -> str:
-    path = os.path.join(tempfile.gettempdir(), "rkg_pkg.zip")
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        pkg = os.path.join(REPO, "research_knowledge_graph_spark")
-        for root, _, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                full = os.path.join(root, f)
-                z.write(full, os.path.relpath(full, REPO))
-    return path
+    # ONE copy of the --py-files packaging step (shared with the literal
+    # spark-submit path: spark_submit_app.py + tests/test_spark_submit.py)
+    from package_pyfiles import build_pyfiles_zip
+
+    return build_pyfiles_zip()
 
 
 def run_at(
