@@ -2944,6 +2944,46 @@ def g46_bowtie_probe(spark, sf_dir):
     )
 
 
+def g47_component_size_histogram(spark, sf_dir):
+    """Connected-component SIZE distribution over the undirected FOLLOWS
+    graph — the giant-component read (Broder et al.'s other macro lens,
+    next to g46's bowtie): one giant component + a power-law tail of
+    small ones is the healthy web-graph shape; a flat histogram means
+    the linker is under-connecting. Wraps the SAME connected_components
+    operator as g15 (and the oracle wraps the SAME und/reach CTE blocks
+    — ONE literal), then two bounded hash-aggs: component → size, size →
+    count, plus the floor-ppm share of nodes per size row; the 1-row
+    node total is a bounded broadcast. Nodes with no FOLLOWS edge are
+    not in the pair frame and are absent on both sides (g15's
+    contract)."""
+    from research_knowledge_graph_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = TG.derive_edges(spark, sf_dir).filter(
+        F.col("edge_type") == "FOLLOWS"
+    )
+    pairs = edges.select(
+        F.col("from_node_id").alias("key_a"),
+        F.col("to_node_id").alias("key_b"),
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    hist = sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+    total = comp.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "component_size",
+        "n_components",
+        F.expr("(component_size * n_components * 1000000) div n_nodes")
+        .cast("long")
+        .alias("node_share_ppm"),
+    )
+
+
 def v25_cusum_changepoint(spark, sf_dir):
     """Per-event-type CUSUM changepoint over the daily volume series —
     the distribution-SHIFT detector next to v18's point-outlier z test
@@ -3910,6 +3950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v30 gap histogram: v28's ONE _typed_gaps frame (v12 sibling in
         # window) + the exact bit-length bucket rule (no float log2)
         "v30_gap_histogram": v30_gap_histogram,
+        # g47 component-size histogram: g15's ONE CC operator + oracle
+        # CTE blocks (g15 in window), two bounded hash-aggs on top
+        "g47_component_size_histogram": g47_component_size_histogram,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -4337,6 +4380,24 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 # ONE literal for the per-user event-type transition counts — v11's oracle
 # AND the transition block of v22's stationary cascade, so the chain
 # definition cannot drift between them
+# The ONE copy of the undirected-FOLLOWS connected-components blocks
+# shared by the g15 oracle and g47's size histogram. NOTE: und's UNION
+# runs with recursive (non-deduplicating) semantics inside WITH RECURSIVE
+# (the DuckDB 1.0 pitfall documented at g46) — benign HERE because reach's
+# own recursive UNION dedups and the min/GROUP BY fixpoint is
+# duplicate-insensitive; do not copy this shape for plain set unions.
+_CC_CTES = """und AS (
+                SELECT from_node_id AS u, to_node_id AS v FROM edges WHERE edge_type = 'FOLLOWS'
+                UNION
+                SELECT to_node_id, from_node_id FROM edges WHERE edge_type = 'FOLLOWS'
+            ),
+            reach AS (
+                SELECT u AS start, u AS node FROM (SELECT DISTINCT u FROM und)
+                UNION
+                SELECT r.start, und.v FROM reach r JOIN und ON und.u = r.node
+            )"""
+
+
 # The ONE copy of the per-(user, type) integer-second gap frame shared by
 # the v28 burstiness and v30 gap-histogram oracles — matches
 # operators/sessions.py::_typed_gaps exactly (lag over (user, type) ordered
@@ -5267,17 +5328,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g15_connected_components": f"""
             WITH RECURSIVE {GRAPH_CTE},
-            und AS (
-                SELECT from_node_id AS u, to_node_id AS v FROM edges WHERE edge_type = 'FOLLOWS'
-                UNION
-                SELECT to_node_id, from_node_id FROM edges WHERE edge_type = 'FOLLOWS'
-            ),
-            reach AS (
-                SELECT u AS start, u AS node FROM (SELECT DISTINCT u FROM und)
-                UNION
-                SELECT r.start, und.v FROM reach r JOIN und ON und.u = r.node
-            )
+            {_CC_CTES}
             SELECT start AS node_id, min(node) AS component FROM reach GROUP BY start
+        """,
+        # g47 wraps the SAME und/reach CC blocks as g15 (ONE literal):
+        # component sizes -> size histogram + floor-ppm node share
+        "g47_component_size_histogram": f"""
+            WITH RECURSIVE {GRAPH_CTE},
+            {_CC_CTES},
+            comp AS (
+                SELECT start AS node_id, min(node) AS component
+                FROM reach GROUP BY start
+            ),
+            sizes AS (
+                SELECT component, CAST(count(*) AS BIGINT) AS component_size
+                FROM comp GROUP BY component
+            ),
+            hist AS (
+                SELECT component_size,
+                       CAST(count(*) AS BIGINT) AS n_components
+                FROM sizes GROUP BY component_size
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM comp)
+            SELECT component_size, n_components,
+                   CAST((component_size * n_components * 1000000) // tot.n_nodes
+                        AS BIGINT) AS node_share_ppm
+            FROM hist CROSS JOIN tot
         """,
         "t01_normalize_labels": f"SELECT doc_id, {norm50} AS norm_label FROM documents",
         "t02_quality": f"""

@@ -561,3 +561,42 @@ def test_bowtie_probe_hand_computed(spark):
     }
     assert rows1["CORE"] == 1  # a alone: F={a,b,x}, B={a,c,i}
     assert rows1["IN"] == 2 and rows1["OUT"] == 2
+
+
+def test_component_size_histogram_hand_computed(spark, tmp_path):
+    """Planted components: a 3-chain, and two 2-pairs → histogram
+    {3: 1 component, 2: 2 components} over 7 nodes, shares in floor ppm
+    (3/7 → 428571, 4/7 → 571428); edge-less nodes absent (g15's
+    contract — the pair frame never sees them)."""
+    import importlib.util
+    import os as _os
+
+    entry_path = _os.path.join(
+        _os.path.dirname(__file__), "..", "__spark_entry__.py"
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from research_knowledge_graph_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g")],
+        "key_a string, key_b string",
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").count()
+    assert sorted(r["count"] for r in sizes.collect()) == [2, 2, 3]
+    # the entry-level histogram arithmetic on the same frame shape
+    hist = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+    )
+    got = {r.component_size: r.n_components for r in hist.collect()}
+    assert got == {3: 1, 2: 2}
+    assert (3 * 1 * 1_000_000) // 7 == 428_571
+    assert (2 * 2 * 1_000_000) // 7 == 571_428
