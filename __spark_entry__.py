@@ -1196,6 +1196,36 @@ def t51_detector_agreement(spark, sf_dir):
     )
 
 
+def t52_simhash_near_dups(spark, sf_dir):
+    """SimHash-Hamming near-dup pairs (operators/dedup.py::
+    simhash_hamming_pairs) — the Manku et al. WWW'07 banded-fingerprint
+    design that completes the near-dup detector family: MinHash-LSH
+    estimates whole-doc Jaccard (t07), winnowing finds shared verbatim
+    runs (t20), SimHash-Hamming catches the small-perturbation rewrite
+    (changing a few tokens flips few fingerprint bits) at ONE 64-bit
+    word of state per doc. Banding is pigeonhole-EXACT, not
+    probabilistic: with 4 bands and max_hamming=3, every qualifying
+    pair agrees on at least one chunk, so the blocked output is
+    bit-identical to the O(n²) scan — blocked recall is a theorem here,
+    unlike t07's tunable banding probability. Output (doc_a, doc_b,
+    hamming), all exact integers.
+
+    Scale: fingerprints are t06's one-md5-per-token map-side agg; pairs
+    form only within a (band, chunk) bucket with the max_bucket
+    stop-fingerprint guard (empty-doc fingerprint 0 and template
+    boilerplate would otherwise own corpus-sized buckets), bounding pair
+    volume at O(corpus × max_bucket); the verify step is one JVM-side
+    bit_count(xor) per candidate. Production shape is bits=64 / four
+    16-bit bands; 16 bits here matches the t06 oracle-portable
+    fingerprint. Oracle: the t06 simhash CTE + the same band/guard/
+    verify cascade in DuckDB (bit_count/xor are engine built-ins on
+    both sides)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        d, bits=16, bands=4, max_hamming=3, max_bucket=100_000
+    )
+
+
 def t08_chunk_stats(spark, sf_dir):
     """F5 chunking (2000/200 with the 70% boundary rule) as an Arrow UDF.
     The per-document walk is iterative, but its STATE is one integer (the
@@ -1631,6 +1661,56 @@ def v30_gap_histogram(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return gap_histogram(ev)
+
+
+def v31_hour_of_day_profile(spark, sf_dir):
+    """Per-event-type hour-of-day volume profile on the COMPLETE 24-hour
+    spine — the raw diurnal SHAPE behind v27's lag-24 autocorrelation
+    scalar (v27 says "does it repeat daily", this shows WHERE the mass
+    sits: human traffic humps in local waking hours, bot/replay streams
+    run flat, a cron job is one spike). Hour-of-day is exact integer
+    arithmetic on epoch microseconds — ``(unix_micros div 3600·10⁶)
+    mod 24`` / DuckDB ``(epoch_us // ...) % 24`` — valid because the
+    testdata epoch is positive (both engines truncate toward zero, so
+    the idiom is documented positive-epoch-only); missing hours are
+    REAL ZEROS via the spine (the v26/v27 rule — a flatness read that
+    silently skips empty hours overstates flatness), and the share
+    denominator is each type's total, so share_ppm sums to ≤10⁶ per
+    type by floor division.
+
+    Scale: one map-side-combinable (type, hour) hash-agg over the
+    stream; everything downstream — spine, totals, division — runs on
+    the ≤ #types×24 frame, bounded by the schema, never event volume."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24")
+        .cast("long")
+        .alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"),
+        )
+        # generators must be top-level in a projection — cast in a second one
+        .select("event_type", F.col("hour").cast("long").alias("hour"))
+    )
+    full = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    totals = full.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_type")
+    )
+    return full.join(totals, "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        F.expr("(n * 1000000) div n_type").cast("long").alias("share_ppm"),
+    )
 
 
 def t25_ngram_novelty(spark, sf_dir):
@@ -2984,6 +3064,51 @@ def g47_component_size_histogram(spark, sf_dir):
     )
 
 
+def g48_type_mixing_matrix(spark, sf_dir):
+    """Node-type mixing matrix: edge counts per (edge_type, from_type,
+    to_type) plus each cell's floor-ppm share of all edges — the KG
+    SCHEMA-HEALTH read a construction pipeline runs after every linker
+    change: in a healthy graph each relation connects exactly one typed
+    endpoint pair (PLACED is customer→order and nothing else), so any
+    off-diagonal cell is extraction/linking drift made visible — the
+    endpoint-TYPE completion of g37's which-relations-co-fire audit and
+    g33's direction audit. Exact integer counts; the one division is
+    floor-ppm over the bounded result frame.
+
+    Scale: two corpus-sized equi-joins attach endpoint types on the
+    uniform node-id key (no hot key by construction — a node id appears
+    once in the dim side); the rollup is map-side combinable down to a
+    ≤ #edge_types × #node_types² frame, and the 1-row edge total rides
+    a bounded broadcast (g47's pattern). Nothing in the plan scales
+    with anything but the edge scan."""
+    nodes = TG.derive_nodes(spark, sf_dir).select("id", "node_type")
+    edges = TG.derive_edges(spark, sf_dir)
+    typed = edges.join(
+        nodes.select(
+            F.col("id").alias("from_node_id"),
+            F.col("node_type").alias("from_type"),
+        ),
+        "from_node_id",
+    ).join(
+        nodes.select(
+            F.col("id").alias("to_node_id"),
+            F.col("node_type").alias("to_type"),
+        ),
+        "to_node_id",
+    )
+    cells = typed.groupBy("edge_type", "from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    total = cells.agg(F.sum("n_edges").cast("long").alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "edge_type",
+        "from_type",
+        "to_type",
+        "n_edges",
+        F.expr("(n_edges * 1000000) div n_total").cast("long").alias("share_ppm"),
+    )
+
+
 def v25_cusum_changepoint(spark, sf_dir):
     """Per-event-type CUSUM changepoint over the daily volume series —
     the distribution-SHIFT detector next to v18's point-outlier z test
@@ -3953,6 +4078,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # g47 component-size histogram: g15's ONE CC operator + oracle
         # CTE blocks (g15 in window), two bounded hash-aggs on top
         "g47_component_size_histogram": g47_component_size_histogram,
+        # t52 simhash near-dups: t06's fingerprint CTE + t20's
+        # bucket-join/guard cascade (t19/t20 in window); pigeonhole-exact
+        # banding, verify = one bit_count(xor) on both engines
+        "t52_simhash_near_dups": t52_simhash_near_dups,
+        # g48 type mixing matrix: g01's node-type frame + g37's
+        # schema-health rollup shape (g01 and g33 in window), endpoint
+        # types attached by two uniform-key equi-joins
+        "g48_type_mixing_matrix": g48_type_mixing_matrix,
+        # v31 hour-of-day profile: v27's epoch-hour idiom + the v26/v27
+        # complete-spine rule (v16/v18 in window carry the same daily
+        # reduce), everything past the hash-agg on a ≤#types×24 frame
+        "v31_hour_of_day_profile": v31_hour_of_day_profile,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5728,6 +5865,80 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1000000 * n_both) // (n_lsh + n_winnow - n_both)
                         END AS BIGINT) AS agreement_ppm
             FROM a
+        """,
+        # t52: t06's simhash CTE verbatim + the banded pigeonhole cascade.
+        # Bucket guard mirrors the operator's max_bucket; DISTINCT over
+        # (pair, fingerprints) dedups multi-band matches exactly because
+        # the fingerprint is functional on doc_id.
+        "t52_simhash_near_dups": f"""
+            WITH sh AS ({_simhash_sql(16)}),
+            bb AS (
+                SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS chunk
+                FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+            ),
+            keepb AS (
+                SELECT b, chunk FROM bb
+                GROUP BY b, chunk HAVING count(*) <= 100000
+            ),
+            kept AS (SELECT bb.* FROM bb JOIN keepb USING (b, chunk)),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                       a.simhash AS sh_a, b2.simhash AS sh_b
+                FROM kept a JOIN kept b2
+                  ON a.b = b2.b AND a.chunk = b2.chunk
+                 AND a.doc_id < b2.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        """,
+        "g48_type_mixing_matrix": f"""
+            WITH {GRAPH_CTE},
+            typed AS (
+                SELECT e.edge_type, nf.node_type AS from_type,
+                       nt.node_type AS to_type
+                FROM edges e
+                JOIN nodes nf ON nf.id = e.from_node_id
+                JOIN nodes nt ON nt.id = e.to_node_id
+            ),
+            cells AS (
+                SELECT edge_type, from_type, to_type,
+                       CAST(count(*) AS BIGINT) AS n_edges
+                FROM typed GROUP BY 1, 2, 3
+            ),
+            tot AS (SELECT CAST(sum(n_edges) AS BIGINT) AS n_total FROM cells)
+            SELECT edge_type, from_type, to_type, n_edges,
+                   CAST((n_edges * 1000000) // n_total AS BIGINT) AS share_ppm
+            FROM cells CROSS JOIN tot
+        """,
+        # v31: positive-epoch hour-of-day (both engines truncate toward
+        # zero); the 24-hour spine makes missing hours real zeros
+        "v31_hour_of_day_profile": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                            AS BIGINT) AS hour,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT DISTINCT event_type, CAST(h AS BIGINT) AS hour
+                FROM hourly CROSS JOIN (SELECT unnest(range(24)) AS h)
+            ),
+            full_h AS (
+                SELECT s.event_type, s.hour,
+                       CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n
+                FROM spine s
+                LEFT JOIN hourly ON hourly.event_type = s.event_type
+                                AND hourly.hour = s.hour
+            ),
+            tot AS (
+                SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+                FROM full_h GROUP BY event_type
+            )
+            SELECT f.event_type, f.hour, f.n,
+                   CAST((f.n * 1000000) // t.n_type AS BIGINT) AS share_ppm
+            FROM full_h f JOIN tot t USING (event_type)
         """,
         "t17_bm25_indexed": bm25_sql(["spark", "hash", "vector"]),
         # unnormalized fixed-iteration HITS: exact integer sums, both

@@ -291,6 +291,102 @@ def simhash_buckets(
     )
 
 
+def hamming_pairs_from_fingerprints(
+    fp: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Banded SimHash near-dup pairing over a (doc_id, simhash) frame —
+    Manku/Jain/Das Sarma's WWW'07 web-crawl dedup design re-expressed as a
+    DataFrame plan. Split each ``bits``-wide fingerprint into ``bands``
+    contiguous chunks; by pigeonhole, any pair within Hamming distance
+    ``max_hamming`` < ``bands`` agrees EXACTLY on at least one chunk, so the
+    chunk-equality self-join has perfect recall at the threshold and the
+    single verify expression ``bit_count(xor)`` removes every false
+    positive — the blocked output is bit-identical to the O(n²) scan.
+
+    Scale shape: candidates form only WITHIN a (band, chunk) bucket (never
+    all-pairs); chunks shared by more than ``max_bucket`` docs are dropped
+    as degenerate buckets first (the stop-fingerprint guard shared with
+    :func:`winnow_near_dups` — an empty-doc/boilerplate fingerprint owns a
+    corpus-sized bucket that carries no pairwise signal), bounding pair
+    volume at O(corpus × max_bucket). Production setting is bits=64 with
+    four 16-bit bands (2¹⁶ buckets per band); the 16-bit default here
+    matches the t06 oracle-portable fingerprint."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands}): a pair "
+            f"differing in every chunk would be missed"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    bb = fp.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("band", "chunk")
+    )
+    keep = (
+        bb.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_bucket)
+        .select("band", "chunk")
+    )
+    bb = bb.join(keep, ["band", "chunk"], "left_semi")
+    a, b = bb.alias("a"), bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        # a pair can match in several bands; the fingerprint is functional
+        # on doc_id, so distinct over all four columns dedups pairs exactly
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """SimHash near-dup pairs end-to-end: :func:`simhash_agg` fingerprints
+    (one md5 per token, map-side) → :func:`hamming_pairs_from_fingerprints`
+    banded join. Completes the near-dup detector family — MinHash banding
+    estimates whole-doc Jaccard (:func:`lsh_candidate_pairs`), winnowing
+    finds shared verbatim runs (:func:`winnow_near_dups`), SimHash-Hamming
+    catches the small-perturbation rewrite (a few tokens changed flips few
+    fingerprint bits) at one 64-bit word per doc of state."""
+    fp = simhash_agg(docs, id_col=id_col, text_col=text_col, bits=bits)
+    return hamming_pairs_from_fingerprints(
+        fp, bits=bits, bands=bands, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
