@@ -2608,6 +2608,50 @@ def e20_hubness_audit(spark, sf_dir):
     return hubness_audit(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def e21_intrinsic_dimension(spark, sf_dir):
+    """Per-block TwoNN intrinsic-dimension estimate (operators/
+    similarity.py::intrinsic_dimension_twonn — Facco et al. 2017):
+    ``d = n / Σ ln(r2/r1)`` over each point's exact 1st/2nd nearest
+    neighbors inside its label block. The CAUSE read behind e20's
+    hubness symptom — retrieval pathology and quantization/LSH quality
+    scale with the intrinsic dimension, not the ambient dim. Distances
+    are exact bigint squared-L2 over micro fixed-point components (the
+    e16/e19/e20 rule) so the rank-2 neighbor order is engine-exact;
+    ``ln μ`` is carried as the nano-bigint difference
+    ``round(ln d2₂·1e9) − round(ln d2₁·1e9)`` (the t23/v24 rule, the ½
+    from r² folded into the final 2e9 factor), and the ONE double
+    expression is the published estimate. Exact-integer drops:
+    duplicate-NN points (d2₁ = 0), no-2nd-neighbor points, Σ = 0
+    blocks (the v12 baseline-less rule). Pair volume O(Σ block²) —
+    the blocked-family scale shape, block = LSH/IVF bucket at 100 TB."""
+    from research_knowledge_graph_spark.operators.similarity import (
+        intrinsic_dimension_twonn,
+    )
+
+    return intrinsic_dimension_twonn(_t(spark, sf_dir, "embeddings"))
+
+
+def t53_charset_audit(spark, sf_dir):
+    """Per-source character-class / encoding-health profile
+    (operators/curation.py::charset_audit) — the mojibake read a
+    Common-Crawl-scale corpus runs before any text op: non-zero U+FFFD
+    or control-char shares mean broken transcoding upstream of every
+    tokenizer and LSH shingle. Exact bigint counts via
+    ``length − length(regexp_replace(class → ''))`` where every class is
+    an explicit ASCII code-point range (the Java/RE2-identical regex
+    subset; U+FFFD counted with literal non-regex replace), shares in
+    floor ppm, zero-char sources dropped by the exact predicate. One
+    map-side projection + one #sources-bounded hash-agg — no joins, no
+    windows. Reference analog: the encoding hygiene implied by
+    ``src/utils/pdf.py::load_text_from_file`` (the reference's PDF→text
+    step), which the reference never audits."""
+    from research_knowledge_graph_spark.operators.curation import (
+        charset_audit,
+    )
+
+    return charset_audit(_t(spark, sf_dir, "documents"))
+
+
 def v23_rfm_segments(spark, sf_dir):
     """RFM (recency / frequency / monetary) user segmentation — the
     classic engagement-scoring grid every growth stack runs over an
@@ -4090,6 +4134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # complete-spine rule (v16/v18 in window carry the same daily
         # reduce), everything past the hash-agg on a ≤#types×24 frame
         "v31_hour_of_day_profile": v31_hour_of_day_profile,
+        # e21 TwoNN intrinsic dimension: e20's exact-d2 blocked-pair
+        # trunk (e13/e16's micro fixed-point rule stays driver-exercised
+        # through e09/e10/e11 in window) + the v24 nano-ln reduce
+        "e21_intrinsic_dimension": e21_intrinsic_dimension,
+        # t53 charset/encoding-health audit: t02's per-doc quality-ratio
+        # machinery at the per-source encoding marginal (t21's
+        # source-curation rollup shape stays driver-exercised in window);
+        # Java/RE2-identical explicit-range classes only
+        "t53_charset_audit": t53_charset_audit,
         "e12_label_confusion": e12_label_confusion,
         "g36_two_hop_reach": g36_two_hop_reach,
         "g37_type_cooccurrence": g37_type_cooccurrence,
@@ -5939,6 +5992,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.event_type, f.hour, f.n,
                    CAST((f.n * 1000000) // t.n_type AS BIGINT) AS share_ppm
             FROM full_h f JOIN tot t USING (event_type)
+        """,
+        # t53: every class an explicit ASCII range (the Java/RE2-identical
+        # subset), DuckDB regexp_replace needs the 'g' flag (default is
+        # first-match-only, unlike Java), U+FFFD via literal replace;
+        # both engines' length() counts code points
+        "t53_charset_audit": """
+            WITH per AS (
+                SELECT source,
+                       CAST(length(text) AS BIGINT) AS chars,
+                       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS letters,
+                       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+                       CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS ws,
+                       CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS BIGINT) AS ctl,
+                       CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')) AS BIGINT) AS nonascii,
+                       CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS repl
+                FROM documents WHERE text IS NOT NULL
+            ),
+            ag AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(chars) AS BIGINT) AS n_chars,
+                       CAST(sum(letters) AS BIGINT) AS n_letters,
+                       CAST(sum(digits) AS BIGINT) AS n_digits,
+                       CAST(sum(ws) AS BIGINT) AS n_ws,
+                       CAST(sum(ctl) AS BIGINT) AS n_control,
+                       CAST(sum(nonascii) AS BIGINT) AS n_nonascii,
+                       CAST(sum(repl) AS BIGINT) AS n_replacement
+                FROM per GROUP BY source
+            )
+            SELECT source, n_docs, n_chars, n_letters, n_digits, n_ws,
+                   n_control, n_nonascii, n_replacement,
+                   CAST(n_nonascii * 1000000 // n_chars AS BIGINT) AS nonascii_ppm,
+                   CAST(n_control * 1000000 // n_chars AS BIGINT) AS control_ppm,
+                   CAST(n_replacement * 1000000 // n_chars AS BIGINT) AS replacement_ppm
+            FROM ag WHERE n_chars > 0
+        """,
+        # e21: e20's vm/pairs CTEs verbatim, rank-2 conditional agg,
+        # the v24 nano-ln idiom per distance (d2 ≥ 1 when > 0, so every
+        # ln ≥ 0 and round-half-away == Spark's HALF_UP everywhere)
+        "e21_intrinsic_dimension": """
+            WITH vm AS (
+                SELECT vec_id, label,
+                       list_transform(embedding,
+                           c -> CAST(round(CAST(c AS DOUBLE) * 1000000) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS a_id, a.label, b.vec_id AS b_id,
+                       list_sum(list_transform(range(1, len(a.v) + 1),
+                           i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d2
+                FROM vm a JOIN vm b ON a.label = b.label AND a.vec_id <> b.vec_id
+            ),
+            rnk AS (
+                SELECT a_id, label, d2,
+                       row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+                FROM pairs
+            ),
+            two AS (
+                SELECT a_id, label,
+                       min(CASE WHEN rn = 1 THEN d2 END) AS d2_1,
+                       min(CASE WHEN rn = 2 THEN d2 END) AS d2_2
+                FROM rnk WHERE rn <= 2 GROUP BY a_id, label
+            ),
+            per AS (
+                SELECT label,
+                       CAST(round(ln(CAST(d2_2 AS DOUBLE)) * 1e9) AS BIGINT)
+                       - CAST(round(ln(CAST(d2_1 AS DOUBLE)) * 1e9) AS BIGINT)
+                       AS term_nano
+                FROM two WHERE d2_1 > 0 AND d2_2 IS NOT NULL
+            ),
+            ag AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n_used,
+                       CAST(sum(term_nano) AS BIGINT) AS sum_ln2x_nano
+                FROM per GROUP BY label
+            )
+            SELECT label, n_used, sum_ln2x_nano,
+                   round(2e9 * n_used / sum_ln2x_nano, 6) AS id_est
+            FROM ag WHERE sum_ln2x_nano > 0
         """,
         "t17_bm25_indexed": bm25_sql(["spark", "hash", "vector"]),
         # unnormalized fixed-iteration HITS: exact integer sums, both

@@ -785,3 +785,77 @@ def length_ks_drift(
             F.col("v").alias("ks_at_value"),
         )
     )
+
+
+def charset_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source character-class / encoding-health profile — the
+    mojibake read a Common-Crawl-scale corpus runs before anything else:
+    a source whose U+FFFD (replacement-char) or control-char share is
+    non-zero shipped broken transcoding, and a non-ASCII share far off a
+    source's language profile flags double-encoded UTF-8 — failure modes
+    upstream of every text op (tokenizers and LSH shingles silently
+    fragment on them). Complements t02's whitespace/punct quality ratios
+    (per-doc, curation-facing) with the per-SOURCE encoding marginal.
+
+    Counts are exact bigints: each class is ``length(s) −
+    length(regexp_replace(s, class, ''))`` where every class is an
+    explicit ASCII code-point range — the subset of regex both Java
+    (Spark) and RE2 (DuckDB) interpret identically; no \\s, \\w or
+    POSIX names whose semantics diverge (the documented \\x0B lesson).
+    U+FFFD is counted via literal (non-regex) ``replace``. Both engines'
+    ``length`` counts Unicode CODE POINTS (Spark ``UTF8String.numChars``,
+    DuckDB code-point length), so the counts agree on any plane; shares
+    are floor ppm over the source's total chars. Zero-char sources drop
+    by the exact predicate (the v12 baseline-less rule — a share over 0
+    chars is undefined, and a published NULL breaks the gate's row
+    sort).
+
+    Scale: one map-side projection per doc (a handful of single-pass
+    regex counts over the already-scanned text column) and ONE bounded
+    hash-agg keyed by source — no joins, no windows, no shuffle beyond
+    the #sources-sized rollup."""
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def _cnt(pat: str) -> Column:
+        return (n - F.length(F.regexp_replace(t, pat, ""))).cast("long")
+
+    per_doc = docs.filter(t.isNotNull()).select(
+        "source",
+        n.cast("long").alias("chars"),
+        _cnt("[A-Za-z]").alias("letters"),
+        _cnt("[0-9]").alias("digits"),
+        _cnt("[ \t\n\r]").alias("ws"),
+        # ASCII control chars minus the three whitespace ones above
+        _cnt("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]").alias("ctl"),
+        _cnt("[^\x00-\x7f]").alias("nonascii"),
+        (n - F.length(F.expr(f"replace({text_col}, '�', '')")))
+        .cast("long")
+        .alias("repl"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("letters").cast("long").alias("n_letters"),
+        F.sum("digits").cast("long").alias("n_digits"),
+        F.sum("ws").cast("long").alias("n_ws"),
+        F.sum("ctl").cast("long").alias("n_control"),
+        F.sum("nonascii").cast("long").alias("n_nonascii"),
+        F.sum("repl").cast("long").alias("n_replacement"),
+    )
+    return agg.filter(F.col("n_chars") > 0).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_letters",
+        "n_digits",
+        "n_ws",
+        "n_control",
+        "n_nonascii",
+        "n_replacement",
+        F.expr("n_nonascii * 1000000L div n_chars").alias("nonascii_ppm"),
+        F.expr("n_control * 1000000L div n_chars").alias("control_ppm"),
+        F.expr("n_replacement * 1000000L div n_chars").alias(
+            "replacement_ppm"
+        ),
+    )

@@ -715,3 +715,105 @@ def hubness_audit(
             .alias("inbound_ppm_of_k"),
         )
     )
+
+
+def intrinsic_dimension_twonn(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Per-block TwoNN intrinsic-dimension estimate (Facco et al. 2017,
+    Sci. Rep.): the MLE ``d = n / Σ ln(r2/r1)`` over each point's exact
+    1st/2nd nearest-neighbor distances. THE capacity read for the
+    embedding space that e20's hubness reads the symptom of: retrieval
+    pathologies (hub formation, distance concentration) scale with the
+    data's INTRINSIC dimension, not the ambient dim — a corpus whose
+    TwoNN estimate is far below the ambient dimension quantizes (e16)
+    and LSH-blocks (e03/e17) far better than the ambient dim predicts.
+
+    Exactness (the e20/e16 rule + the t23/v24 nano-ln rule): components
+    are fixed-pointed to micros so the squared L2 distance is an exact
+    bigint and the neighbor order (d2 asc, id asc) is a total order over
+    integers; ``ln μ = ½·ln(d2₂/d2₁)`` is carried as the exact bigint
+    ``round(ln d2₂·1e9) − round(ln d2₁·1e9)`` (≥ 0 per point: d2₂ ≥ d2₁
+    and round is monotone), summed with no float crossing an aggregation
+    boundary; the published estimate is ONE double expression at the end
+    (``id_est = 2e9·n / Σ``, the ½ folded in). Drops, all by exact
+    integer predicates: points with d2₁ = 0 (an exact-duplicate nearest
+    neighbor makes μ undefined — the paper's own preprocessing step),
+    points without a 2nd neighbor (block size < 3), and blocks whose Σ
+    is 0 (every point's two NNs tie — the estimate diverges; the v12
+    baseline-less rule).
+
+    Scale: pair volume is O(Σ block²) like the e02/e17/e19/e20 family —
+    ``block_col`` is the LSH/IVF bucket at web scale, never the corpus;
+    the per-point reduce is a rank-2 window inside the block and the
+    per-block reduce is one bounded hash-agg. Reference analog: the
+    embedding-space health checks around ``repository.py``'s pgvector
+    serving surface, which the reference never audits."""
+    vm = F.transform(
+        F.col(vec_col),
+        lambda c: F.round(c.cast("double") * F.lit(1e6)).cast("long"),
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(block_col).alias("label"),
+        vm.alias("v"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("label") == F.col("b_label"))
+            & (F.col("a_id") != F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "label",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            "b_id",
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("b_id").asc()
+    )
+    two = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("a_id", "label")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("d2_1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2_2"),
+        )
+        # exact-integer drops: duplicate NN (d2_1 = 0) and no 2nd NN
+        .filter((F.col("d2_1") > 0) & F.col("d2_2").isNotNull())
+    )
+    ln_nano = lambda c: F.round(  # noqa: E731 — local alias, used twice
+        F.log(F.col(c).cast("double")) * F.lit(1e9)
+    ).cast("long")
+    per_point = two.select(
+        "label", (ln_nano("d2_2") - ln_nano("d2_1")).alias("term_nano")
+    )
+    agg = per_point.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("term_nano").cast("long").alias("sum_ln2x_nano"),
+    )
+    return agg.filter(F.col("sum_ln2x_nano") > 0).select(
+        "label",
+        "n_used",
+        "sum_ln2x_nano",
+        F.round(
+            F.lit(2e9) * F.col("n_used") / F.col("sum_ln2x_nano"), 6
+        ).alias("id_est"),
+    )
