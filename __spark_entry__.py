@@ -6046,7 +6046,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             rnk AS (
                 SELECT a_id, label, d2,
-                       row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+                       -- (a_id, label), not a_id: a multi-probe vector in
+                       -- several blocks ranks independently per block
+                       row_number() OVER (PARTITION BY a_id, label ORDER BY d2, b_id) AS rn
                 FROM pairs
             ),
             two AS (

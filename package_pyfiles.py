@@ -30,9 +30,10 @@ def build_pyfiles_zip(path: str | None = None) -> str:
     pkg = os.path.join(REPO, "research_knowledge_graph_spark")
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         for root, dirs, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
-            dirs.sort()
+            # exact-name prune (not a substring test on root): skips the
+            # excluded trees instead of walking into them, and can't
+            # wrongly drop a dir whose name merely contains the token
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
             for f in sorted(files):
                 full = os.path.join(root, f)
                 z.write(full, os.path.relpath(full, REPO))

@@ -829,7 +829,7 @@ def charset_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # ASCII control chars minus the three whitespace ones above
         _cnt("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]").alias("ctl"),
         _cnt("[^\x00-\x7f]").alias("nonascii"),
-        (n - F.length(F.expr(f"replace({text_col}, '�', '')")))
+        (n - F.length(F.replace(t, F.lit("�"), F.lit(""))))
         .cast("long")
         .alias("repl"),
     )

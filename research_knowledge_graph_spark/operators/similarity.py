@@ -785,7 +785,12 @@ def intrinsic_dimension_twonn(
             "b_id",
         )
     )
-    w = Window.partitionBy("a_id").orderBy(
+    # partition by (a_id, label), not a_id alone: a vector assigned to
+    # several blocks (multi-probe LSH at web scale) must get an
+    # independent rank-2 neighbor list PER BLOCK — a single a_id window
+    # would keep only the two globally-smallest d2 and drop the point
+    # from its other blocks' estimates
+    w = Window.partitionBy("a_id", "label").orderBy(
         F.col("d2").asc_nulls_last(), F.col("b_id").asc()
     )
     two = (

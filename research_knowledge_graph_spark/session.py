@@ -37,9 +37,15 @@ def get_spark(
     # silently override the cluster manager the operator asked for. Only
     # default to local[N] when we own the JVM launch.
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
-    master = master or os.environ.get(
-        "SPARK_GRAFT_MASTER", None if under_submit else f"local[{cpus}]"
-    )
+    if under_submit:
+        # The SPARK_GRAFT_MASTER env var is a local-dev knob; a lingering
+        # export must not override the submitted cluster manager either —
+        # only an explicit master= argument can.
+        master = master or None
+    else:
+        master = master or os.environ.get(
+            "SPARK_GRAFT_MASTER", f"local[{cpus}]"
+        )
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
     builder = SparkSession.builder

@@ -38,7 +38,6 @@ import shutil
 import subprocess
 import sys
 import tempfile
-import zipfile
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 

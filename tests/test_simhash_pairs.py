@@ -24,8 +24,12 @@ from research_knowledge_graph_spark.operators.dedup import (
 
 
 def _load_entry():
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry___simhash", "/root/repo/__spark_entry__.py"
+        "__spark_entry___simhash", entry_path
     )
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)

@@ -75,3 +75,31 @@ def test_twonn_all_ties_block_drops(spark):
     # every point's two nearest are the two adjacent corners at d2 = 1e12
     # each → every term_nano = 0 → sum = 0 → block absent
     assert intrinsic_dimension_twonn(df).collect() == []
+
+
+def test_twonn_multi_block_membership(spark):
+    # multi-probe LSH assigns one vector to several buckets: vec 0 sits
+    # in BOTH blocks, with different neighbors in each — it must get an
+    # independent rank-2 list per block (a window keyed on a_id alone
+    # would keep only the two globally-smallest d2 and corrupt/drop it)
+    u = 10**12
+    rows = [
+        # block 1: x = 0, 1, 3, 7 → vec 0's (d2_1, d2_2) = (1, 9)·u
+        (0, [0.0], 1), (1, [1.0], 1), (2, [3.0], 1), (3, [7.0], 1),
+        # block 2: vec 0 again at x=0, neighbors at 10, 30 →
+        # vec 0's (d2_1, d2_2) = (100, 900)·u
+        (0, [0.0], 2), (11, [10.0], 2), (12, [30.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in intrinsic_dimension_twonn(df).collect()}
+    assert set(out) == {1, 2}
+    # block 1: p0:(1,9) p1:(1,4) p2:(4,9) p3:(16,36)
+    exp1 = sum(_ln_nano(b * u) - _ln_nano(a * u)
+               for a, b in [(1, 9), (1, 4), (4, 9), (16, 36)])
+    # block 2: p0:(100,900) p11:(100,400) p12:(400,900)
+    exp2 = sum(_ln_nano(b * u) - _ln_nano(a * u)
+               for a, b in [(100, 900), (100, 400), (400, 900)])
+    assert out[1]["n_used"] == 4 and out[1]["sum_ln2x_nano"] == exp1
+    assert out[2]["n_used"] == 3 and out[2]["sum_ln2x_nano"] == exp2
