@@ -69,3 +69,60 @@ def test_charset_audit_twin(spark):
     # exactly 9 code points (c a f é ␠ 中 文 ␠ 🎉) — a UTF-16 engine
     # counting units would read 10
     assert got["a"]["n_chars"] == len("Hello, World 42!\n") + 9
+
+
+# --- hypothesis twin: random multilingual text vs the python classifier ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# exercises every class boundary: ASCII letters/digits, the three
+# whitespace chars, controls (incl. \x0b/\x0c/\x7f), U+FFFD, Latin-1,
+# CJK, and a supplementary-plane emoji
+_ALPHABET = (
+    "aZq09 \t\n\r\x00\x07\x0b\x0c\x1f\x7f�é中\U0001f389.,-"
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=_ALPHABET, min_size=0, max_size=40),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_charset_audit_hypothesis_twin(spark, docs):
+    rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in charset_audit(df).collect()}
+    # python twin, per source, with the zero-char drop
+    exp = {}
+    for _, t, s in rows:
+        c = _classify(t)
+        e = exp.setdefault(s, dict(n_docs=0, **{k: 0 for k in c}))
+        e["n_docs"] += 1
+        for k, v in c.items():
+            e[k] += v
+    exp = {s: e for s, e in exp.items() if e["chars"] > 0}
+    assert set(got) == set(exp)
+    for s, e in exp.items():
+        r = got[s]
+        assert r["n_docs"] == e["n_docs"]
+        assert r["n_chars"] == e["chars"]
+        assert r["n_letters"] == e["letters"]
+        assert r["n_digits"] == e["digits"]
+        assert r["n_ws"] == e["ws"]
+        assert r["n_control"] == e["ctl"]
+        assert r["n_nonascii"] == e["nonascii"]
+        assert r["n_replacement"] == e["repl"]
+        assert r["nonascii_ppm"] == e["nonascii"] * 1_000_000 // e["chars"]
+        assert r["control_ppm"] == e["ctl"] * 1_000_000 // e["chars"]
+        assert r["replacement_ppm"] == e["repl"] * 1_000_000 // e["chars"]

@@ -103,3 +103,71 @@ def test_twonn_multi_block_membership(spark):
                for a, b in [(100, 900), (100, 400), (400, 900)])
     assert out[1]["n_used"] == 4 and out[1]["sum_ln2x_nano"] == exp1
     assert out[2]["n_used"] == 3 and out[2]["sum_ln2x_nano"] == exp2
+
+
+# --- hypothesis twin: random integer-coordinate blocks vs a pure-python
+# reference of the full cascade (micro fixed point, exact d2, (d2, b_id)
+# rank order, dup/no-2nd/zero-sum drops, nano-ln terms) ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _twonn_ref(rows):
+    """rows: (vec_id, [int coords], label) with unique (vec_id, label)."""
+    blocks = {}
+    for i, v, lab in rows:
+        blocks.setdefault(lab, []).append((i, [int(x) * 10**6 for x in v]))
+    out = {}
+    for lab, pts in blocks.items():
+        terms = []
+        for i, vi in pts:
+            ds = sorted(
+                (sum((a - b) ** 2 for a, b in zip(vi, vj)), j)
+                for j, vj in pts
+                if j != i
+            )
+            if len(ds) < 2 or ds[0][0] == 0:
+                continue
+            terms.append(_ln_nano(ds[1][0]) - _ln_nano(ds[0][0]))
+        s = sum(terms)
+        if terms and s > 0:
+            out[lab] = (len(terms), s)
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(min_value=-8, max_value=8),
+                min_size=2,
+                max_size=2,
+            ),
+            st.sampled_from([1, 2]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_twonn_hypothesis_twin(spark, pts):
+    # small integer coords in 2-D: duplicates (dup-drop), exact ties
+    # (zero-sum blocks) and tiny blocks (no-2nd-neighbor) all arise
+    # naturally; micro fixed point is exact on integers
+    rows = [
+        (i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["label"]: (r["n_used"], r["sum_ln2x_nano"])
+        for r in intrinsic_dimension_twonn(df).collect()
+    }
+    exp = _twonn_ref([(i, v, lab) for i, (v, lab) in enumerate(pts)])
+    assert got == exp
