@@ -281,35 +281,39 @@ def run_pipeline(
             nodes=nodes, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
         )
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_nodes = ex.submit(
-            _timed, "nodes", io.write_stage, nodes_df, "nodes", fp, ["node_type"],
-        )
-        f_edges = ex.submit(
-            _timed, "edges", io.write_stage, edges_df, "edges", fp, None, ["edge_type"],
-        )
-        nodes, edges = f_nodes.result(), f_edges.result()
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_nodes = ex.submit(
+                _timed, "nodes", io.write_stage, nodes_df, "nodes", fp, ["node_type"],
+            )
+            f_edges = ex.submit(
+                _timed, "edges", io.write_stage, edges_df, "edges", fp, None, ["edge_type"],
+            )
+            nodes, edges = f_nodes.result(), f_edges.result()
 
-    # stage 6: cross-document linking. The final edge table is a zero-copy
-    # union commit (Iceberg-append semantics): rewriting all intra-doc edges
-    # just to co-locate the cross edges would be the pipeline's largest IO
-    # cost at scale, for no query benefit. Full mode keeps the committed
-    # read-back as cross_link's input — the resume contract (a restart
-    # recomputes nothing before the last snapshot).
-    if cross_link:
-        _timed(
-            "cross_edges", io.write_stage,
-            L.cross_link(nodes, edges, max_block_degree), "cross_edges", fp,
-        )
-        edges_all = _timed(
-            "edges_all", io.commit_union, "edges_all", ["edges", "cross_edges"], fp
-        )
-    else:
-        edges_all = _timed("edges_all", io.commit_union, "edges_all", ["edges"], fp)
+        # stage 6: cross-document linking. The final edge table is a zero-copy
+        # union commit (Iceberg-append semantics): rewriting all intra-doc edges
+        # just to co-locate the cross edges would be the pipeline's largest IO
+        # cost at scale, for no query benefit. Full mode keeps the committed
+        # read-back as cross_link's input — the resume contract (a restart
+        # recomputes nothing before the last snapshot).
+        if cross_link:
+            _timed(
+                "cross_edges", io.write_stage,
+                L.cross_link(nodes, edges, max_block_degree), "cross_edges", fp,
+            )
+            edges_all = _timed(
+                "edges_all", io.commit_union, "edges_all", ["edges", "cross_edges"], fp
+            )
+        else:
+            edges_all = _timed("edges_all", io.commit_union, "edges_all", ["edges"], fp)
 
-    io.flush_metrics()
-    for df in _cached:
-        df.unpersist()
+        io.flush_metrics()
+    finally:
+        # same rule as the minimal+cross_link branch: a failed stage write
+        # must not leave full-table persists pinned in a reused session
+        for df in _cached:
+            df.unpersist()
     return PipelineResult(
         nodes=nodes, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
     )
@@ -376,43 +380,52 @@ def run_pipeline_incremental(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     meta = X.extract_metadata(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    if mode == "fixture":
-        mentions = X.extract_mentions_fixture(docs)
-        triples = X.extract_triples_fixture(docs.join(meta.select("url", "title"), "url"))
-    else:
-        mentions = X.extract_mentions_heuristic(docs)
-        triples = X.extract_triples_heuristic(docs)
-    mentions_v = V.validate_mentions(mentions).persist(StorageLevel.MEMORY_AND_DISK)
-    _timed("extract", mentions_v.count)
-    triples_v = V.validate_triples(triples)
+    cached = [docs, meta]
+    try:
+        if mode == "fixture":
+            mentions = X.extract_mentions_fixture(docs)
+            triples = X.extract_triples_fixture(docs.join(meta.select("url", "title"), "url"))
+        else:
+            mentions = X.extract_mentions_heuristic(docs)
+            triples = X.extract_triples_heuristic(docs)
+        # lazily persisted, first-touch populated by the nodes/edges commits
+        # (the _stage rule: an eager count here would serialize the full
+        # extraction pass BEFORE any commit job starts — the exact
+        # measured-regression shape the batch path removed in round 5)
+        mentions_v = V.validate_mentions(mentions).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(mentions_v)
+        triples_v = V.validate_triples(triples)
 
-    batch_nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
-    batch_edges = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
+        batch_nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
+        batch_edges = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
 
-    # assume_unique_key on the edges/cross-edges commits — those frames are
-    # unique by id BY CONSTRUCTION REGARDLESS of the input batch (build_edges
-    # ends in a (from,to,type) groupBy, cross edges in a DISTINCT pair set),
-    # so the intra-batch first-wins aggregate would only re-shuffle the wide
-    # payload (measured as the dominant per-batch commit cost). The NODES
-    # commit keeps the default dedup: paper nodes are one row per input ROW,
-    # and a batch may legitimately carry the same url twice (a re-crawl
-    # landing in two files drained by one micro-batch) — entity nodes are
-    # hash-aggregated, but the paper side needs the first-wins collapse.
-    nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above)
-    edges_base = _timed("edges_delta", io.append_rows, batch_edges, "edges", ["id"], fp, compact_above, assume_unique_key=True)
+        # assume_unique_key on the edges/cross-edges commits — those frames are
+        # unique by id BY CONSTRUCTION REGARDLESS of the input batch (build_edges
+        # ends in a (from,to,type) groupBy, cross edges in a DISTINCT pair set),
+        # so the intra-batch first-wins aggregate would only re-shuffle the wide
+        # payload (measured as the dominant per-batch commit cost). The NODES
+        # commit keeps the default dedup: paper nodes are one row per input ROW,
+        # and a batch may legitimately carry the same url twice (a re-crawl
+        # landing in two files drained by one micro-batch) — entity nodes are
+        # hash-aggregated, but the paper side needs the first-wins collapse.
+        nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above)
+        edges_base = _timed("edges_delta", io.append_rows, batch_edges, "edges", ["id"], fp, compact_above, assume_unique_key=True)
 
-    if cross_link:
-        delta = L.cross_link_incremental(
-            nodes_all, edges_base, batch_edges, max_block_degree
-        )
-        _timed("cross_delta", io.append_rows, delta, "cross_edges", ["id"], fp, compact_above, assume_unique_key=True)
-        edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges", "cross_edges"], fp)
-    else:
-        edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges"], fp)
+        if cross_link:
+            delta = L.cross_link_incremental(
+                nodes_all, edges_base, batch_edges, max_block_degree
+            )
+            _timed("cross_delta", io.append_rows, delta, "cross_edges", ["id"], fp, compact_above, assume_unique_key=True)
+            edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges", "cross_edges"], fp)
+        else:
+            edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges"], fp)
 
-    _timed("metrics_mark", lambda: (io.flush_metrics(), io.mark(f"batch_complete@{fp}", fp)))
-    for df in (docs, meta, mentions_v):
-        df.unpersist()
+        _timed("metrics_mark", lambda: (io.flush_metrics(), io.mark(f"batch_complete@{fp}", fp)))
+    finally:
+        # a failed/retried batch must not pin three more cached tables per
+        # attempt in a long-lived streaming session (the minimal-mode rule)
+        for df in cached:
+            df.unpersist()
     return PipelineResult(
         nodes=nodes_all, edges=edges_all, metrics=io.metrics(), lineage=io.lineage()
     )

@@ -57,6 +57,12 @@ class TableIO:
         # write_stage doesn't take the table lock (stage names are unique),
         # so compact's sweep must see these to never delete a mid-commit dir
         self._inflight: set[str] = set()
+        # snapshot dirs a flush_metrics job is currently reading — they have
+        # already left _pending, so without this pin a concurrent compact's
+        # expiry sweep could delete a superseded delta mid-read (kept
+        # separate from _inflight so write_stage's own discard can never
+        # unpin a path the metrics job still holds)
+        self._reading: set[str] = set()
 
     def _table_lock(self, name: str) -> threading.RLock:
         with self._lock:
@@ -74,6 +80,63 @@ class TableIO:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)
+
+    @staticmethod
+    def _prune_markers(manifest: dict, keep: int = 256) -> None:
+        """Bound the '@'-keyed marker entries (per-batch append markers,
+        batch_complete sentinels) that idempotent resume gates on: without
+        pruning, a continuous ingest grows the manifest by a few entries per
+        micro-batch FOREVER, and every operation re-reads + atomically
+        rewrites the whole JSON — linear per batch, quadratic over the
+        stream's lifetime. Only the newest ``keep`` markers per prefix
+        (the part before '@') survive; a marker old enough to be pruned is
+        far outside the stream's replay window, and losing one is SAFE —
+        the re-delivered batch walks every stage and the per-stage
+        anti-joins/fingerprint checks make it a no-op on the data."""
+        groups: dict[str, list[str]] = {}
+        for ename, e in manifest["tables"].items():
+            if "@" in ename:
+                groups.setdefault(ename.split("@", 1)[0], []).append(ename)
+        for names in groups.values():
+            if len(names) <= keep:
+                continue
+            names.sort(
+                key=lambda n: (manifest["tables"][n].get("committed_at") or "", n)
+            )
+            for n in names[:-keep]:
+                del manifest["tables"][n]
+
+    def _sweep_table_dir(self, name: str) -> None:
+        """Expire snapshot dirs under ``name``'s directory that nothing
+        references: no non-marker manifest entry (union commits pin member
+        snapshots), no queued (_pending) or in-flight (_reading) metrics
+        read, no mid-commit stage write (_inflight). Shared by compact()
+        and write_stage() re-commits; like Iceberg's expire-snapshots it
+        invalidates DataFrames handed out from earlier reads of superseded
+        snapshots — re-read after expiry."""
+        import shutil
+
+        with self._lock:
+            manifest = self._load_manifest()
+            still = set()
+            for ename, e in manifest["tables"].items():
+                if "@" in ename:
+                    continue
+                still.update(
+                    e.get("paths") or ([e["path"]] if e.get("path") else [])
+                )
+            still.update(pth for _, _, pth, _ in self._pending)
+            still.update(self._inflight)
+            still.update(self._reading)
+            table_dir = os.path.join(self.root, name)
+            sweep = [
+                os.path.join(table_dir, d)
+                for d in os.listdir(table_dir)
+                if d.startswith("snap-")
+            ]
+        for pth in sweep:
+            if pth not in still and os.path.isdir(pth):
+                shutil.rmtree(pth, ignore_errors=True)
 
     # -- stage commit / resume --------------------------------------------
     def is_committed(self, name: str, fingerprint: str) -> bool:
@@ -124,6 +187,7 @@ class TableIO:
 
             with self._lock:
                 manifest = self._load_manifest()
+                superseded = name in manifest["tables"]
                 manifest["tables"][name] = {
                     "path": snap,
                     "fingerprint": fingerprint,
@@ -133,6 +197,13 @@ class TableIO:
         finally:
             with self._lock:
                 self._inflight.discard(snap)
+        if superseded:
+            # expire the re-committed stage's orphaned snapshot(s): without
+            # this, every re-run with a new fingerprint leaks one full copy
+            # of each stage output (compact() only ever sweeps multi-path
+            # appended tables). Same invalidation semantics as compact —
+            # see _sweep_table_dir.
+            self._sweep_table_dir(name)
         return committed
 
     def commit_union(self, name: str, members: list[str], fingerprint: str) -> DataFrame:
@@ -170,14 +241,25 @@ class TableIO:
         return self.spark.read.parquet(t["path"])
 
     def upsert(self, df: DataFrame, name: str, key: list[str], fingerprint: str) -> DataFrame:
-        """MERGE-emulation: new rows replace existing rows with the same key."""
-        manifest = self._load_manifest()
-        if name in manifest["tables"]:
-            existing = self.read(name)
-            merged = df.unionByName(existing.join(df.select(key), key, "left_anti"))
-        else:
-            merged = df
-        return self.write_stage(merged, name, fingerprint)
+        """MERGE-emulation: new rows replace existing rows with the same key.
+        Read-modify-write, so concurrent upserts to the same table SERIALIZE
+        on the per-table lock (two unlocked upserts would each anti-join only
+        against its own df and the second commit silently drop the first's
+        rows); intra-batch duplicate keys collapse deterministically via the
+        same first-wins rule as :meth:`append_rows`."""
+        with self._table_lock(name):
+            if self.is_committed(name, fingerprint):
+                return self.read(name)
+            df = self._dedup_first(df, key)
+            manifest = self._load_manifest()
+            if name in manifest["tables"]:
+                existing = self.read(name)
+                merged = df.unionByName(
+                    existing.join(df.select(key), key, "left_anti")
+                )
+            else:
+                merged = df
+            return self.write_stage(merged, name, fingerprint)
 
     @staticmethod
     def _dedup_first(df: DataFrame, key: list[str]) -> DataFrame:
@@ -254,10 +336,18 @@ class TableIO:
                 prior_paths = (t.get("paths") or [t["path"]]) if t else []
             delta = df if assume_unique_key else self._dedup_first(df, key)
             if prior_paths:
-                existing = self.spark.read.parquet(prior_paths[0])
+                # project each snapshot to the KEY columns before the union:
+                # only keys feed the anti-join, and a strict full-schema
+                # union would break the append the moment any later snapshot
+                # gained a column (read() tolerates schema evolution via
+                # allowMissingColumns; the anti-join must too — key columns
+                # are invariant by contract)
+                existing = self.spark.read.parquet(prior_paths[0]).select(*key)
                 for p in prior_paths[1:]:
-                    existing = existing.unionByName(self.spark.read.parquet(p))
-                delta = delta.join(existing.select(*key), key, "left_anti")
+                    existing = existing.unionByName(
+                        self.spark.read.parquet(p).select(*key)
+                    )
+                delta = delta.join(existing, key, "left_anti")
 
             snap = os.path.join(self.root, name, f"snap-{uuid.uuid4().hex[:12]}")
             t0 = time.time()
@@ -275,6 +365,7 @@ class TableIO:
                     "fingerprint": fingerprint,
                     "committed_at": manifest["tables"][name]["committed_at"],
                 }
+                self._prune_markers(manifest)
                 self._commit_manifest(manifest)
                 self._pending.append((name, fingerprint, snap, time.time() - t0))
             if compact_above is not None and len(prior_paths) + 1 > compact_above:
@@ -293,6 +384,7 @@ class TableIO:
                 "fingerprint": fingerprint,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
+            self._prune_markers(manifest)
             self._commit_manifest(manifest)
 
     def compact(self, name: str, fingerprint: str) -> DataFrame:
@@ -359,38 +451,16 @@ class TableIO:
                     "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 }
                 self._commit_manifest(manifest)
-                # expire: sweep the table's directory for snapshot dirs no
-                # longer referenced by any TABLE entry. Sweeping the whole dir
-                # (not just this compaction's superseded list) also collects
-                # snapshots a stale union commit pinned LAST time — they become
-                # unreferenced once that union re-commits, and the next
-                # compaction picks them up, so disk stays bounded for every
-                # table in the long-running ingest. Pins: any non-marker
-                # entry's path list (union commits reference member snapshots
-                # and must stay readable until re-commit), anything still
-                # queued in _pending, and in-flight stage writes not yet in
-                # the manifest; '@'-keyed MARKER entries never pin
-                # (their path field is informational, never read).
-                still_referenced = {snap}
-                for ename, e in manifest["tables"].items():
-                    if "@" in ename:
-                        continue
-                    still_referenced.update(
-                        e.get("paths") or ([e["path"]] if e.get("path") else [])
-                    )
-                still_referenced.update(pth for _, _, pth, _ in self._pending)
-                still_referenced.update(self._inflight)
-                table_dir = os.path.join(self.root, name)
-                sweep = [
-                    os.path.join(table_dir, d)
-                    for d in os.listdir(table_dir)
-                    if d.startswith("snap-")
-                ]
-            import shutil
-
-            for p in sweep:
-                if p not in still_referenced and os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
+            # expire: sweep the table's directory for snapshot dirs no
+            # longer referenced by any TABLE entry. Sweeping the whole dir
+            # (not just this compaction's superseded list) also collects
+            # snapshots a stale union commit pinned LAST time — they become
+            # unreferenced once that union re-commits, and the next
+            # compaction picks them up, so disk stays bounded for every
+            # table in the long-running ingest. Pin rules in
+            # _sweep_table_dir ('@'-keyed MARKER entries never pin — their
+            # path field is informational, never read).
+            self._sweep_table_dir(name)
             return self.read(name)
 
     # -- lineage + metrics ---------------------------------------------------
@@ -400,25 +470,37 @@ class TableIO:
         atomically so concurrent stage threads can keep appending."""
         with self._lock:
             pending, self._pending = self._pending, []
+            # pin the taken snapshot paths until the metrics job finishes:
+            # once they leave _pending they are invisible to a concurrent
+            # compact()'s expiry sweep (whose own flush_metrics no-ops
+            # because this thread took the list), which could otherwise
+            # delete a superseded delta while this job is reading it
+            self._reading.update(snap for _, _, snap, _ in pending)
         if not pending:
             return
-        per_stage = None
-        for name, fp, snap, _ in pending:
-            df = (
-                self.spark.read.parquet(snap)
-                .groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .withColumn("stage", F.lit(name))
-                .withColumn("fingerprint", F.lit(fp))
-            )
-            per_stage = df if per_stage is None else per_stage.unionByName(df)
-        per_stage.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+        try:
+            per_stage = None
+            for name, fp, snap, _ in pending:
+                df = (
+                    self.spark.read.parquet(snap)
+                    .groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                    .withColumn("stage", F.lit(name))
+                    .withColumn("fingerprint", F.lit(fp))
+                )
+                per_stage = df if per_stage is None else per_stage.unionByName(df)
+            per_stage.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
 
-        lineage = self.spark.createDataFrame(
-            [(n, fp, float(sec)) for n, fp, _, sec in pending],
-            "stage string, fingerprint string, elapsed_sec double",
-        ).withColumn("committed_at", F.current_timestamp())
-        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+            lineage = self.spark.createDataFrame(
+                [(n, fp, float(sec)) for n, fp, _, sec in pending],
+                "stage string, fingerprint string, elapsed_sec double",
+            ).withColumn("committed_at", F.current_timestamp())
+            lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+        finally:
+            with self._lock:
+                self._reading.difference_update(
+                    snap for _, _, snap, _ in pending
+                )
 
     def _append_metrics(
         self, name: str, fingerprint: str, committed: DataFrame, elapsed: float

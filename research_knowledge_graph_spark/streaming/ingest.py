@@ -40,6 +40,12 @@ def run_incremental_ingest(
     """Drain all currently-available files through extraction → validated
     triples, append to ``output_dir``. Exactly-once per file via the stream
     checkpoint; safe to re-run whenever new files arrive."""
+    import os
+
+    # landing-directory pattern: the first run may precede the first drop
+    # (same guard as run_streaming_graph_ingest — a file-source stream on a
+    # not-yet-created dir fails at start instead of draining zero files)
+    os.makedirs(input_dir, exist_ok=True)
     pages = stream_pages(spark, input_dir)
     docs = extract_text(pages).selectExpr(
         "url", "warc_ts", "extracted_text AS text", "lang"
@@ -73,11 +79,13 @@ def run_streaming_graph_ingest(
     - the stream checkpoint guarantees each FILE is delivered to exactly
       one micro-batch — a restart never re-delivers a processed file;
     - ``run_pipeline_incremental`` keys the batch on the deterministic
-      ``epoch_id``, so a crash AFTER the batch's graph commit but BEFORE
-      the stream checkpoint advances (the classic foreachBatch double-fire
-      window) makes the re-delivered batch a no-op (its ``batch_complete``
-      marker is already committed), and a crash mid-batch resumes at the
-      per-stage markers.
+      (stream-checkpoint id, ``epoch_id``) pair, so a crash AFTER the
+      batch's graph commit but BEFORE the stream checkpoint advances (the
+      classic foreachBatch double-fire window) makes the re-delivered
+      batch a no-op (its ``batch_complete`` marker is already committed),
+      and a crash mid-batch resumes at the per-stage markers — while a
+      RECREATED checkpoint (new stream id, epochs restarting at 0) can
+      never silently match an old run's markers in the same graph_dir.
 
     Re-run whenever new files arrive; the graph under ``graph_dir``
     converges to the one-shot ingest of everything delivered (pinned by
@@ -91,12 +99,36 @@ def run_streaming_graph_ingest(
     # landing-directory pattern: the first run may precede the first drop
     os.makedirs(input_dir, exist_ok=True)
 
+    def _stream_id() -> str:
+        """Stable identity of THIS stream's checkpoint, read from the
+        checkpoint metadata Spark writes at stream start (``{"id": uuid}``).
+        Batch markers must be scoped to it: a bare ``epoch_id`` restarts
+        from 0 whenever the checkpoint is recreated, and an old run's
+        ``batch_complete@epoch0`` marker in the SAME graph_dir would then
+        silently no-op the new stream's first batch even though its file
+        set differs. Scoped markers make that a full (idempotent,
+        anti-joined) reprocess instead of a silent skip; within one
+        checkpoint lineage the id is stable across restarts, so the
+        double-fire replay window still no-ops. Fallback (metadata not yet
+        visible): a hash of the checkpoint path — weaker (same path
+        recreated keeps the identity) but never wrong within a lineage."""
+        import hashlib
+        import json as _json
+
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return _json.load(f)["id"][:12]
+        except (OSError, ValueError, KeyError):
+            return hashlib.sha256(
+                os.path.abspath(checkpoint_dir).encode()
+            ).hexdigest()[:12]
+
     def _ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         run_pipeline_incremental(
             batch_df.sparkSession, batch_df, graph_dir,
-            batch_id=f"epoch{epoch_id}", mode=mode,
+            batch_id=f"{_stream_id()}-epoch{epoch_id}", mode=mode,
         )
 
     q = (
