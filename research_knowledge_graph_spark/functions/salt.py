@@ -102,35 +102,47 @@ def two_phase_collect_set(
     )
 
 
-def salted_self_join_sides(
-    pe: DataFrame, id_col: str, salt_above: int, max_salts: int
+def salted_join_sides(
+    big: DataFrame, small: DataFrame, id_col: str, salt_above: int, max_salts: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Degree-aware salting of a blocking self-join (the generic form of the
-    cross-link pipeline's defense). ``pe`` must carry a ``deg`` column (the
-    blocking key's degree); each key gets
+    """Degree-aware salting of a blocking join — the ONE home of the
+    nsalt/slot construction (the self-join and the incremental
+    batch-vs-corpus join previously each carried a copy; a fix to the
+    formula must land once). Both frames must carry a ``deg`` column with
+    the SAME value per blocking key (e.g. both joined against one
+    :func:`attach_hot_degrees` dim); each key gets
     ``n_salts = min(max_salts, ceil(deg / salt_above))`` salt slots:
 
-    - left side: each row lands in ONE slot (hash of its ``id_col``);
-    - right side: each row is replicated into ALL of its key's slots.
+    - ``big``: each row lands in ONE slot (hash of its ``id_col``) — cost
+      O(|big|) regardless of salting;
+    - ``small``: each row is replicated into ALL of its key's slots —
+      replication cost O(|small| × n_salts), so pass the bounded side here.
 
-    The caller joins on (key, _salt, id<id): a key of degree d spreads its
-    d²/2 comparisons over n_salts reducers instead of one, and every
-    unordered pair still meets in EXACTLY one slot (the left row's), so
-    pair multiplicity — and any count aggregated from it — is preserved.
-    Cold keys (deg ≤ salt_above) have n_salts = 1: zero replication,
-    identical plan to the unsalted join."""
+    The caller joins on (key, _salt, ...): a key of degree d spreads its
+    comparisons over n_salts reducers instead of one, and every pair still
+    meets in EXACTLY one slot (the big row's), so pair multiplicity — and
+    any count aggregated from it — is preserved. Cold keys
+    (deg ≤ salt_above) have n_salts = 1: zero replication, identical plan
+    to the unsalted join."""
     nsalt = F.greatest(
         F.least(F.lit(max_salts), F.ceil(F.col("deg") / F.lit(salt_above))).cast("int"),
         F.lit(1),
     )
-    with_n = pe.withColumn("_nsalt", nsalt)
-    a = with_n.withColumn(
+    a = big.withColumn("_nsalt", nsalt).withColumn(
         "_salt", F.pmod(F.xxhash64(id_col), F.col("_nsalt")).cast("int")
     )
-    b = with_n.withColumn(
+    b = small.withColumn("_nsalt", nsalt).withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.col("_nsalt") - 1))
     )
     return a, b
+
+
+def salted_self_join_sides(
+    pe: DataFrame, id_col: str, salt_above: int, max_salts: int
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join form of :func:`salted_join_sides`: both sides are the same
+    frame, every unordered pair meets in exactly the left row's slot."""
+    return salted_join_sides(pe, pe, id_col, salt_above, max_salts)
 
 
 def attach_hot_degrees(df: DataFrame, key_col: str, cutoff: int) -> DataFrame:

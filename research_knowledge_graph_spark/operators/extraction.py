@@ -197,13 +197,14 @@ def extract_triples_fixture(
                 F.lit(conf).alias("confidence"),
                 F.lit(rat).alias("rationale"),
                 F.lit(ev).alias("evidence_span"),
+                F.lit(i).cast("int").alias("seq"),  # arrival order
             )
-            for frm, pred, to, conf, rat, ev in FIXTURE_RELATIONSHIPS
+            for i, (frm, pred, to, conf, rat, ev) in enumerate(FIXTURE_RELATIONSHIPS)
         ]
     )
     return (
         docs.select(F.col(url_col).alias("url"), F.explode(rels).alias("r"))
-        .select("url", "r.subj", "r.pred", "r.obj", "r.confidence", "r.rationale", "r.evidence_span")
+        .select("url", "r.subj", "r.pred", "r.obj", "r.confidence", "r.rationale", "r.evidence_span", "r.seq")
     )
 
 
@@ -259,7 +260,7 @@ def extract_triples_heuristic(
     text = F.col(text_col)
     title = title_col_from_text(text)
 
-    def _mk(subj, pred, obj, conf):
+    def _mk(subj, pred, obj, conf, seq):
         return F.struct(
             subj.alias("subj"),
             F.lit(pred).alias("pred"),
@@ -267,27 +268,39 @@ def extract_triples_heuristic(
             F.lit(float(conf)).alias("confidence"),
             F.lit(f"matched template: {pred.lower()}").alias("rationale"),
             F.lit("body").alias("evidence_span"),
+            seq.cast("int").alias("seq"),
         )
 
-    def _title_subj_arr(t: dict):
+    # seq numbers triples in (template, match) order — the within-doc
+    # arrival order (the reference inserts triples sequentially and first
+    # insert wins). Two templates can emit the SAME (subj, pred, obj) with
+    # different confidences; without this ordinal the downstream first-wins
+    # min_by tie is nondeterministic and breaks bit-identical re-runs.
+    def _title_subj_arr(ti: int, t: dict):
         objs = F.regexp_extract_all(text, F.lit(t["pat"]), 1)
-        return F.transform(objs, lambda o: _mk(title, t["pred"], o, t["conf"]))
+        return F.transform(
+            objs,
+            lambda o, i: _mk(title, t["pred"], o, t["conf"], F.lit(ti * 100_000) + i),
+        )
 
-    def _pair_arr(t: dict):
+    def _pair_arr(ti: int, t: dict):
         pairs = F.arrays_zip(
             F.regexp_extract_all(text, F.lit(t["pat"]), 1).alias("s"),
             F.regexp_extract_all(text, F.lit(t["pat"]), 2).alias("o"),
         )
-        return F.transform(pairs, lambda p: _mk(p["s"], t["pred"], p["o"], t["conf"]))
+        return F.transform(
+            pairs,
+            lambda p, i: _mk(p["s"], t["pred"], p["o"], t["conf"], F.lit(ti * 100_000) + i),
+        )
 
     arrays = [
-        _title_subj_arr(t) if t["title_subj"] else _pair_arr(t)
-        for t in HEURISTIC_TEMPLATES
+        _title_subj_arr(ti, t) if t["title_subj"] else _pair_arr(ti, t)
+        for ti, t in enumerate(HEURISTIC_TEMPLATES)
     ]
 
     return (
         docs.select(F.col(url_col).alias("url"), F.explode(F.concat(*arrays)).alias("r"))
-        .select("url", "r.subj", "r.pred", "r.obj", "r.confidence", "r.rationale", "r.evidence_span")
+        .select("url", "r.subj", "r.pred", "r.obj", "r.confidence", "r.rationale", "r.evidence_span", "r.seq")
         .filter((F.col("subj") != "") & (F.col("obj") != ""))
     )
 

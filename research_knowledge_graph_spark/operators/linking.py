@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from research_knowledge_graph_spark.functions.hashing import det_id
-from research_knowledge_graph_spark.functions.salt import attach_hot_degrees
+from research_knowledge_graph_spark.functions.salt import (
+    attach_hot_degrees,
+    salted_join_sides,
+    salted_self_join_sides,
+)
 from research_knowledge_graph_spark.functions.sanitize import sanitize_string_col
 
 ENTITY_EDGE_CONFIDENCE = 1.0
@@ -100,7 +104,6 @@ def build_entity_nodes(mentions_valid: DataFrame) -> DataFrame:
         mentions_valid.groupBy("entity_type", F.col("_canon").alias("label"))
         .agg(
             F.min_by(F.struct("description", "properties"), F.struct("url", "seq")).alias("_first"),
-            F.countDistinct("url").alias("n_docs"),
         )
         .select(
             entity_node_id(F.col("entity_type"), F.col("label")).alias("id"),
@@ -156,7 +159,7 @@ def build_edges(
         F.lit(ENTITY_EDGE_CONFIDENCE).alias("confidence"),
         F.create_map().cast("map<string,string>").alias("properties"),
         F.col("url").alias("src_url"),
-        F.col("seq").alias("order_seq"),
+        F.col("seq").cast("long").alias("order_seq"),
     )
 
     # per-doc label→id resolution (J12): raw triple endpoints vs the doc's
@@ -214,7 +217,21 @@ def build_edges(
                 lambda _, v: v.isNotNull(),
             ).alias("properties"),
             F.col("t.url").alias("src_url"),
-            F.lit(1_000_000).alias("order_seq"),  # rels materialize after entities
+            # rels materialize after entities (hence the 1e9 base), and
+            # WITHIN a doc they order by the extraction ordinal: two
+            # templates can assert the same (from, to, type) with different
+            # confidences, and the constant-order_seq tie made the min_by
+            # winner nondeterministic (arbitrary encounter order) — breaking
+            # the bit-identical re-run invariant. Tolerates legacy triple
+            # frames without the seq column.
+            (
+                F.lit(1_000_000_000)
+                + (
+                    F.col("t.seq").cast("long")
+                    if "seq" in triples_valid.columns
+                    else F.lit(0)
+                )
+            ).alias("order_seq"),
         )
         # inner-join semantics preserved: an unresolved endpoint (label not
         # in THIS doc's dict) drops the triple silently (ingestion_service.py:154)
@@ -252,25 +269,6 @@ def build_edges(
 # Cross-document linking (stage 6)
 # ---------------------------------------------------------------------------
 
-def _salted_pair_sides(
-    pe: DataFrame, salt_above: int, max_salts: int
-) -> tuple[DataFrame, DataFrame]:
-    """Degree-aware salting of the blocking self-join (``functions/salt.py``
-    composed into the hot path). Each blocking key gets
-    ``n_salts = min(max_salts, ceil(deg / salt_above))`` salt slots:
-
-    - left side: each row lands in ONE slot (hash of its paper_id);
-    - right side: each row is replicated into ALL of its key's slots.
-
-    The join key becomes (entity_id, _salt), so a key of degree d spreads
-    its d²/2 comparisons over n_salts reducers instead of one. Cold keys
-    (deg ≤ salt_above) have n_salts = 1 — zero replication, identical plan
-    to the unsalted join. Requires ``pe`` to carry a ``deg`` column."""
-    from research_knowledge_graph_spark.functions.salt import salted_self_join_sides
-
-    return salted_self_join_sides(pe, "paper_id", salt_above, max_salts)
-
-
 def candidate_pairs(
     nodes: DataFrame,
     edges: DataFrame,
@@ -290,7 +288,7 @@ def candidate_pairs(
     - ``salt_above`` (degree-aware salting, on by default): keys hotter than
       this degree are split across ``min(max_salts, ceil(deg/salt_above))``
       salt slots so no single reducer owns a head key's quadratic pair
-      blowup (see :func:`_salted_pair_sides`); cold keys are untouched;
+      blowup (see ``salt.py::salted_self_join_sides``); cold keys are untouched;
     - AQE skew-join (session-wide) splits any residual hot partitions.
     """
     pe = _postings(nodes, edges)
@@ -305,7 +303,7 @@ def candidate_pairs(
             pe = pe.filter(F.col("deg") <= max_block_degree)
 
     if salt_above is not None:
-        sa, sb = _salted_pair_sides(pe, salt_above, max_salts)
+        sa, sb = salted_self_join_sides(pe, "paper_id", salt_above, max_salts)
         a, b = sa.alias("a"), sb.alias("b")
         cond = (
             (F.col("a.entity_id") == F.col("b.entity_id"))
@@ -415,44 +413,55 @@ def incremental_candidate_pairs(
     ``salt_above`` (same default as the batch path, round-2 verdict #5):
     the batch side bounds the join size, but a hot key in the FULL posting
     list ``pe`` still concentrates one reducer. Salting here is the mirror
-    of :func:`_salted_pair_sides`: the BIG side (pe) gets one slot per row
+    of ``salt.py::salted_join_sides``: the BIG side (pe) gets one slot per row
     (hash of paper_id); the SMALL batch side is replicated into all of the
     key's ``min(max_salts, ceil(deg/salt_above))`` slots — replication cost
     is O(batch), never O(corpus). Cold keys get one slot (zero replication,
     identical plan to unsalted)."""
     pe = _postings(nodes, edges)
+    pe_new = _postings(nodes, new_edges)
     thresholds = [t for t in (max_block_degree, salt_above) if t is not None]
-    need_deg = bool(thresholds)
-    if need_deg:
-        # hot-key-only degree attach — salt.py::attach_hot_degrees rationale
-        pe = attach_hot_degrees(pe, "entity_id", min(thresholds))
+    if thresholds:
+        # ONE bounded hot dim (≤ |pe|/cutoff keys by pigeonhole) feeds BOTH
+        # sides: the degree cap and the salter only need exact degrees for
+        # hot keys, and the batch side inherits them from the same dim —
+        # the previous corpus-wide keys.distinct() per batch existed only
+        # to hand pe_new its degrees/cap and cost a full posting shuffle
+        # every micro-batch (AQE broadcasts the dim; no force — the t10
+        # rule). Cold rows default to deg = 1 (≤ any threshold).
+        cutoff = min(thresholds)
+        hot = (
+            pe.groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") > cutoff)
+        )
+        pe = pe.join(hot, "entity_id", "left").withColumn(
+            "deg", F.coalesce("deg", F.lit(1))
+        )
+        pe_new = pe_new.join(hot, "entity_id", "left").withColumn(
+            "deg", F.coalesce("deg", F.lit(1))
+        )
         if max_block_degree is not None:
+            # degrees are over the FULL posting list, so a key crossing the
+            # cap as the corpus grows stops producing pairs on BOTH sides —
+            # same outcome as a full recompute
             pe = pe.filter(F.col("deg") <= max_block_degree)
-
-    keys = pe.select("entity_id", *(["deg"] if salt_above is not None else [])).distinct()
-    pe_new = _postings(nodes, new_edges).join(keys, "entity_id")
+            pe_new = pe_new.filter(F.col("deg") <= max_block_degree)
 
     if salt_above is not None:
-        nsalt = F.greatest(
-            F.least(
-                F.lit(max_salts), F.ceil(F.col("deg") / F.lit(salt_above))
-            ).cast("int"),
-            F.lit(1),
-        )
-        b = pe.withColumn(
-            "_salt", F.pmod(F.xxhash64("paper_id"), nsalt).cast("int")
-        )
-        a = pe_new.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), nsalt.cast("int") - 1))
-        )
+        # big corpus side one-slot, bounded batch side replicated — the
+        # shared construction in salt.py (deg values agree per key: both
+        # sides joined the same hot dim)
+        b, a = salted_join_sides(pe, pe_new, "paper_id", salt_above, max_salts)
         cond = (
             (F.col("a.entity_id") == F.col("b.entity_id"))
             & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.paper_id") != F.col("b.paper_id"))
         )
     else:
-        if need_deg:
+        if thresholds:
             pe = pe.drop("deg")
+            pe_new = pe_new.drop("deg")
         a, b = pe_new, pe
         cond = (F.col("a.entity_id") == F.col("b.entity_id")) & (
             F.col("a.paper_id") != F.col("b.paper_id")

@@ -28,11 +28,22 @@ Two state representations (``state_mode``):
   warning the first time it crosses (the filter keeps working — FP just
   grows past target; re-shard with more buckets when the warning fires).
 
-Expiry (``ttl_minutes``): with a processing-time timeout, a bucket idle for
-the TTL has its state dropped — bounding state lifetime for append-mostly
-streams where re-crawled dups arrive close together. Tradeoff: a dup whose
-original arrived more than the TTL ago is re-emitted (dedup becomes
-windowed, the Kafka-Streams-style retention compromise).
+Expiry (``ttl_minutes``) works at TWO levels, because the group-level
+processing-time timeout alone never fires on a busy stream (every trigger
+touches every bucket and re-arms it):
+
+- per ENTRY: exact mode tracks last-seen per fingerprint and prunes aged
+  entries on every invocation (sliding — a re-observed dup refreshes);
+  bloom mode rotates generations (current + previous filter; an entry is
+  remembered ≥ ttl and ≤ 2·ttl, never re-emitting a dup seen under ttl
+  ago) — both bound state lifetime on a CONTINUOUS stream;
+- per BUCKET: a bucket idle for the whole TTL additionally has its state
+  object dropped (the original timeout path — covers paused streams).
+
+Tradeoff: a dup whose original arrived more than the TTL (2·ttl for bloom)
+ago is re-emitted — dedup becomes windowed, the Kafka-Streams-style
+retention compromise. Rows with NULL text are dropped at the source (no
+content identity; the batch curation floor drops them too).
 
 For production the state store itself should be RocksDB (spills to local
 disk, incremental checkpoints): :func:`rocksdb_state_conf` returns the
@@ -46,6 +57,7 @@ state logic, Arrow-batched) the reference lacks entirely.
 from __future__ import annotations
 
 import logging
+import time
 import math
 from collections.abc import Iterator
 
@@ -67,13 +79,23 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 EXACT_STATE_SCHEMA = T.StructType(
-    [T.StructField("seen", T.ArrayType(T.LongType()))]
+    [
+        T.StructField("seen", T.ArrayType(T.LongType())),
+        # parallel last-seen (ms) per fingerprint — per-ENTRY TTL pruning;
+        # the bucket-idle timeout alone never fires on a busy stream
+        # (every trigger touches every bucket and re-arms it)
+        T.StructField("last_seen", T.ArrayType(T.LongType())),
+    ]
 )
 
 BLOOM_STATE_SCHEMA = T.StructType(
     [
         T.StructField("bits", T.BinaryType()),
+        # previous generation (rotating-window TTL: an entry is remembered
+        # for at least ttl and at most 2·ttl; NULL until first rotation)
+        T.StructField("bits_prev", T.BinaryType()),
         T.StructField("n_inserted", T.LongType()),
+        T.StructField("gen_started", T.LongType()),
     ]
 )
 
@@ -86,7 +108,9 @@ class _Bloom:
         self.m = m_bits
         self.k = k
         if bits is None:
-            self.arr = np.zeros(m_bits // 8, dtype=np.uint8)
+            # (m+7)//8: probes are taken mod m, so a bit index in the
+            # truncated tail of a non-multiple-of-8 m must still have a byte
+            self.arr = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
         else:
             self.arr = np.frombuffer(bits, dtype=np.uint8).copy()
 
@@ -126,15 +150,36 @@ def _make_exact_dedup(ttl_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        seen = set(state.get[0]) if state.exists else set()
+        now = int(time.time() * 1000)
+        if state.exists:
+            fps_st, ts_st = state.get
+            seen = dict(zip(fps_st, ts_st))  # fp -> last-seen ms
+        else:
+            seen = {}
+        if ttl_ms is not None and seen:
+            # per-ENTRY expiry: the group-level ProcessingTimeTimeout only
+            # fires when the whole bucket is idle for the TTL, which a busy
+            # stream (every trigger touching every bucket) never is — so
+            # prune aged entries HERE, on every invocation
+            seen = {f: t for f, t in seen.items() if now - t <= ttl_ms}
         for pdf in batches:
             fresh = pdf[~pdf["fingerprint"].isin(seen)]
             # also dedup within the batch, first occurrence wins
             fresh = fresh.drop_duplicates(subset=["fingerprint"], keep="first")
+            if ttl_ms is not None:
+                # sliding TTL: a re-observed dup refreshes its entry (a doc
+                # recrawled more often than the TTL stays deduped forever)
+                dup_fps = pdf.loc[
+                    pdf["fingerprint"].isin(seen), "fingerprint"
+                ].unique()
+                seen.update(dict.fromkeys((int(f) for f in dup_fps), now))
             if len(fresh):
-                seen.update(int(f) for f in fresh["fingerprint"])
+                seen.update(
+                    dict.fromkeys((int(f) for f in fresh["fingerprint"]), now)
+                )
                 yield fresh[["url", "text", "fingerprint"]]
-        state.update((sorted(seen),))
+        items = sorted(seen.items())
+        state.update(([f for f, _ in items], [t for _, t in items]))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
 
@@ -157,15 +202,27 @@ def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
+        now = int(time.time() * 1000)
         if state.exists:
-            bits, n_ins = state.get
+            bits, bits_prev, n_ins, gen_started = state.get
             bloom = _Bloom(bits, m_bits, k)
+            prev = _Bloom(bits_prev, m_bits, k) if bits_prev is not None else None
         else:
-            bloom, n_ins = _Bloom(None, m_bits, k), 0
+            bloom, prev, n_ins, gen_started = _Bloom(None, m_bits, k), None, 0, now
+        if ttl_ms is not None and now - gen_started > ttl_ms:
+            # rotating-window TTL (a bit set can't be aged individually):
+            # the current filter becomes the previous generation and a fresh
+            # one starts — an entry is remembered ≥ ttl and ≤ 2·ttl, and a
+            # dup seen under ttl ago is NEVER re-emitted
+            prev, bloom = bloom, _Bloom(None, m_bits, k)
+            n_ins, gen_started = 0, now
         n_at_entry = n_ins
         for pdf in batches:
             fps = pdf["fingerprint"].to_numpy().astype(np.uint64)
-            fresh = pdf[~bloom.contains(fps)]
+            seen_mask = bloom.contains(fps)
+            if prev is not None:
+                seen_mask = seen_mask | prev.contains(fps)
+            fresh = pdf[~seen_mask]
             fresh = fresh.drop_duplicates(subset=["fingerprint"], keep="first")
             if len(fresh):
                 bloom.add(fresh["fingerprint"].to_numpy().astype(np.uint64))
@@ -178,7 +235,14 @@ def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
                 "drops now grow past target — re-shard with more buckets",
                 key[0], n_ins, capacity, m_bits, k,
             )
-        state.update((bloom.tobytes(), int(n_ins)))
+        state.update(
+            (
+                bloom.tobytes(),
+                prev.tobytes() if prev is not None else None,
+                int(n_ins),
+                int(gen_started),
+            )
+        )
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
 
@@ -199,9 +263,22 @@ def dedup_stream(
     are uniform hashes — no skew). ``state_mode="bloom"`` bounds per-bucket
     state at ``bloom_bits/8`` bytes forever; ``ttl_minutes`` additionally
     expires idle buckets (see module docstring for both tradeoffs)."""
-    with_fp = stream.select(
-        "url", "text", fingerprint_col("text").alias("fingerprint")
-    ).withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)))
+    if state_mode not in ("exact", "bloom"):
+        # a typo must not silently fall back to exact mode — on the
+        # unbounded stream bloom was chosen for, that converts a
+        # constant-memory operator into linear state growth with no error
+        raise ValueError(f"state_mode must be 'exact' or 'bloom', got {state_mode!r}")
+    with_fp = (
+        stream.select(
+            "url", "text", fingerprint_col("text").alias("fingerprint")
+        )
+        # a NULL text has no content identity (md5(NULL) = NULL) and a null
+        # fingerprint would reach pandas as NaN and kill the query at the
+        # int cast — drop such rows (they carry nothing trainable; the
+        # curation quality floor drops them in batch mode too)
+        .filter(F.col("fingerprint").isNotNull())
+        .withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)))
+    )
     if ttl_minutes is not None:
         timeout = GroupStateTimeout.ProcessingTimeTimeout
         ttl_ms = int(ttl_minutes * 60_000)

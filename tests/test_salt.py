@@ -76,14 +76,14 @@ def test_salted_pair_sides_balance(spark):
     2x of ideal on a Zipf corpus; the unsalted join does not."""
     from pyspark.sql import functions as F
 
-    from research_knowledge_graph_spark.operators.linking import _salted_pair_sides
+    from research_knowledge_graph_spark.functions.salt import salted_self_join_sides
 
     pe = _zipf_pe(spark)
     n_part = 32
 
     # salt_above bounds per-slot load at deg_max * salt_above comparisons;
     # max_salts high enough that the head key is never re-capped
-    sa, sb = _salted_pair_sides(pe, salt_above=32, max_salts=64)
+    sa, sb = salted_self_join_sides(pe, "paper_id", salt_above=32, max_salts=64)
     na = sa.groupBy("entity_id", "_salt").agg(F.count("*").alias("n_a"))
     nb = sb.groupBy("entity_id", "_salt").agg(F.count("*").alias("n_b"))
     load = (

@@ -161,3 +161,178 @@ def test_bloom_filter_constant_size_sublinear():
     probe = rng.integers(0, 2**63, size=10_000, dtype=np.int64).astype(np.uint64)
     fp_rate = float(b.contains(probe).mean())
     assert fp_rate < 0.05, fp_rate
+
+
+def _drainer(spark, tmp_path, tag, **kw):
+    inp, out, ckpt = (str(tmp_path / f"{d}_{tag}") for d in ["in", "out", "ck"])
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
+    def drain(rows, url_suffix=""):
+        df = spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in rows], PAGES_SCHEMA
+        ).withColumn("url", F.concat(F.col("url"), F.lit(url_suffix)))
+        df.write.mode("append").parquet(inp)
+        run_streaming_dedup(spark, inp, out, ckpt, PAGES_SCHEMA, **kw)
+
+    return drain, out
+
+
+def _two_same_bucket_docs(spark, n_buckets=2):
+    from research_knowledge_graph_spark.functions.textops import fingerprint_col
+
+    cand = synthesize_pages(spark, 16).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    bucketed = cand.withColumn(
+        "bucket", F.pmod(fingerprint_col("text"), F.lit(n_buckets))
+    ).collect()
+    same = [r for r in bucketed if r.bucket == 0]
+    return same[0], same[1]
+
+
+def test_exact_per_entry_ttl_on_busy_bucket(spark, tmp_path):
+    """The busy-stream TTL case the bucket-idle timeout structurally misses:
+    the bucket receives data EVERY drain (so the group timeout keeps being
+    re-armed and never fires), yet doc A's ENTRY must still expire once it
+    goes unseen past the TTL — pruned per-entry at each invocation."""
+    import time
+
+    doc_a, doc_c = _two_same_bucket_docs(spark)
+    drain, out = _drainer(
+        spark, tmp_path, "busy", n_buckets=2, ttl_minutes=0.05
+    )
+    drain([doc_a])
+    assert spark.read.parquet(out).count() == 1
+    time.sleep(4)  # > 3 s TTL; A unseen since drain 1
+    drain([doc_c])  # SAME bucket: keeps it busy, re-arms the group timeout
+    drain([doc_a], url_suffix="?recrawl=1")
+    res = spark.read.parquet(out).collect()
+    assert len(res) == 3, res  # A re-emitted: entry pruned despite busy bucket
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-driving the dedup callbacks."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _pdf(fps):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "url": [f"u{f}" for f in fps],
+            "text": [f"t{f}" for f in fps],
+            "fingerprint": fps,
+            "bucket": [0] * len(fps),
+        }
+    )
+
+
+def test_exact_sliding_ttl_refreshes_on_dup(monkeypatch):
+    """Unit-level (stub state, controlled clock — the E2E drain overhead
+    makes wall-clock TTLs flaky): dup observations refresh last-seen, so a
+    doc re-seen more often than the TTL never re-emits; an entry unseen
+    past the TTL is pruned even though the bucket stays busy."""
+    import research_knowledge_graph_spark.streaming.stateful_dedup as sd
+
+    clock = {"now": 1_000.0}
+    monkeypatch.setattr(sd.time, "time", lambda: clock["now"])
+    fn = sd._make_exact_dedup(ttl_ms=3_000)
+    st = _StubState()
+    assert len(list(fn((0,), iter([_pdf([7])]), st))) == 1  # first: emitted
+    for _ in range(3):
+        clock["now"] += 2.0  # each hop < ttl, cumulatively >> ttl
+        out = list(fn((0,), iter([_pdf([7])]), st))
+        assert out == []  # dup refreshed, never re-emitted
+    # now let it age past the TTL while OTHER fingerprints keep the bucket busy
+    clock["now"] += 4.0
+    out = list(fn((0,), iter([_pdf([8])]), st))  # busy bucket, 7 pruned
+    assert len(out) == 1
+    out = list(fn((0,), iter([_pdf([7])]), st))
+    assert len(out) == 1  # 7 re-emitted: entry expired despite busy bucket
+
+
+def test_bloom_generational_ttl(monkeypatch):
+    """Unit-level: a dup seen under ttl ago is never re-emitted; after two
+    generation rotations (> 2*ttl unseen) the entry is forgotten."""
+    import research_knowledge_graph_spark.streaming.stateful_dedup as sd
+
+    clock = {"now": 1_000.0}
+    monkeypatch.setattr(sd.time, "time", lambda: clock["now"])
+    fn = sd._make_bloom_dedup(1 << 13, 5, ttl_ms=3_000)
+    st = _StubState()
+    assert len(list(fn((0,), iter([_pdf([7])]), st))) == 1
+    clock["now"] += 2.0  # < ttl
+    assert list(fn((0,), iter([_pdf([7])]), st)) == []
+    clock["now"] += 3.5  # rotation 1: 7 moves to prev — still remembered
+    assert len(list(fn((0,), iter([_pdf([8])]), st))) == 1
+    assert list(fn((0,), iter([_pdf([7])]), st)) == []
+    clock["now"] += 3.5  # rotation 2: 7's generation dropped
+    assert len(list(fn((0,), iter([_pdf([9])]), st))) == 1
+    assert len(list(fn((0,), iter([_pdf([7])]), st))) == 1  # forgotten
+
+
+def test_null_text_rows_dropped_not_crashing(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ["in_n", "out_n", "ck_n"])
+    good = synthesize_pages(spark, 5).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    nulls = good.limit(2).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?null=1"))
+    ).withColumn("text", F.lit(None).cast("string"))
+    good.unionByName(nulls).write.mode("append").parquet(inp)
+    run_streaming_dedup(spark, inp, out, ckpt, PAGES_SCHEMA)
+    res = spark.read.parquet(out)
+    assert res.count() == 5  # null-text rows dropped, query alive
+    assert res.filter(F.col("fingerprint").isNull()).count() == 0
+
+
+def test_state_mode_typo_raises(spark):
+    import pytest
+
+    from research_knowledge_graph_spark.streaming.stateful_dedup import (
+        dedup_stream,
+    )
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dedup_typo_")
+    try:
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(d)
+        with pytest.raises(ValueError, match="state_mode"):
+            dedup_stream(stream, state_mode="Bloom")
+    finally:
+        os.rmdir(d)
+
+
+def test_bloom_handles_non_multiple_of_8_bits():
+    import numpy as np
+
+    from research_knowledge_graph_spark.streaming.stateful_dedup import _Bloom
+
+    b = _Bloom(None, 100_001, 5)  # tail bits past the last full byte
+    fps = np.arange(1, 5000, dtype=np.uint64) * np.uint64(2654435761)
+    b.add(fps)  # would IndexError with the m//8 sizing
+    assert b.contains(fps).all()
