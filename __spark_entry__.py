@@ -6454,7 +6454,7 @@ def oracle_sql() -> dict[str, str]:
         "v07_cooccurrence_graph": """
             WITH b AS (
                 SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid,
-                       event_type || '|' ||
+                       replace(replace(event_type, '\\', '\\\\'), '|', '\\|') || '|' ||
                        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS blk
                 FROM events
             ),

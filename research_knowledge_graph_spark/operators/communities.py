@@ -249,7 +249,12 @@ def louvain_move_round(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     partial-aggregatable), m on a 1-row broadcast, and a per-node integer
     arg-max via ``min_by`` — one shuffle per aggregation, no windows.
 
-    Returns (node_id, community) — unchanged rows keep their label."""
+    Returns (node_id, community) — one row per ``labels`` row; unchanged
+    rows (including labeled nodes with no edge in ``pairs``) keep their
+    label. Nodes appearing in ``pairs`` but absent from ``labels`` have
+    no community to move FROM and are not assigned one (their edges still
+    count toward labeled neighbors' degrees, but offer no candidate
+    community)."""
     from research_knowledge_graph_spark.operators.graph_queries import (
         _canonical_undirected,
     )
@@ -307,8 +312,13 @@ def louvain_move_round(pairs: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("moved")
         )
     )
-    return base.join(best, "node_id", "left").select(
-        "node_id", F.coalesce("moved", "a").alias("community")
+    # return from lab, not base: base inner-joins deg, so a labeled node
+    # with NO edge in `pairs` (isolated node, or labels from a larger
+    # graph than this edge subset) would silently vanish from the
+    # assignment — the contract is "unchanged rows keep their label",
+    # and an edge-less node has no positive-gain move by construction
+    return lab.join(best, "node_id", "left").select(
+        "node_id", F.coalesce("moved", "community").alias("community")
     )
 
 

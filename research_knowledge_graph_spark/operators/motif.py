@@ -62,7 +62,14 @@ def _parse(pattern: str) -> list[dict]:
 def find_motif(nodes: DataFrame, edges: DataFrame, pattern: str) -> DataFrame:
     """All matches of ``pattern`` (see module docstring). ``nodes`` needs
     (id, node_type, label); ``edges`` needs (from_node_id, to_node_id,
-    edge_type, confidence)."""
+    edge_type, confidence).
+
+    Vertex attributes attach via INNER joins: a match touching an edge
+    endpoint with no ``nodes`` row (dangling reference — partial node
+    load, ingest race) is excluded from the output, matching the oracle's
+    plain-JOIN semantics (g14). When the node/edge tables may be out of
+    sync, anti-join edges against nodes first (the referential audit) —
+    this operator will not surface the break itself."""
     terms = _parse(pattern)
 
     plan: DataFrame | None = None

@@ -46,8 +46,17 @@ def pagerank(
     src_col: str = "from_node_id",
     dst_col: str = "to_node_id",
 ) -> DataFrame:
-    """(node_id, rank) over the directed graph; ranks sum to 1."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    """(node_id, rank) over the directed graph; ranks sum to 1.
+
+    Edges with a NULL endpoint are dropped on ingest (here and in every
+    sibling in this module): the iteration uses ``dst IS NULL`` as the
+    dangling-mass sentinel, so an unfiltered NULL-dst edge row would both
+    fan its source's rank out 1+1/deg-fold AND land its full rank in the
+    dangling pool — one dirty edge silently skews every rank — and NULL
+    would enter the node set as a phantom node."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
@@ -132,7 +141,9 @@ def personalized_pagerank(
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     seeds = sorted(set(seeds))  # duplicates would deflate every rank
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
@@ -226,7 +237,9 @@ def hits(
     """
     if iters < 1:
         raise ValueError(f"hits() needs iters >= 1, got {iters}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
@@ -300,7 +313,9 @@ def katz_centrality(
         # beta_inv=0 silently degenerates to p_K only (0**0 == 1); negative
         # values alternate signs — neither is a centrality
         raise ValueError(f"katz_centrality() needs beta_inv >= 1, got {beta_inv}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))

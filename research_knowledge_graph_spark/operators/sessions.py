@@ -52,22 +52,10 @@ def sessionize(
     caveat)."""
     if split_by not in (None, "day"):
         raise ValueError(f"split_by must be None or 'day', got {split_by!r}")
-    # parquet timestamps read as TIMESTAMP_NTZ, which has no direct long
-    # cast under ANSI — the session timezone is pinned UTC, so the
-    # NTZ→timestamp→long path equals DuckDB's epoch()
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
-    part = [user_col] if split_by is None else [user_col, "session_day"]
-    # order by the SAME casted expression the gap is measured on — ordering
-    # by the raw column would sort string timestamps lexicographically while
-    # gaps compare epochs (ties still broken by id_col; for timestamp
-    # columns the two orders coincide)
-    w = Window.partitionBy(*part).orderBy(epoch.asc(), F.col(id_col).asc())
-    prev_epoch = F.lag(epoch).over(w)
-    is_new = F.when(
-        prev_epoch.isNull() | (epoch - prev_epoch > gap_minutes * 60),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # rename to the canonical output names FIRST, then build every window
+    # expression against those names — building them against the caller's
+    # names and attaching after the select left non-default user_col/
+    # ts_col/id_col unresolvable (every documented rename crashed)
     cols = [
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
@@ -75,11 +63,26 @@ def sessionize(
     ]
     if value_col is not None:
         cols.append(F.col(value_col).alias("value"))
-    out = events
     if split_by == "day":
-        out = out.withColumn("session_day", F.to_date(F.col(ts_col).cast("timestamp")))
-        cols.append(F.col("session_day"))
-    return out.select(*cols).withColumn("session_idx", F.sum(is_new).over(run))
+        cols.append(F.to_date(F.col(ts_col).cast("timestamp")).alias("session_day"))
+    out = events.select(*cols)
+    # parquet timestamps read as TIMESTAMP_NTZ, which has no direct long
+    # cast under ANSI — the session timezone is pinned UTC, so the
+    # NTZ→timestamp→long path equals DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    part = ["user_id"] if split_by is None else ["user_id", "session_day"]
+    # order by the SAME casted expression the gap is measured on — ordering
+    # by the raw column would sort string timestamps lexicographically while
+    # gaps compare epochs (ties still broken by event_id; for timestamp
+    # columns the two orders coincide)
+    w = Window.partitionBy(*part).orderBy(epoch.asc(), F.col("event_id").asc())
+    prev_epoch = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev_epoch.isNull() | (epoch - prev_epoch > gap_minutes * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return out.withColumn("session_idx", F.sum(is_new).over(run))
 
 
 def session_stats(

@@ -20,7 +20,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from research_knowledge_graph_spark.functions.hashing import portable_hash64
 from research_knowledge_graph_spark.functions.vectors import cosine_col
 
 
@@ -83,7 +82,16 @@ def _probe_buckets_col(bucket: Column, planes: int, probe_bits: int) -> Column:
     distance ``probe_bits`` (0 → exact bucket only; 1 → flip each plane bit;
     2 → also every 2-bit flip). A vector whose angle straddles j hyperplanes
     lands j bit-flips away — probing the 1-flip shell recovers most of the
-    recall single-bucket SRP loses, at (1 + planes) buckets per query."""
+    recall single-bucket SRP loses, at (1 + planes) buckets per query.
+
+    Shells past 2 flips are not implemented — fail fast rather than
+    silently serving 2-flip recall to a caller who asked (and budgeted)
+    for a wider probe."""
+    if probe_bits not in (0, 1, 2):
+        raise ValueError(
+            f"probe_bits must be 0, 1 or 2 (wider flip shells not "
+            f"implemented), got {probe_bits}"
+        )
     probes = [bucket]
     if probe_bits >= 1:
         probes += [bucket.bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(planes)]
@@ -192,6 +200,10 @@ def mmr_rerank(
     import numpy as np
     import pandas as pd
 
+    if k < 1 or pool < 1:
+        # the greedy seed unconditionally selects row 0, so k<=0 would
+        # still emit one phantom row per query — fail fast like siblings
+        raise ValueError(f"mmr_rerank needs k >= 1 and pool >= 1, got k={k} pool={pool}")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
@@ -659,6 +671,10 @@ def hubness_audit(
     block size), and the inbound count is one map-side-combinable
     hash-agg. Blocks of size ≤ k simply rank everyone (n_block carried so
     readers can condition on it)."""
+    if k < 1:
+        # k=0 would divide by zero in the inbound/k ppm ratio (ANSI mode
+        # throws deep in the plan) — fail fast like k_core/k_truss/hits
+        raise ValueError(f"hubness_audit needs k >= 1, got {k}")
     vm = F.transform(
         F.col(vec_col),
         lambda c: F.round(c.cast("double") * F.lit(1e6)).cast("long"),

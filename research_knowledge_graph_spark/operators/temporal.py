@@ -75,7 +75,12 @@ def asof_join(
     columns to carry, emitted as ``{prefix}{col}``. NULL join keys never
     match (standard equi-join semantics — a window partition would
     otherwise group NULL keys together), so null-keyed rows are filtered
-    from both sides.
+    from both sides. NULL timestamps are likewise filtered from both
+    sides: a NULL ts can never satisfy the as-of inequality (DuckDB's
+    ASOF comparison is never true on NULL), but inside the window walk a
+    NULL-ts left row would sort past every right row and grab the
+    boundary payload, and a NULL-ts right row would sort before-all-time
+    and donate its payload to rows with no real match.
 
     Tie-break: when several right rows share (key, right_ts), the one with
     the LARGEST payload struct wins, deterministically across runs and
@@ -113,6 +118,12 @@ def asof_join(
     for k in on:
         left = left.filter(F.col(k).isNotNull())
         right = right.filter(F.col(k).isNotNull())
+    # NULL ts never satisfies the as-of inequality on either side (see
+    # docstring) — drop before the union so the window walk can't hand a
+    # NULL-ts row (sorted at the walk's far end by the nulls placement)
+    # a payload it never legitimately matched
+    left = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     lcols = [c for c in left.columns if c not in on]
     payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
     r = right.select(
@@ -309,10 +320,23 @@ def cooccurrence_graph(
     # F.concat, NOT concat_ws: a NULL context value must poison the block
     # id (NULL never equi-joins, so the row drops out of pairing) exactly
     # like the oracle's `||` rendering — concat_ws would silently SKIP the
-    # NULL segment and alias it with an empty-string context
+    # NULL segment and alias it with an empty-string context.
+    # Each segment is '\'-escaped before the '|' delimiter goes in, so a
+    # free-text context value CONTAINING '|' (URL, title, user agent)
+    # cannot alias two distinct context tuples into one block — without
+    # the escape, ('x|y','z') and ('x','y|z') render the same block id
+    # and fabricate co-occurrence edges. The oracle mirrors the identical
+    # replace pair (literal replace on both engines).
+    def _esc(c: str) -> Column:
+        return F.replace(
+            F.replace(F.col(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("|"),
+            F.lit("\\|"),
+        )
+
     blk_parts: list[Column] = []
     for c in context_cols:
-        blk_parts += [F.col(c).cast("string"), F.lit("|")]
+        blk_parts += [_esc(c), F.lit("|")]
     blk = F.concat(
         *blk_parts,
         F.date_format(F.date_trunc(window, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"),

@@ -172,3 +172,27 @@ def test_louvain_refines_lpa_on_couse_shape(spark):
     refined = louvain_move_round(df, labels)
     q_after = sum(r.modularity_term for r in modularity(df, refined).collect())
     assert q_after >= q_before
+
+
+def test_louvain_move_round_keeps_edgeless_labeled_nodes(spark):
+    """'Unchanged rows keep their label' must include labeled nodes with
+    NO edge in pairs (isolated node / labels from a larger graph) — the
+    old base=lab⨝deg inner join silently dropped them, so iterating the
+    round over its own output progressively lost nodes."""
+    from research_knowledge_graph_spark.operators.communities import (
+        louvain_move_round,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b")], "node_a string, node_b string"
+    )
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("iso", "c9")],
+        "node_id string, community string",
+    )
+    got = {
+        (r.node_id, r.community)
+        for r in louvain_move_round(pairs, labels).collect()
+    }
+    assert ("iso", "c9") in got
+    assert {r[0] for r in got} == {"a", "b", "iso"}

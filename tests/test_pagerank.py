@@ -459,3 +459,22 @@ def test_markov_stationary_fixed_point_twin(spark):
     assert sum(twin(4).values()) < sum(twin(1).values()) <= 3 * 10**9
     with pytest.raises(ValueError):
         markov_stationary_fixed_point(trans, iters=0)
+
+
+def test_pagerank_null_endpoint_edges_dropped(spark):
+    """dst IS NULL is the dangling-mass sentinel — a real edge row with a
+    NULL endpoint must be filtered on ingest, not conflated with dangling
+    mass (before the fix: the source fanned out 1.5x its rank, the NULL
+    row's rank joined the dangling pool, and NULL entered the node set as
+    a phantom node)."""
+    from research_knowledge_graph_spark.operators.pagerank import pagerank
+
+    dirty = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", None), (None, "b")],
+        "from_node_id string, to_node_id string",
+    )
+    got = {r.node_id: r.rank for r in pagerank(dirty, iters=5).collect()}
+    assert set(got) == {"a", "b"}
+    # the symmetric 2-cycle fixed point is exactly 0.5 / 0.5
+    assert abs(got["a"] - 0.5) < 1e-12 and abs(got["b"] - 0.5) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9

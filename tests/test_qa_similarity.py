@@ -271,3 +271,24 @@ def test_kmeans_update_step_abandoned_cluster_absent(spark):
     rows = {(r.label, r.dim): r for r in kmeans_update_step(df).collect()}
     assert set(rows) == {(0, 0)}
     assert rows[(0, 0)].n_vecs == 3
+
+
+def test_similarity_param_guards(spark):
+    """Fail-fast contracts: probe shells past 2 flips are not implemented
+    (silently serving 2-flip recall lied to the caller), and k<1 in
+    mmr_rerank / hubness_audit emitted phantom rows / divided by zero."""
+    import pytest
+
+    from research_knowledge_graph_spark.operators.similarity import (
+        _probe_buckets_col,
+        hubness_audit,
+        mmr_rerank,
+    )
+
+    with pytest.raises(ValueError, match="probe_bits"):
+        _probe_buckets_col(F.lit(0).cast("bigint"), planes=4, probe_bits=3)
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="mmr_rerank"):
+        mmr_rerank(df, df, k=0)
+    with pytest.raises(ValueError, match="hubness_audit"):
+        hubness_audit(df, k=0)

@@ -193,3 +193,36 @@ def test_gap_histogram_planted(spark):
         0: (1, 0, 0), 1: (1, 1, 1), 2: (1, 2, 2), 3: (1, 4, 4),
     }
     assert all(r.share_ppm == 250_000 for r in got.values())
+
+
+def test_sessionize_non_default_column_names(spark):
+    """The window/gap expressions must resolve AFTER the canonical-name
+    select — building them from the caller's names crashed every
+    documented rename with UNRESOLVED_COLUMN before the fix."""
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    ev = spark.createDataFrame(
+        [
+            ("u", t0, "e1", 1.0),
+            ("u", t0 + datetime.timedelta(minutes=5), "e2", 2.0),
+            ("u", t0 + datetime.timedelta(minutes=90), "e3", 3.0),
+        ],
+        "uid string, event_ts timestamp, eid string, amount double",
+    )
+    got = sessionize(
+        ev,
+        user_col="uid",
+        ts_col="event_ts",
+        id_col="eid",
+        value_col="amount",
+    )
+    rows = {(r.event_id, r.session_idx) for r in got.collect()}
+    assert rows == {("e1", 1), ("e2", 1), ("e3", 2)}
+    assert set(got.columns) == {"user_id", "ts", "event_id", "value", "session_idx"}
+    # split_by="day" path renames too
+    got2 = sessionize(
+        ev, user_col="uid", ts_col="event_ts", id_col="eid",
+        value_col=None, split_by="day",
+    )
+    assert {(r.event_id, r.session_idx) for r in got2.collect()} == {
+        ("e1", 1), ("e2", 1), ("e3", 2)
+    }

@@ -335,3 +335,61 @@ def test_cooccurrence_graph(spark):
     # min_weight prunes, top_k cuts on the (weight DESC, ids) order
     top = cooccurrence_graph(ev, min_weight=2, top_k=5).collect()
     assert [(r.user_a, r.user_b, r.weight) for r in top] == [("1", "2", 2)]
+
+
+def test_asof_join_null_ts_rows_dropped(spark):
+    """A NULL timestamp can never satisfy the as-of inequality (DuckDB
+    ASOF semantics) — before the fix, desc ordering sorted a NULL-ts left
+    row past every right row in forward mode and F.last handed it the
+    EARLIEST right payload; symmetrically a NULL-ts backward right row
+    donated its payload to left rows with no real prior match."""
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, None, "Lnull")], "k long, lts long, lid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "Rearly"), (1, 110, "Rlate")], "k long, rts long, rv string"
+    )
+    fwd = asof_join(
+        left, right, ["k"], "lts", "rts", ["rv"], direction="forward"
+    )
+    assert {(r.lid, r.r_rv) for r in fwd.collect()} == {("L1", "Rlate")}
+
+    right_null = spark.createDataFrame(
+        [(1, None, "Rnull"), (1, 110, "Rlate")], "k long, rts long, rv string"
+    )
+    back = asof_join(left, right_null, ["k"], "lts", "rts", ["rv"])
+    # lts=100 has no real right row at-or-before it; Rnull must not match
+    assert back.count() == 0
+
+
+def test_cooccurrence_block_delimiter_escaped(spark):
+    """Context values containing the '|' delimiter must not alias two
+    distinct context tuples into one block: ('x|y','z') and ('x','y|z')
+    rendered identical block ids before the escape and fabricated a
+    co-occurrence edge between unrelated actors."""
+    import datetime
+
+    from research_knowledge_graph_spark.operators.temporal import (
+        cooccurrence_graph,
+    )
+
+    t = datetime.datetime(2024, 1, 1, 10, 30)
+    ev = spark.createDataFrame(
+        [
+            ("u1", "x|y", "z", t),
+            ("u2", "x", "y|z", t),
+            ("u3", "x|y", "z", t),  # genuinely shares u1's context tuple
+        ],
+        "user_id string, a string, b string, ts timestamp",
+    )
+    got = {
+        (r.user_a, r.user_b)
+        for r in cooccurrence_graph(
+            ev,
+            actor_col="user_id",
+            ts_col="ts",
+            context_cols=("a", "b"),
+            min_weight=1,
+        ).collect()
+    }
+    assert got == {("u1", "u3")}
