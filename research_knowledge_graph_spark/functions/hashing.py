@@ -31,6 +31,39 @@ def det_id(kind: str, *cols: Column | str) -> Column:
     return F.substring(F.sha2(F.concat_ws(SEP, F.lit(kind), *cs), 256), 1, 32)
 
 
+def id_to_bin(col: Column | str) -> Column:
+    """Narrow a :func:`det_id`-style id to a tagged 17-byte BINARY for
+    shuffle-heavy internal stages: ids dominate the exchange bytes of the
+    blocking join / pair dedup (two ids per row, little else), so packing
+    the 32-char lowercase-hex form into 16 raw bytes roughly halves those
+    exchanges' volume — the term the N→4N scaling fit attributes the
+    cross-executor loss to (BASELINE.md round-5 readout: excess_4N ≈
+    8 s + 27 %·ideal, all shuffle serde).
+
+    Encoding is alias-free for ARBITRARY ids, not just det_id output: a
+    leading tag byte separates the two spaces (``00`` + unhex for exactly
+    32 LOWERCASE hex chars, ``01`` + raw UTF-8 otherwise), so a foreign
+    corpus mixing '61' and 'a' can never collide post-narrowing, and an
+    UPPERCASE-hex id round-trips byte-identically instead of coming back
+    lowercased. Within a homogeneous id space the unsigned-lexicographic
+    BINARY order equals the source string order, so ``<`` / ``least`` /
+    ``greatest`` pair canonicalization is unchanged by the narrowing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.rlike("^[0-9a-f]{32}$"),
+        F.concat(F.lit(b"\x00"), F.unhex(c)),
+    ).otherwise(F.concat(F.lit(b"\x01"), F.encode(c, "UTF-8")))
+
+
+def bin_to_id(col: Column | str) -> Column:
+    """Exact inverse of :func:`id_to_bin` (round-trip pinned by pytest)."""
+    c = F.col(col) if isinstance(col, str) else col
+    payload = F.substring(c, 2, F.octet_length(c) - F.lit(1))
+    return F.when(
+        F.substring(c, 1, 1) == F.lit(b"\x00"), F.lower(F.hex(payload))
+    ).otherwise(F.decode(payload, "UTF-8"))
+
+
 def portable_hash64(col: Column | str, seed: int | None = None) -> Column:
     """md5-derived 60-bit hash, identical in Spark and DuckDB.
 

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from research_knowledge_graph_spark.functions.hashing import det_id
+from research_knowledge_graph_spark.functions.hashing import bin_to_id, det_id, id_to_bin
 from research_knowledge_graph_spark.functions.salt import (
     attach_hot_degrees,
     salted_join_sides,
@@ -323,7 +323,13 @@ def candidate_pairs(
             F.col("a.paper_id").alias("paper_a"),
             F.col("b.paper_id").alias("paper_b"),
         )
+        # dedup on the NARROW binary pair (this is the path's biggest
+        # exchange — near-quadratic pre-combine), hex back after
         .distinct()
+        .select(
+            bin_to_id("paper_a").alias("paper_a"),
+            bin_to_id("paper_b").alias("paper_b"),
+        )
     )
 
 
@@ -378,17 +384,28 @@ def cross_link(
 def _postings(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(paper_id, entity_id) blocking postings — any edge into a
     dataset/method/concept node asserts a posting for its source node
-    (paper OR entity, matching :func:`candidate_pairs` exactly)."""
+    (paper OR entity, matching :func:`candidate_pairs` exactly).
+
+    Ids are narrowed to tagged BINARY (``hashing.id_to_bin``) at the scan
+    projection, BEFORE the join/distinct exchanges: the posting rows are
+    nothing but two ids, so halving id bytes halves this path's shuffle
+    volume end-to-end (join → distinct → degree agg → pair join → pair
+    distinct). The enumerators hex back at their exit — callers never see
+    the binary form."""
     ent_nodes = nodes.filter(F.col("node_type").isin(*CROSS_DOC_TYPES)).select(
-        F.col("id").alias("entity_id")
+        id_to_bin("id").alias("entity_id")
     )
     # No broadcast hint: the entity-id dim is one row per distinct
     # dataset/method/concept node — O(corpus) at web scale, so a forced
     # broadcast is a driver-OOM risk (the t10 lesson). AQE converts to
     # broadcast at runtime whenever the dim is actually small.
+    e = edges.select(
+        id_to_bin("from_node_id").alias("paper_id"),
+        id_to_bin("to_node_id").alias("_to_bin"),
+    )
     return (
-        edges.join(ent_nodes, edges.to_node_id == ent_nodes.entity_id)
-        .select(F.col("from_node_id").alias("paper_id"), "entity_id")
+        e.join(ent_nodes, e._to_bin == ent_nodes.entity_id)
+        .select("paper_id", "entity_id")
         .distinct()
     )
 
@@ -473,7 +490,13 @@ def incremental_candidate_pairs(
             F.least("a.paper_id", "b.paper_id").alias("paper_a"),
             F.greatest("a.paper_id", "b.paper_id").alias("paper_b"),
         )
+        # binary least/greatest == hex-string order (id_to_bin contract);
+        # dedup narrow, hex back after
         .distinct()
+        .select(
+            bin_to_id("paper_a").alias("paper_a"),
+            bin_to_id("paper_b").alias("paper_b"),
+        )
     )
 
 

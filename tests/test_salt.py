@@ -292,3 +292,65 @@ def test_shared_entity_pairs_salted_parity_and_balance(spark):
     ustats = un.agg(F.max("load").alias("mx"), F.sum("load").alias("tot")).first()
     assert ustats.mx / (ustats.tot / n_part) > 2.0
     assert stats.mx < ustats.mx / 4, (stats.mx, ustats.mx)
+
+
+# ---------------------------------------------------------------------------
+# Tagged-binary id narrowing on the blocking path (hashing.id_to_bin)
+# ---------------------------------------------------------------------------
+
+
+def test_id_bin_roundtrip_and_order(spark):
+    """id_to_bin/bin_to_id: exact round-trip for det_id hex, UPPERCASE hex
+    (must NOT come back lowercased), non-hex, '61'-vs-'a' alias candidates,
+    empty and non-ASCII ids; binary sort order == string order within the
+    lowercase-hex space (the pair-canonicalization invariant)."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.functions.hashing import bin_to_id, id_to_bin
+
+    ids = [
+        "0123456789abcdef0123456789abcdef",
+        "0123456789ABCDEF0123456789ABCDEF",
+        "p1", "61", "a", "", "ünïcode—id",
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = df.select(
+        "id",
+        bin_to_id(id_to_bin("id")).alias("rt"),
+        id_to_bin("id").alias("b"),
+    ).collect()
+    assert all(r.id == r.rt for r in got), [(r.id, r.rt) for r in got]
+    # alias-freedom: distinct ids stay distinct post-narrowing
+    assert len({bytes(r.b) for r in got}) == len(ids)
+
+    import random
+
+    rng = random.Random(7)
+    hexids = sorted("%032x" % rng.getrandbits(128) for _ in range(300))
+    d2 = spark.createDataFrame([(i,) for i in hexids], "id string")
+    in_bin_order = [
+        r.id for r in d2.select("id", id_to_bin("id").alias("b")).orderBy("b").collect()
+    ]
+    assert in_bin_order == hexids
+
+
+def test_candidate_pairs_non_hex_ids(spark):
+    """The narrowing is internal: candidate_pairs over a FOREIGN corpus with
+    arbitrary (non-det_id) string ids still returns the exact string pair
+    set with string-ordered orientation."""
+    from research_knowledge_graph_spark.operators import linking as L
+
+    nodes = spark.createDataFrame(
+        [("e1", "dataset"), ("E-two", "method"), ("61", "concept")],
+        "id string, node_type string",
+    )
+    edges = spark.createDataFrame(
+        [("paperB", "e1"), ("paperA", "e1"), ("paperA", "E-two"),
+         ("a", "61"), ("paperB", "61")],
+        "from_node_id string, to_node_id string",
+    )
+    got = {
+        (r.paper_a, r.paper_b)
+        for r in L.candidate_pairs(nodes, edges).collect()
+    }
+    assert got == {("paperA", "paperB"), ("a", "paperB")}
