@@ -64,6 +64,20 @@ def bin_to_id(col: Column | str) -> Column:
     ).otherwise(F.decode(payload, "UTF-8"))
 
 
+def bin_id_lt(a: Column, b: Column) -> Column:
+    """String-order ``<`` over :func:`id_to_bin`-encoded ids. Within one id
+    space (same tag byte) the raw binary memcmp already equals source
+    string order, so that fast path stays; a CROSS-tag pair — a corpus
+    mixing packed-hex with other id shapes — would otherwise order by the
+    tag byte (all hex ids before all raw ids), so those decode and compare
+    the source strings, keeping the documented paper_a < paper_b contract
+    exact for arbitrary corpora. Spark's UTF8_BINARY string order is
+    UTF-8 byte order, which preserves code-point order — identical to the
+    pre-narrowing comparison."""
+    same = F.substring(a, 1, 1) == F.substring(b, 1, 1)
+    return F.when(same, a < b).otherwise(bin_to_id(a) < bin_to_id(b))
+
+
 def portable_hash64(col: Column | str, seed: int | None = None) -> Column:
     """md5-derived 60-bit hash, identical in Spark and DuckDB.
 

@@ -44,7 +44,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from research_knowledge_graph_spark.functions.hashing import bin_to_id, det_id, id_to_bin
+from research_knowledge_graph_spark.functions.hashing import (
+    bin_id_lt,
+    bin_to_id,
+    det_id,
+    id_to_bin,
+)
 from research_knowledge_graph_spark.functions.salt import (
     attach_hot_degrees,
     salted_join_sides,
@@ -305,17 +310,20 @@ def candidate_pairs(
     if salt_above is not None:
         sa, sb = salted_self_join_sides(pe, "paper_id", salt_above, max_salts)
         a, b = sa.alias("a"), sb.alias("b")
+        # bin_id_lt, not a raw binary <: string-order contract must hold
+        # even for a corpus mixing hex with foreign id shapes (cross-tag
+        # pairs decode; same-tag pairs stay on the memcmp fast path)
         cond = (
             (F.col("a.entity_id") == F.col("b.entity_id"))
             & (F.col("a._salt") == F.col("b._salt"))
-            & (F.col("a.paper_id") < F.col("b.paper_id"))
+            & bin_id_lt(F.col("a.paper_id"), F.col("b.paper_id"))
         )
     else:
         if need_degrees:
             pe = pe.drop("deg")
         a, b = pe.alias("a"), pe.alias("b")
-        cond = (F.col("a.entity_id") == F.col("b.entity_id")) & (
-            F.col("a.paper_id") < F.col("b.paper_id")
+        cond = (F.col("a.entity_id") == F.col("b.entity_id")) & bin_id_lt(
+            F.col("a.paper_id"), F.col("b.paper_id")
         )
     return (
         a.join(b, cond)
@@ -483,14 +491,17 @@ def incremental_candidate_pairs(
         cond = (F.col("a.entity_id") == F.col("b.entity_id")) & (
             F.col("a.paper_id") != F.col("b.paper_id")
         )
+    lt = bin_id_lt(F.col("a.paper_id"), F.col("b.paper_id"))
     return (
         a.alias("a")
         .join(b.alias("b"), cond)
         .select(
-            F.least("a.paper_id", "b.paper_id").alias("paper_a"),
-            F.greatest("a.paper_id", "b.paper_id").alias("paper_b"),
+            # bin_id_lt-ordered min/max, not binary least/greatest: the
+            # string-order contract must survive a mixed-id-shape corpus
+            # (the != join guard rules out equality, so !lt ⇒ b < a)
+            F.when(lt, F.col("a.paper_id")).otherwise(F.col("b.paper_id")).alias("paper_a"),
+            F.when(lt, F.col("b.paper_id")).otherwise(F.col("a.paper_id")).alias("paper_b"),
         )
-        # binary least/greatest == hex-string order (id_to_bin contract);
         # dedup narrow, hex back after
         .distinct()
         .select(

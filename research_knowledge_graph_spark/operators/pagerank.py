@@ -64,6 +64,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # every edge had a NULL endpoint (or the input was empty) — fail
+        # fast instead of a bare ZeroDivisionError from the teleport term
+        raise ValueError("pagerank: no valid (non-NULL-endpoint) edges")
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base_const = (1.0 - damping) / n  # teleport term, constant across nodes
 
@@ -403,9 +407,11 @@ def pagerank_fixed_point(
     declarative plan (the g29 A/B, documented in hits())."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    g = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    g = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
     nodes = (
         g.select(F.col("src").alias("nid"))
         .unionByName(g.select(F.col("dst").alias("nid")))
@@ -480,7 +486,7 @@ def markov_stationary_fixed_point(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(n_col).cast("long").alias("n"),
-    )
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     states = (
         t.select(F.col("src").alias("sid"))
         .unionByName(t.select(F.col("dst").alias("sid")))

@@ -478,3 +478,41 @@ def test_pagerank_null_endpoint_edges_dropped(spark):
     # the symmetric 2-cycle fixed point is exactly 0.5 / 0.5
     assert abs(got["a"] - 0.5) < 1e-12 and abs(got["b"] - 0.5) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_fixed_point_twins_drop_null_endpoints(spark):
+    """The module-wide NULL-endpoint contract covers the fixed-point twins
+    too (review finding): a NULL edge row must not become a phantom state
+    in pagerank_fixed_point / markov_stationary_fixed_point."""
+    from research_knowledge_graph_spark.operators.pagerank import (
+        markov_stationary_fixed_point,
+        pagerank_fixed_point,
+    )
+
+    dirty = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", None), (None, "b")],
+        "from_node_id string, to_node_id string",
+    )
+    got = {r.node_id for r in pagerank_fixed_point(dirty, iters=2).collect()}
+    assert got == {"a", "b"}
+
+    tr = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 3), ("a", None, 5), (None, "b", 5)],
+        "from_type string, to_type string, n_transitions long",
+    )
+    states = {r.state for r in markov_stationary_fixed_point(tr, iters=2).collect()}
+    assert states == {"a", "b"}
+
+
+def test_pagerank_all_dirty_edges_fail_fast(spark):
+    """All-NULL-endpoint (but non-empty) edge input: a clear ValueError,
+    not a driver ZeroDivisionError from the teleport term."""
+    import pytest
+
+    from research_knowledge_graph_spark.operators.pagerank import pagerank
+
+    dirty = spark.createDataFrame(
+        [("a", None), (None, "b")], "from_node_id string, to_node_id string"
+    )
+    with pytest.raises(ValueError, match="no valid"):
+        pagerank(dirty, iters=2)

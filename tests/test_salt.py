@@ -354,3 +354,27 @@ def test_candidate_pairs_non_hex_ids(spark):
         for r in L.candidate_pairs(nodes, edges).collect()
     }
     assert got == {("paperA", "paperB"), ("a", "paperB")}
+
+
+def test_candidate_pairs_mixed_id_spaces_string_order(spark):
+    """Cross-tag ordering (review finding): a corpus mixing 32-char
+    lowercase-hex ids with other shapes must STILL orient pairs by string
+    order — the tag byte would otherwise sort every packed-hex id before
+    every raw id ('1aaa…' < '0' in tag order, but '0' < '1aaa…' as
+    strings, flipping edge direction and det_id)."""
+    from research_knowledge_graph_spark.operators import linking as L
+
+    hexid = "1aaa" + "0" * 28
+    nodes = spark.createDataFrame([("ent", "dataset")], "id string, node_type string")
+    edges = spark.createDataFrame(
+        [("0", "ent"), (hexid, "ent")],
+        "from_node_id string, to_node_id string",
+    )
+    got = {(r.paper_a, r.paper_b) for r in L.candidate_pairs(nodes, edges).collect()}
+    assert got == {("0", hexid)}
+    # incremental enumerator shares the contract
+    inc = {
+        (r.paper_a, r.paper_b)
+        for r in L.incremental_candidate_pairs(nodes, edges, edges).collect()
+    }
+    assert inc == {("0", hexid)}
