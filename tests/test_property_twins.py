@@ -263,3 +263,50 @@ def test_gap_family_python_twin(spark, events):
             r.n_gaps, r.min_gap_s, r.max_gap_s, r.share_ppm,
         )
     assert got_hist == ref_hist
+
+
+# ---------------------------------------------------------------------------
+# id_to_bin / bin_to_id / bin_id_lt (the blocking-path id codec)
+# ---------------------------------------------------------------------------
+
+_HEX32 = st.text(alphabet="0123456789abcdef", min_size=32, max_size=32)
+# id shapes that exercise every codec branch: exact lowercase hex, uppercase/
+# mixed-case hex (must take the raw path), near-hex lengths, arbitrary text
+# including '|', separators, and non-BMP code points
+_ANY_ID = st.one_of(
+    _HEX32,
+    st.text(alphabet="0123456789abcdefABCDEF", min_size=30, max_size=34),
+    st.text(min_size=0, max_size=40).filter(lambda s: "\x00" not in s),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_ANY_ID, min_size=2, max_size=30, unique=True))
+def test_id_codec_roundtrip_and_order_twin(spark, ids):
+    """Random id shapes: (1) bin_to_id(id_to_bin(x)) == x byte-exact;
+    (2) encoded values stay pairwise-distinct (alias-freedom);
+    (3) bin_id_lt == python '<' on the source strings for EVERY pair —
+    including cross-tag pairs, where the raw binary order would lie."""
+    from research_knowledge_graph_spark.functions.hashing import (
+        bin_id_lt,
+        bin_to_id,
+        id_to_bin,
+    )
+
+    df = spark.createDataFrame([(v,) for v in ids], "v string")
+    got = df.select(
+        "v",
+        bin_to_id(id_to_bin("v")).alias("rt"),
+        id_to_bin("v").alias("b"),
+    ).collect()
+    assert all(r.v == r.rt for r in got), [(r.v, r.rt) for r in got if r.v != r.rt]
+    assert len({bytes(r.b) for r in got}) == len(ids)
+
+    # all ordered pairs in one Spark pass vs python string comparison
+    a = df.select(F.col("v").alias("x"))
+    b = df.select(F.col("v").alias("y"))
+    pairs = a.crossJoin(b).select(
+        "x", "y", bin_id_lt(id_to_bin("x"), id_to_bin("y")).alias("lt")
+    )
+    for r in pairs.collect():
+        assert r.lt == (r.x < r.y), (r.x, r.y, r.lt)
