@@ -34,11 +34,17 @@ def exact_dup_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Groups of byte-identical (whitespace-canonicalized) documents:
-    (fingerprint, n_docs, keep_id) — keep_id = min id, the survivor."""
+    (fingerprint, n_docs, keep_id) — keep_id = min id, the survivor.
+
+    NULL-text rows are dropped at the source (same rule the streaming
+    dedup applies): md5(NULL) = NULL and groupBy treats NULLs as equal,
+    so unfiltered NULL-text docs would all collapse into ONE phantom
+    dup group whose drop-list deletes every one of them but the min id."""
     from research_knowledge_graph_spark.functions.textops import fingerprint_col
 
     return (
-        docs.select(F.col(id_col).alias("doc_id"), fingerprint_col(text_col).alias("fingerprint"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), fingerprint_col(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
     )
@@ -65,7 +71,10 @@ def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, shingle_k: int = 5,
 ) -> DataFrame:
-    return docs.select(
+    # NULL text dropped (exact_dup_groups' rule): an all-NULL signature's
+    # band buckets all hash '' (concat_ws skips NULLs), so every NULL-text
+    # doc would land in one corpus-sized bucket — an O(n²) candidate clique
+    return docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         minhash_signature_col(F.col(text_col), k, shingle_k).alias("signature"),
     )
@@ -75,17 +84,44 @@ def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
     """Band the signature; docs agreeing on any full band are candidates.
-    Returns distinct (doc_a, doc_b), doc_a < doc_b."""
-    sig = signatures
-    banded = None
-    for b in range(bands):
-        band_slice = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            portable_hash64(F.concat_ws("_", *[band_slice.getItem(i) for i in range(rows_per_band)])).alias("bucket"),
+    Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Banding is ONE projection + explode (not a ``bands``-way union): the
+    union form re-scanned the source per band, recomputing the full
+    MinHash signature expression — the k·|shingles| md5 work the module
+    header says dominates at scale — ``bands`` times per doc. Bucket
+    values are unchanged (same per-band expression), so oracle parity
+    (t07) is untouched. A band whose slice runs past the signature
+    (caller passed bands·rows_per_band > k) gets a NULL bucket — NULL
+    never equi-joins, so an overshooting band drops out instead of
+    hashing '' for every doc and forming one corpus-sized O(n²) bucket."""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"lsh_candidate_pairs needs bands >= 1 and rows_per_band >= 1, "
+            f"got bands={bands} rows_per_band={rows_per_band}"
         )
-        banded = part if banded is None else banded.unionByName(part)
+
+    def _bucket(b: int) -> Column:
+        band_slice = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        full = F.size(band_slice) == rows_per_band
+        return F.when(
+            full,
+            portable_hash64(
+                F.concat_ws("_", *[band_slice.getItem(i) for i in range(rows_per_band)])
+            ),
+        )
+
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -110,6 +146,10 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → exact Jaccard verification ≥ threshold."""
+    if k % bands != 0:
+        # same guard as hamming_pairs_from_fingerprints: k=10/bands=4 would
+        # silently band only 8 of the 10 hashes (rows_per_band = k//bands)
+        raise ValueError(f"k must divide evenly into bands, got k={k} bands={bands}")
     sigs = minhash_signatures(docs, id_col, text_col, k, shingle_k)
     cands = lsh_candidate_pairs(sigs, bands, k // bands)
     return ngram_jaccard_verify(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), cands, threshold, shingle_k)

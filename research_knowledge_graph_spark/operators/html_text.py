@@ -22,11 +22,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_ARTICLE_RE = re.compile(rb"<article>(.*?)</article>", re.DOTALL)
-_P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+# IGNORECASE: real Common-Crawl markup mixes <SCRIPT>/<Article>/<P> freely;
+# a case-sensitive match would leak script bodies into extracted text on
+# upper/mixed-case pages. The synthetic byte-identity fixtures are lowercase,
+# so the pinned golden outputs are unchanged.
+_ARTICLE_RE = re.compile(rb"<article>(.*?)</article>", re.DOTALL | re.IGNORECASE)
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL | re.IGNORECASE)
 _TAG_RE = re.compile(rb"<[^>]+>")
 _BOILERPLATE_TAGS_RE = re.compile(
-    rb"<(nav|footer|header|script|style|aside)[^>]*>.*?</\1>", re.DOTALL
+    rb"<(nav|footer|header|script|style|aside)[^>]*>.*?</\1>",
+    re.DOTALL | re.IGNORECASE,
 )
 
 

@@ -49,23 +49,39 @@ def retrieve_context(
 
     The reference truncates context to bound the prompt
     (``qa_service.py:24``, F6) — replicated via substring.
-    """
+
+    Doc ids are compared as STRINGS against a sentinel query id:
+    ``knn_bruteforce``'s self-match filter does ``query_id != vec_id``, so
+    a typed (bigint) sentinel against string doc ids either crashed with
+    CAST_INVALID_INPUT under ANSI mode or NULLed every comparison with it
+    off — only bigint-id corpora worked. The string cast lives only in
+    the knn projection; ``doc_id`` keeps the caller's original type via
+    the qualified join-back (which also resolves ``id_col='vec_id'``
+    inputs that previously raised AMBIGUOUS_REFERENCE)."""
     qvec = embed_text_py(question, dim)
+    # \x1f-framed sentinel: no real corpus id contains the unit separator
     queries = spark.createDataFrame(
-        [(-1, qvec)], f"query_id bigint, query_vec array<float>"
+        [("\x1fqa-query\x1f", qvec)], "query_id string, query_vec array<float>"
     )
     hits = knn_bruteforce(
-        doc_embeddings.select(F.col(id_col).alias("vec_id"), F.col("embedding")),
+        doc_embeddings.select(
+            F.col(id_col).cast("string").alias("vec_id"), F.col("embedding")
+        ),
         queries,
         k=k,
     )
+    # explicit aliases: hits DERIVES from doc_embeddings, so the join-back
+    # is a self-join and unaliased refs are lineage-ambiguous
+    h, emb = hits.alias("h"), doc_embeddings.alias("emb")
     return (
-        hits.join(doc_embeddings, hits.vec_id == doc_embeddings[id_col])
+        h.join(emb, F.col("h.vec_id") == F.col(f"emb.{id_col}").cast("string"))
         .select(
-            "rank",
-            F.col("vec_id").alias("doc_id"),
-            "cosine",
-            F.substring(F.col(text_col), 1, max_context_chars).alias("context"),
+            F.col("h.rank").alias("rank"),
+            F.col(f"emb.{id_col}").alias("doc_id"),
+            F.col("h.cosine").alias("cosine"),
+            F.substring(F.col(f"emb.{text_col}"), 1, max_context_chars).alias(
+                "context"
+            ),
         )
         .orderBy("rank")
     )

@@ -52,8 +52,19 @@ def subgraph_tables(
     max_nodes: int = 500,
 ) -> tuple[DataFrame, DataFrame]:
     """Bounded subgraph around ``root_id``: BFS node set (distributed) then
-    the induced edges (semi-joins). Only bounded results leave the cluster."""
-    visited = bfs_subgraph(nodes, edges, root_id, max_depth).limit(max_nodes)
+    the induced edges (semi-joins). Only bounded results leave the cluster.
+
+    The ``max_nodes`` cut is ordered (depth, then node_id) — an unordered
+    ``limit`` is re-evaluated independently by the sub_nodes and sub_edges
+    plans and can pick DIFFERENT survivors per evaluation (GlobalLimit
+    after a shuffle is order-nondeterministic), leaving edges whose
+    endpoint is missing from the node set; ordering also makes "which 500
+    nodes" the nearest-first choice instead of an arbitrary one."""
+    visited = (
+        bfs_subgraph(nodes, edges, root_id, max_depth)
+        .orderBy(F.asc("depth"), F.asc("node_id"))
+        .limit(max_nodes)
+    )
     sub_nodes = nodes.join(visited, nodes.id == visited.node_id).select(
         "id", "node_type", "label", "depth"
     )
@@ -88,14 +99,24 @@ def render_subgraph_html(
             "to": r.to_node_id,
             "label": r.edge_type,
             "arrows": "to",
-            "width": 1 + 2 * float(r.confidence or 0.5),
+            # explicit None check: confidence 0.0 is a legitimate value and
+            # must not be rewritten to the 0.5 missing-value default
+            "width": 1 + 2 * (0.5 if r.confidence is None else float(r.confidence)),
         }
         for r in sub_edges.collect()
     ]
+    import html as _html
+
+    # '</' must not survive inside the <script> block: a crawled label
+    # containing '</script><script>…' would otherwise close the element
+    # early and inject markup (json.dumps does not escape '/')
+    def _script_safe(payload) -> str:
+        return json.dumps(payload).replace("</", "<\\/")
+
     html = _HTML_TEMPLATE.format(
-        title=title,
-        nodes_json=json.dumps(vis_nodes),
-        edges_json=json.dumps(vis_edges),
+        title=_html.escape(title),
+        nodes_json=_script_safe(vis_nodes),
+        edges_json=_script_safe(vis_edges),
     )
     with open(out_path, "w") as f:
         f.write(html)

@@ -66,7 +66,10 @@ def assemble_docs_from_papers(papers: DataFrame) -> DataFrame:
     return papers.withColumn(
         "doc_text",
         F.coalesce(
-            F.col("text"),
+            # falsy-text fallthrough, not just NULL: a present-but-empty
+            # text field assembles from title/abstract, matching the
+            # reference's `or` semantics and the assemble_text_py twin
+            F.when(F.length("text") > 0, F.col("text")),
             assemble_text_col(F.col("title"), F.col("abstract"), body),
         ),
     )

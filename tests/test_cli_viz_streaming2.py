@@ -81,3 +81,43 @@ def test_streaming_windowed_rollup(spark, tmp_path):
     assert set(res.columns) == {"window_start", "window_end", "lang", "n"}
     # total counted events ≤ input (late windows held back by watermark)
     assert res.agg(F.sum("n")).first()[0] <= 50
+
+
+def test_visualize_escaping_and_bounded_consistency(spark, tmp_path):
+    """Review fixes: (1) a '</script>' payload in a label must not survive
+    raw into the <script> block (markup injection); (2) title HTML-escaped;
+    (3) confidence 0.0 renders at width 1.0, not the 0.5-default 2.0;
+    (4) with max_nodes < |BFS|, every rendered edge endpoint is in the
+    rendered node set (ordered, single-evaluation truncation)."""
+    import json as _json
+    import re
+
+    from research_knowledge_graph_spark.operators.visualize import (
+        render_subgraph_html,
+        subgraph_tables,
+    )
+
+    evil = 'x</script><script>alert(1)</script>'
+    nodes = spark.createDataFrame(
+        [("r", "paper", evil)] + [(f"n{i}", "concept", f"c{i}") for i in range(6)],
+        "id string, node_type string, label string",
+    )
+    edges = spark.createDataFrame(
+        [("r", f"n{i}", "INTRODUCES", 0.0 if i == 0 else 0.9) for i in range(6)],
+        "from_node_id string, to_node_id string, edge_type string, confidence double",
+    )
+    out = render_subgraph_html(
+        nodes, edges, "r", str(tmp_path / "g.html"), title="<T&>"
+    )
+    html = open(out).read()
+    body = html.split("<script>", 1)[1]  # past the CDN tag, our data block
+    assert "</script><script>alert" not in body
+    assert "&lt;T&amp;&gt;" in html
+    widths = [float(w) for w in re.findall(r'"width": ([0-9.]+)', html)]
+    assert 1.0 in widths  # confidence 0.0 edge, NOT 2.0
+
+    sub_n, sub_e = subgraph_tables(nodes, edges, "r", max_depth=2, max_nodes=3)
+    ids = {r.id for r in sub_n.collect()}
+    assert len(ids) == 3 and "r" in ids  # depth-ordered: root first
+    for r in sub_e.collect():
+        assert r.from_node_id in ids and r.to_node_id in ids

@@ -785,3 +785,162 @@ def test_detector_agreement_consistency(spark, tmp_path):
     ).write.parquet(f"{sf2}/documents.parquet")
     r0 = entry.queries()["t51_detector_agreement"](spark, sf2).collect()[0]
     assert (r0.n_lsh, r0.n_winnow, r0.n_both, r0.agreement_ppm) == (0, 0, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# Long-tail review fixes (qa / dedup / readers / html_text)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieve_context_string_ids_and_vec_id_name(spark):
+    """String doc ids must work (the pipeline's det_id hex ids ARE strings):
+    the old bigint query sentinel crashed knn's self-match filter with
+    CAST_INVALID_INPUT under ANSI. id_col='vec_id' (the embedding surface's
+    own convention) must not raise AMBIGUOUS_REFERENCE, and doc_id keeps
+    the caller's id type."""
+    from research_knowledge_graph_spark.operators.qa import embed_docs, retrieve_context
+
+    docs = spark.createDataFrame(
+        [("docA", "neural rendering of splats"),
+         ("docB", "supply chain optimization"),
+         ("docC", "gaussian splatting speedups")],
+        "doc_id string, text string",
+    )
+    embs = embed_docs(docs)
+    got = retrieve_context(spark, embs, "gaussian splatting", k=2)
+    rows = got.collect()
+    assert len(rows) == 2 and rows[0].rank == 1
+    assert {type(r.doc_id) for r in rows} == {str}
+
+    embs2 = embs.withColumnRenamed("doc_id", "vec_id")
+    got2 = retrieve_context(spark, embs2, "gaussian splatting", k=1, id_col="vec_id")
+    assert got2.count() == 1
+
+    # bigint ids still work (the original test shape)
+    docs3 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], "doc_id long, text string"
+    )
+    got3 = retrieve_context(spark, embed_docs(docs3), "alpha beta", k=1)
+    assert got3.count() == 1 and isinstance(got3.first().doc_id, int)
+
+
+def test_exact_dup_groups_null_text_dropped(spark):
+    """NULL-text docs must not collapse into one phantom dup group
+    (md5(NULL)=NULL and groupBy treats NULLs as equal)."""
+    from research_knowledge_graph_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.createDataFrame(
+        [("a", "same"), ("b", "same"), ("c", None), ("d", None), ("e", None)],
+        "doc_id string, text string",
+    )
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keep_id == "a"
+
+
+def test_minhash_null_text_dropped_and_band_guards(spark):
+    """NULL-text docs must not form an O(n²) LSH clique; k%bands!=0 fails
+    fast; an overshooting bands×rows_per_band yields NULL buckets (which
+    never join) instead of hashing '' for every doc."""
+    import pytest
+
+    from research_knowledge_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps"), ("b", None), ("c", None), ("d", None)],
+        "doc_id string, text string",
+    )
+    pairs = minhash_near_dups(docs, threshold=0.0).collect()
+    assert pairs == []  # no NULL-NULL cliques
+
+    with pytest.raises(ValueError, match="divide"):
+        minhash_near_dups(docs, k=10, bands=4)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        lsh_candidate_pairs(minhash_signatures(docs), bands=2, rows_per_band=0)
+
+    # overshoot: 5 bands × 2 rows over an 8-hash signature — band 4's slice
+    # is short, its bucket NULL, and the two identical docs still pair via
+    # the in-range bands while nothing explodes quadratically
+    two = spark.createDataFrame(
+        [("x", "identical text body"), ("y", "identical text body"),
+         ("z", "something else entirely")],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(two)
+    got = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs, bands=5, rows_per_band=2).collect()}
+    assert ("x", "y") in got and all(p[0] != "z" and p[1] != "z" for p in got)
+
+
+def test_lsh_banding_explode_matches_union_form(spark):
+    """The one-projection explode banding must produce the exact pair set
+    of the old bands-way union (bucket expressions unchanged)."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.functions.hashing import portable_hash64
+    from research_knowledge_graph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"document body number {i % 4} with shared phrasing") for i in range(20)],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(docs).cache()
+    got = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs, 4, 2).collect()}
+
+    banded = None  # the pre-review union form, inlined as the reference
+    for b in range(4):
+        sl = F.slice(F.col("signature"), b * 2 + 1, 2)
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            portable_hash64(F.concat_ws("_", sl.getItem(0), sl.getItem(1))).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    sigs.unpersist()
+    assert got == want and len(got) > 0
+
+
+def test_assemble_docs_empty_string_falls_through(spark):
+    """Present-but-empty text must assemble from title/abstract (the
+    reference's falsy-text `or`), matching the assemble_text_py twin."""
+    from research_knowledge_graph_spark.sources.readers import assemble_docs_from_papers
+
+    papers = spark.createDataFrame(
+        [("", "T1", "A1"), (None, "T2", "A2"), ("kept", "T3", "A3")],
+        "text string, title string, abstract string",
+    )
+    got = {r.title: r.doc_text for r in assemble_docs_from_papers(papers).collect()}
+    assert got["T1"].startswith("Title: T1")
+    assert got["T2"].startswith("Title: T2")
+    assert got["T3"] == "kept"
+
+
+def test_html_text_uppercase_tags():
+    """Upper/mixed-case markup (real Common-Crawl shape): <SCRIPT> bodies
+    must not leak into extracted text and <ARTICLE>/<P> must be honored."""
+    from research_knowledge_graph_spark.operators.html_text import (
+        extract_text_from_html_py,
+    )
+
+    page = (b"<html><SCRIPT>var leak=1;</SCRIPT>"
+            b"<ARTICLE><P>Real content.</P></ARTICLE></html>")
+    out = extract_text_from_html_py(page)
+    assert out == "Real content."
+    assert "leak" not in out
