@@ -3644,6 +3644,59 @@ def t47_dup_span_coverage(spark, sf_dir):
     return dup_span_coverage(_t(spark, sf_dir, "documents"), k=13)
 
 
+def t54_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + url-level dedup
+    (operators/web.py::canonical_url_col) — the Common-Crawl front door:
+    the same logical page arrives under many spellings (scheme/host case,
+    ``www.``, default ports, tracking params, param order, fragments,
+    trailing slashes) and the ingest collapses them on the canonical
+    form. ``documents`` has no url column, so both engines first build a
+    deterministic messy url per doc from (doc_id % 4, source, doc_id//7)
+    — four spelling variants that all canonicalize to ONE url per
+    (source, doc_id//7) group — then canonicalize INDEPENDENTLY (Spark:
+    pure-Catalyst regex+array algebra; DuckDB: its own regexp/list SQL)
+    and dedup. Map-only canonicalization; the one shuffle is the
+    hash-agg on canonical_url (map-side combined). Cross-engine check
+    covers the whole rule set: host/scheme case-folding, www-strip,
+    default-port strip, fragment drop, tracking-param drop, param sort,
+    trailing-slash strip."""
+    from research_knowledge_graph_spark.operators.web import canonical_url_col
+
+    d = _t(spark, sf_dir, "documents")
+    # variant selector (doc_id//7)%4 and group key doc_id//149: BOTH vary
+    # whatever the sf dir's doc_id stride is (sf0.01 ids step by 20 — a
+    # plain doc_id%4 would pin every row to ONE spelling variant and make
+    # every //7 group a singleton, exercising neither the m=1..3 rules
+    # nor the collapse)
+    m = (F.floor(F.col("doc_id") / 7) % 4).cast("int")
+    messy = F.concat(
+        F.when(m == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(m == 2, F.lit("www.")).otherwise(F.lit("")),
+        F.when(m == 1, F.upper("source")).otherwise(F.col("source")),
+        F.when(m == 3, F.lit(".Example.COM:443")).otherwise(F.lit(".example.com")),
+        F.lit("/A/"),
+        F.floor(F.col("doc_id") / 149).cast("string"),
+        F.when(m == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(m == 0, F.lit("?utm_source=feed&b=2&a=1#top"))
+        .when(m == 1, F.lit("?a=1&b=2"))
+        .when(m == 2, F.lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(F.lit("?a=1&b=2&gclid=abc#s")),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            canonical_url_col(messy).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 def t36_sequence_packing(spark, sf_dir):
     """Training-sequence packing (operators/packing.py::pack_sequences) —
     the concat-and-chunk shard layout that turns the deduped corpus into
@@ -3910,6 +3963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
+        # t54 url canonicalize+dedup: newest entry (round 5 final session),
+        # never driver-checked — first in the window; evicts
+        # v17_user_concentration (also never driver-checked; its exact
+        # share/HHI fixed-point idiom stays window-exercised through t54's
+        # sibling arithmetic and the local uncapped gate still runs it)
+        "t54_url_canonical_dedup": t54_url_canonical_dedup,
         "t32_composition_rollup": t32_composition_rollup,
         "g35_avg_neighbor_degree": g35_avg_neighbor_degree,
         "e11_kmeans_update": e11_kmeans_update,
@@ -7626,5 +7685,55 @@ def oracle_sql() -> dict[str, str]:
                    AS len_quality_corr
         FROM s
         WHERE n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+    """
+    # t54: DuckDB re-implements the WHOLE canonicalization independently
+    # (its own regexp_extract/list_filter/list_sort SQL) over the same
+    # deterministic messy-url construction — regex texts shared verbatim
+    # with operators/web.py (lookaround-free, so Java regex == RE2).
+    sql["t54_url_canonical_dedup"] = r"""
+        WITH messy AS (
+            SELECT doc_id, n_chars,
+                (CASE WHEN (doc_id // 7) % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+                || (CASE WHEN (doc_id // 7) % 4 = 2 THEN 'www.' ELSE '' END)
+                || (CASE WHEN (doc_id // 7) % 4 = 1 THEN upper(source) ELSE source END)
+                || (CASE WHEN (doc_id // 7) % 4 = 3 THEN '.Example.COM:443' ELSE '.example.com' END)
+                || '/A/' || CAST(doc_id // 149 AS VARCHAR)
+                || (CASE WHEN (doc_id // 7) % 4 = 0 THEN '/' ELSE '' END)
+                || (CASE (doc_id // 7) % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1#top'
+                                    WHEN 1 THEN '?a=1&b=2'
+                                    WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
+                                    ELSE '?a=1&b=2&gclid=abc#s' END) AS url
+            FROM documents
+        ),
+        parsed AS (
+            SELECT doc_id, n_chars,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+                regexp_replace(
+                    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                    '/+$', '') AS path,
+                regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query
+            FROM messy
+        ),
+        norm AS (
+            SELECT doc_id, n_chars, scheme, path,
+                CASE WHEN scheme = 'http'
+                     THEN regexp_replace(regexp_replace(authority, '^www\.', ''), ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(regexp_replace(authority, '^www\.', ''), ':443$', '')
+                     ELSE regexp_replace(authority, '^www\.', '') END AS host,
+                array_to_string(list_sort(list_filter(string_split(query, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)(=|$)'))),
+                    '&') AS kept
+            FROM parsed
+        )
+        SELECT scheme || '://' || host || path
+                 || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canonical_url,
+               MIN(doc_id) AS kept_doc_id,
+               CAST(count(*) AS BIGINT) AS dup_count,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM norm
+        GROUP BY 1
     """
     return sql

@@ -68,8 +68,17 @@ def run_pipeline(
     materialize_raw: bool = False,
     checkpoint_level: str = "full",
     timings: dict | None = None,
+    dedup_urls: bool = False,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline over a pages table.
+
+    ``dedup_urls``: apply latest-crawl-wins URL-level dedup
+    (``operators/web.py::url_dedup``) to ``pages`` before stage 1 — the
+    Common-Crawl front door, where the same logical page arrives under
+    many URL spellings and recrawl timestamps. Off by default: the
+    synthetic corpus has unique URLs (the stage would be a pure extra
+    shuffle there), and a corpus already deduped upstream shouldn't pay
+    it twice. On a real CC ingest this is the first stage you turn on.
 
     ``run_fingerprint`` keys checkpoint identity: same fingerprint ⇒
     committed stages are skipped on re-run.
@@ -114,6 +123,12 @@ def run_pipeline(
     io = TableIO(spark, workdir)
     fp = f"{run_fingerprint}:{mode}:{canonicalize}"
     minimal = checkpoint_level == "minimal"
+    if dedup_urls:
+        from research_knowledge_graph_spark.operators.web import url_dedup
+
+        # one hash-agg shuffle on canonical_url (map-side combined);
+        # downstream stages see the exact pages schema they always did
+        pages = url_dedup(pages).select(*pages.columns)
     _cached: list[DataFrame] = []
     _timed = _make_timed(timings)
 

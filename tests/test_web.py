@@ -1,0 +1,162 @@
+"""URL canonicalization / url-level dedup (operators/web.py): pinned
+canonicalization vectors, latest-crawl-wins survivor semantics, the
+schemeless-NULL contract, and the domain-skew report arithmetic.
+The sf-scale cross-engine twin is entry t54 in tests/test_entry_oracle.py."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from research_knowledge_graph_spark.operators.web import (
+    canonical_url_col,
+    domain_col,
+    domain_skew_report,
+    url_dedup,
+    with_canonical_url,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, u string")
+    return [
+        r.c
+        for r in df.select("i", canonical_url_col("u").alias("c")).orderBy("i").collect()
+    ]
+
+
+def test_canonical_url_vectors(spark):
+    got = _canon(
+        spark,
+        [
+            # case + www + default port + fragment + trailing slash
+            "HTTPS://WWW.Example.COM:443/A/b//#frag",
+            # tracking params dropped, survivors sorted, empty parts dropped
+            "https://example.com/A/b?utm_source=feed&b=2&&a=1",
+            # http default port; non-default port kept
+            "http://example.com:80/x",
+            "http://example.com:8080/x",
+            # all params tracking -> no '?'
+            "https://example.com/p?utm_campaign=x&gclid=1&fbclid=2",
+            # 'ref' dropped bare and with value; 'refresh' kept (prefix != param)
+            "https://example.com/p?ref&ref=abc&refresh=1",
+            # root URL: trailing slash stripped to bare authority
+            "https://example.com/",
+            # whitespace trimmed; scheme case folded
+            "  HtTp://Example.com/y  ",
+        ],
+    )
+    assert got == [
+        "https://example.com/A/b",
+        "https://example.com/A/b?a=1&b=2",
+        "http://example.com/x",
+        "http://example.com:8080/x",
+        "https://example.com/p",
+        "https://example.com/p?refresh=1",
+        "https://example.com",
+        "http://example.com/y",
+    ]
+
+
+def test_canonical_url_schemeless_is_null(spark):
+    got = _canon(spark, ["example.com/x", "//example.com/x", "", "not a url"])
+    assert got == [None, None, None, None]
+
+
+def test_url_dedup_latest_crawl_wins(spark):
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    t1 = datetime.datetime(2026, 1, 2, 0, 0, 0)
+    rows = [
+        # three spellings of ONE canonical url across two crawl times:
+        # latest ts wins; within the tied latest ts the greater spelled url
+        ("https://www.a.com/p?b=2&a=1", t0, "old"),
+        ("https://a.com/p/?a=1&b=2&utm_source=x", t1, "new-1"),
+        ("HTTPS://A.com:443/p?a=1&b=2", t1, "new-2"),
+        # a second canonical url, single row
+        ("https://b.com/q", t0, "only"),
+        # schemeless row dropped
+        ("b.com/q", t1, "junk"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = {r.canonical_url: r for r in url_dedup(df).collect()}
+    assert set(out) == {"https://a.com/p?a=1&b=2", "https://b.com/q"}
+    a = out["https://a.com/p?a=1&b=2"]
+    assert a.n_crawls == 3
+    assert a.text == "new-1"  # t1 ties break on the spelled url: 'https://a...' > 'HTTPS...'
+    assert a.warc_ts == t1
+    b = out["https://b.com/q"]
+    assert b.n_crawls == 1 and b.text == "only"
+    # schema = input + canonical_url + n_crawls
+    assert url_dedup(df).columns == ["url", "warc_ts", "text", "canonical_url", "n_crawls"]
+
+
+def test_url_dedup_on_synthetic_pages(spark):
+    from research_knowledge_graph_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n_docs=200)
+    out = url_dedup(pages)
+    # synthetic corpus has unique urls -> dedup is the identity on rows
+    assert out.count() == pages.count()
+    assert out.agg(F.max("n_crawls")).first()[0] == 1
+    # and every canonical url is non-null with a scheme
+    assert out.where(~F.col("canonical_url").startswith("https://")).count() == 0
+
+
+def test_domain_skew_report(spark):
+    rows = (
+        [("https://big.com/p%d" % i,) for i in range(8)]
+        + [("https://www.big.com:443/q%d" % i,) for i in range(4)]  # same domain
+        + [("https://mid.com/p%d" % i,) for i in range(3)]
+        + [("https://tail.com/p",)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    rep = domain_skew_report(df, top_n=2).collect()
+    assert [(r.domain, r.n_pages) for r in rep] == [("big.com", 12), ("mid.com", 3)]
+    assert rep[0].share_ppm == 12 * 1_000_000 // 16
+    hhi = (12 * 12 + 3 * 3 + 1 * 1) * 1_000_000 // (16 * 16)
+    assert rep[0].corpus_hhi_ppm == hhi and rep[1].corpus_hhi_ppm == hhi
+    assert domain_col(F.lit("https://WWW.X.io:8443/a")) is not None
+    one = df.select(domain_col("url").alias("d")).where(F.col("d") == "big.com")
+    assert one.count() == 12
+
+
+def test_pipeline_dedup_urls_recrawl_noise_is_invisible(spark, tmp_path):
+    """E2E: with dedup_urls=True, a corpus polluted by OLDER recrawls of
+    the same pages under messy URL spellings (scheme/host case, www.,
+    tracking params, trailing slash) produces the exact same graph as the
+    clean corpus — the front-door dedup drops the noise before stage 1."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.plans.pipeline import run_pipeline
+    from research_knowledge_graph_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 60)
+    noise = pages.select(
+        F.concat(
+            F.lit("HTTPS://www."), F.expr("substring(url, 9)"), F.lit("/?utm_source=feed")
+        ).alias("url"),
+        (F.col("warc_ts") - F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.encode(F.lit("<html><body><p>spam spam spam</p></body></html>"), "utf-8").alias("html"),
+        F.lit("spam spam spam").alias("text"),
+        F.col("lang"),
+    )
+    noisy = pages.unionByName(noise)
+
+    clean = run_pipeline(spark, pages, str(tmp_path / "clean"), mode="heuristic")
+    dedup = run_pipeline(
+        spark, noisy, str(tmp_path / "dedup"), mode="heuristic", dedup_urls=True
+    )
+    def cmp(df):
+        # MAP columns can't go through set ops — render them as sorted
+        # entry arrays (deterministic) before the except-all comparison
+        return df.select(
+            *[
+                F.to_json(F.array_sort(F.map_entries(c))).alias(c)
+                if t.startswith("map<")
+                else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+
+    for a, b in ((clean.nodes, dedup.nodes), (clean.edges, dedup.edges)):
+        a, b = cmp(a), cmp(b)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
