@@ -3651,9 +3651,9 @@ def t54_url_canonical_dedup(spark, sf_dir):
     ``www.``, default ports, tracking params, param order, fragments,
     trailing slashes) and the ingest collapses them on the canonical
     form. ``documents`` has no url column, so both engines first build a
-    deterministic messy url per doc from (doc_id % 4, source, doc_id//7)
-    — four spelling variants that all canonicalize to ONE url per
-    (source, doc_id//7) group — then canonicalize INDEPENDENTLY (Spark:
+    deterministic messy url per doc from ((doc_id//7) % 4, source,
+    doc_id//149) — four spelling variants that all canonicalize to ONE
+    url per (source, doc_id//149) group — then canonicalize INDEPENDENTLY (Spark:
     pure-Catalyst regex+array algebra; DuckDB: its own regexp/list SQL)
     and dedup. Map-only canonicalization; the one shuffle is the
     hash-agg on canonical_url (map-side combined). Cross-engine check

@@ -172,3 +172,14 @@ def domain_skew_report(
         .orderBy(F.desc("n_pages"), "domain")
         .limit(top_n)
     )
+
+
+def url_fingerprint_col(col: Column | str = "url") -> Column:
+    """64-bit portable hash of the canonical URL (NULL when the URL has no
+    canonical form) — the dedup key for crawl-stream URL dedup: pass as
+    ``fingerprint=`` to ``streaming/stateful_dedup.py::dedup_stream`` to
+    suppress re-crawls of the same page first-seen-wins, whatever spelling
+    they arrive under."""
+    from research_knowledge_graph_spark.functions.hashing import portable_hash64
+
+    return portable_hash64(canonical_url_col(col))

@@ -63,7 +63,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -256,26 +256,36 @@ def dedup_stream(
     bloom_bits: int = 1 << 23,  # 1 MiB per bucket
     bloom_k: int = 5,
     ttl_minutes: float | None = None,
+    fingerprint: Column | None = None,
 ) -> DataFrame:
     """stream(url, text, …) → first-seen rows only, across all triggers.
 
     Keys state by fingerprint bucket so the shuffle is uniform (fingerprints
     are uniform hashes — no skew). ``state_mode="bloom"`` bounds per-bucket
     state at ``bloom_bits/8`` bytes forever; ``ttl_minutes`` additionally
-    expires idle buckets (see module docstring for both tradeoffs)."""
+    expires idle buckets (see module docstring for both tradeoffs).
+
+    ``fingerprint`` overrides WHAT counts as a duplicate (default: the
+    normalized-text content fingerprint). Pass a 64-bit hash of the
+    canonical URL (:func:`url_fingerprint_col`) for crawl-stream URL
+    dedup: the same page re-crawled under a messy spelling is suppressed
+    even when its content changed. Note the streaming semantic is
+    FIRST-seen-wins (state can only remember, not retract an emitted
+    row) — the batch twin ``operators/web.py::url_dedup`` is
+    latest-crawl-wins; re-deduplicate in batch when recency matters."""
     if state_mode not in ("exact", "bloom"):
         # a typo must not silently fall back to exact mode — on the
         # unbounded stream bloom was chosen for, that converts a
         # constant-memory operator into linear state growth with no error
         raise ValueError(f"state_mode must be 'exact' or 'bloom', got {state_mode!r}")
+    fp_col = fingerprint if fingerprint is not None else fingerprint_col("text")
     with_fp = (
-        stream.select(
-            "url", "text", fingerprint_col("text").alias("fingerprint")
-        )
+        stream.select("url", "text", fp_col.alias("fingerprint"))
         # a NULL text has no content identity (md5(NULL) = NULL) and a null
         # fingerprint would reach pandas as NaN and kill the query at the
         # int cast — drop such rows (they carry nothing trainable; the
-        # curation quality floor drops them in batch mode too)
+        # curation quality floor drops them in batch mode too; a NULL
+        # url_fingerprint means a schemeless/unfetchable url — same drop)
         .filter(F.col("fingerprint").isNotNull())
         .withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)))
     )
@@ -356,6 +366,7 @@ def run_streaming_dedup(
     spark, input_dir: str, output_dir: str, checkpoint_dir: str, schema,
     state_mode: str = "exact", use_rocksdb: bool = False,
     n_buckets: int = 64, ttl_minutes: float | None = None,
+    fingerprint: Column | None = None,
 ) -> None:
     if use_rocksdb:
         for k, v in rocksdb_state_conf().items():
@@ -365,7 +376,7 @@ def run_streaming_dedup(
     )
     q = (
         dedup_stream(stream, state_mode=state_mode, n_buckets=n_buckets,
-                     ttl_minutes=ttl_minutes)
+                     ttl_minutes=ttl_minutes, fingerprint=fingerprint)
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", output_dir)

@@ -160,3 +160,53 @@ def test_pipeline_dedup_urls_recrawl_noise_is_invisible(spark, tmp_path):
     for a, b in ((clean.nodes, dedup.nodes), (clean.edges, dedup.edges)):
         a, b = cmp(a), cmp(b)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_streaming_url_dedup_suppresses_recrawls(spark, tmp_path):
+    """Streaming twin of url_dedup: keyed by url_fingerprint_col, a
+    re-crawl of the same canonical URL is suppressed across drains even
+    when its CONTENT changed (content-keyed dedup would emit it) and
+    whatever messy spelling it arrives under. First-seen-wins — the
+    streaming semantic; batch url_dedup is the latest-crawl-wins twin."""
+    from research_knowledge_graph_spark.operators.web import url_fingerprint_col
+    from research_knowledge_graph_spark.sources.pages import PAGES_SCHEMA, synthesize_pages
+    from research_knowledge_graph_spark.streaming.stateful_dedup import run_streaming_dedup
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ["in", "out", "ck"])
+    base = synthesize_pages(spark, 20).select("url", "warc_ts", "html", "text", "lang")
+    base.write.mode("append").parquet(inp)
+    run_streaming_dedup(
+        spark, inp, out, ckpt, PAGES_SCHEMA, fingerprint=url_fingerprint_col("url")
+    )
+    assert spark.read.parquet(out).count() == 20
+
+    # drop 2: 10 recrawls under messy spellings with NEW content, + 5 new
+    # pages, + 2 schemeless junk rows (dropped, never emitted)
+    recrawl = (
+        synthesize_pages(spark, 10)
+        .select("url", "warc_ts", "html", "text", "lang")
+        .withColumn(
+            "url",
+            F.concat(F.lit("HTTPS://www."), F.expr("substring(url, 9)"), F.lit("/?utm_source=x")),
+        )
+        .withColumn("text", F.concat(F.lit("CHANGED "), F.col("text")))
+    )
+    fresh = (
+        synthesize_pages(spark, 25)
+        .filter(F.col("url").rlike("/(2[0-4])$"))
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+    t0 = datetime.datetime(2026, 1, 1)
+    junk = spark.createDataFrame(
+        [("no-scheme/x", t0, b"<html></html>", "junk", "en"),
+         ("", t0, b"<html></html>", "junk2", "en")],
+        PAGES_SCHEMA,
+    )
+    recrawl.unionByName(fresh).unionByName(junk).write.mode("append").parquet(inp)
+
+    run_streaming_dedup(
+        spark, inp, out, ckpt, PAGES_SCHEMA, fingerprint=url_fingerprint_col("url")
+    )
+    res = spark.read.parquet(out)
+    assert res.count() == 25  # +5 new; 10 recrawls + 2 junk suppressed
+    assert res.where(F.col("text").startswith("CHANGED")).count() == 0
