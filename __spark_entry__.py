@@ -3965,9 +3965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # t54 url canonicalize+dedup: newest entry (round 5 final session),
         # never driver-checked — first in the window; evicts
-        # v17_user_concentration (also never driver-checked; its exact
-        # share/HHI fixed-point idiom stays window-exercised through t54's
-        # sibling arithmetic and the local uncapped gate still runs it)
+        # v17_user_concentration (also never driver-checked; the local
+        # uncapped gate still runs it — see the boundary marker)
         "t54_url_canonical_dedup": t54_url_canonical_dedup,
         "t32_composition_rollup": t32_composition_rollup,
         "g35_avg_neighbor_degree": g35_avg_neighbor_degree,
@@ -4018,8 +4017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g38_pagerank_exact": g38_pagerank_exact,
         "g40_link_prediction": g40_link_prediction,
         "t33_length_quality_corr": t33_length_quality_corr,
-        "v17_user_concentration": v17_user_concentration,
         # ---- driver 50-entry window boundary ----
+        # (t54's insertion at the top pushed v17 to position 51 — outside
+        # the cap; it was never driver-checked and now relies on the local
+        # uncapped gate alone, like every entry below this line)
+        "v17_user_concentration": v17_user_concentration,
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
         # new/never-driver-green entries must sit above this line.
@@ -7708,7 +7710,11 @@ def oracle_sql() -> dict[str, str]:
         parsed AS (
             SELECT doc_id, n_chars,
                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+                -- userinfo (…@, case-SENSITIVE) preserved; only host:port folds
+                regexp_extract(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(.*@)', 1) AS userinfo,
+                lower(regexp_extract(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '([^@]*)$', 1)) AS hostport,
                 regexp_replace(
                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                     '/+$', '') AS path,
@@ -7716,19 +7722,19 @@ def oracle_sql() -> dict[str, str]:
             FROM messy
         ),
         norm AS (
-            SELECT doc_id, n_chars, scheme, path,
+            SELECT doc_id, n_chars, scheme, userinfo, path,
                 CASE WHEN scheme = 'http'
-                     THEN regexp_replace(regexp_replace(authority, '^www\.', ''), ':80$', '')
+                     THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
                      WHEN scheme = 'https'
-                     THEN regexp_replace(regexp_replace(authority, '^www\.', ''), ':443$', '')
-                     ELSE regexp_replace(authority, '^www\.', '') END AS host,
+                     THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+                     ELSE regexp_replace(hostport, '^www\.', '') END AS host,
                 array_to_string(list_sort(list_filter(string_split(query, '&'),
                     x -> x <> '' AND NOT regexp_matches(x,
                         '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid)(=|$)'))),
                     '&') AS kept
             FROM parsed
         )
-        SELECT scheme || '://' || host || path
+        SELECT scheme || '://' || userinfo || host || path
                  || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canonical_url,
                MIN(doc_id) AS kept_doc_id,
                CAST(count(*) AS BIGINT) AS dup_count,

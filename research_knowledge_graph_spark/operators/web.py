@@ -60,9 +60,14 @@ def canonical_url_col(col: Column | str) -> Column:
     """
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    authority = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
+    raw_auth = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    # userinfo (…@, up to the LAST @) is case-SENSITIVE per RFC 3986 —
+    # preserved byte-for-byte; only the host:port part case-folds, and the
+    # www-/port-strip rules apply to it (not to a host hiding behind an @)
+    userinfo = F.regexp_extract(raw_auth, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_extract(raw_auth, r"([^@]*)$", 1))
     # strip leading www. then the scheme's default port
-    host = F.regexp_replace(authority, r"^www\.", "")
+    host = F.regexp_replace(hostport, r"^www\.", "")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).when(
         scheme == "https", F.regexp_replace(host, r":443$", "")
     ).otherwise(host)
@@ -80,6 +85,7 @@ def canonical_url_col(col: Column | str) -> Column:
     canon = F.concat(
         scheme,
         F.lit("://"),
+        userinfo,
         host,
         path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
@@ -111,6 +117,15 @@ def url_dedup(
     aggregation; no window function, so no per-group sort.
     """
     cols = pages.columns
+    for reserved in ("canonical_url", "n_crawls"):
+        if reserved in cols:
+            # withColumn would silently REPLACE the caller's column and the
+            # output select would then emit a duplicate name (ambiguous for
+            # every downstream reference) — refuse instead
+            raise ValueError(
+                f"url_dedup adds a {reserved!r} column; drop or rename the "
+                f"input's existing {reserved!r} first"
+            )
     tagged = with_canonical_url(pages, url_col).filter(
         F.col("canonical_url").isNotNull()
     )
@@ -131,8 +146,9 @@ def domain_col(col: Column | str) -> Column:
     """Registrable-host column for a URL (canonical host, no port) — the
     grouping key for head-domain skew reports and per-domain quotas."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
-    authority = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
-    host = F.regexp_replace(authority, r"^www\.", "")
+    raw_auth = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    hostport = F.lower(F.regexp_extract(raw_auth, r"([^@]*)$", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
     host = F.regexp_replace(host, r":[0-9]+$", "")
     return F.when(host != "", host).otherwise(F.lit(None).cast("string"))
 
@@ -152,11 +168,16 @@ def domain_skew_report(
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+    # exact integer ppm via the repo's `div` idiom — in DECIMAL(38,0):
+    # a head domain of n pages contributes n² to the HHI numerator, and
+    # bigint n²·10⁶ overflows at n ≈ 3·10⁶ (one mid-size domain of a real
+    # crawl); double division would also drift past 2^53
+    dec = "CAST(n_pages AS DECIMAL(38,0))"
     total = per_domain.agg(
         F.sum("n_pages").alias("_total"),
-        F.floor(
-            F.sum(F.col("n_pages") * F.col("n_pages")) * F.lit(1_000_000)
-            / (F.sum("n_pages") * F.sum("n_pages"))
+        F.expr(
+            f"CAST((sum({dec} * {dec}) * 1000000) div "
+            f"(sum({dec}) * sum({dec})) AS BIGINT)"
         ).alias("_hhi_ppm"),
     )
     return (
@@ -164,9 +185,10 @@ def domain_skew_report(
         .select(
             "domain",
             "n_pages",
-            F.floor(F.col("n_pages") * F.lit(1_000_000) / F.col("_total")).alias(
-                "share_ppm"
-            ),
+            F.expr(
+                "CAST((CAST(n_pages AS DECIMAL(38,0)) * 1000000) div "
+                "CAST(_total AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_ppm"),
             F.col("_hhi_ppm").alias("corpus_hhi_ppm"),
         )
         .orderBy(F.desc("n_pages"), "domain")

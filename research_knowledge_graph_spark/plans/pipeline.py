@@ -121,7 +121,10 @@ def run_pipeline(
     ``edges``) each report their own wall time, which may overlap.
     """
     io = TableIO(spark, workdir)
-    fp = f"{run_fingerprint}:{mode}:{canonicalize}"
+    # dedup_urls is part of checkpoint identity: it changes what stage 1
+    # reads, so a re-run that toggles it must NOT reuse stages committed
+    # under the other setting (they'd silently carry the other corpus)
+    fp = f"{run_fingerprint}:{mode}:{canonicalize}" + (":urldedup" if dedup_urls else "")
     minimal = checkpoint_level == "minimal"
     if dedup_urls:
         from research_knowledge_graph_spark.operators.web import url_dedup

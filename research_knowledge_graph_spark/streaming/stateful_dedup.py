@@ -143,7 +143,9 @@ class _Bloom:
         return self.arr.tobytes()
 
 
-def _make_exact_dedup(ttl_ms: int | None):
+def _make_exact_dedup(ttl_ms: int | None, out_cols: list[str] | None = None):
+    out_cols = out_cols or ["url", "text", "fingerprint"]
+
     def _dedup_group_exact(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -177,7 +179,7 @@ def _make_exact_dedup(ttl_ms: int | None):
                 seen.update(
                     dict.fromkeys((int(f) for f in fresh["fingerprint"]), now)
                 )
-                yield fresh[["url", "text", "fingerprint"]]
+                yield fresh[out_cols]
         items = sorted(seen.items())
         state.update(([f for f, _ in items], [t for _, t in items]))
         if ttl_ms is not None:
@@ -193,8 +195,11 @@ def bloom_capacity(m_bits: int, k: int, fp_target: float = 1e-3) -> int:
     return int(-(m_bits / k) * math.log(1.0 - fp_target ** (1.0 / k)))
 
 
-def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
+def _make_bloom_dedup(
+    m_bits: int, k: int, ttl_ms: int | None, out_cols: list[str] | None = None
+):
     capacity = bloom_capacity(m_bits, k)
+    out_cols = out_cols or ["url", "text", "fingerprint"]
 
     def _dedup_group_bloom(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -227,7 +232,7 @@ def _make_bloom_dedup(m_bits: int, k: int, ttl_ms: int | None):
             if len(fresh):
                 bloom.add(fresh["fingerprint"].to_numpy().astype(np.uint64))
                 n_ins += len(fresh)
-                yield fresh[["url", "text", "fingerprint"]]
+                yield fresh[out_cols]
         if n_at_entry <= capacity < n_ins:  # log once, on first crossing
             logging.getLogger(__name__).warning(
                 "bloom dedup bucket %s exceeded its FP design capacity "
@@ -257,6 +262,7 @@ def dedup_stream(
     bloom_k: int = 5,
     ttl_minutes: float | None = None,
     fingerprint: Column | None = None,
+    keep_all: bool = False,
 ) -> DataFrame:
     """stream(url, text, …) → first-seen rows only, across all triggers.
 
@@ -272,20 +278,45 @@ def dedup_stream(
     even when its content changed. Note the streaming semantic is
     FIRST-seen-wins (state can only remember, not retract an emitted
     row) — the batch twin ``operators/web.py::url_dedup`` is
-    latest-crawl-wins; re-deduplicate in batch when recency matters."""
+    latest-crawl-wins; re-deduplicate in batch when recency matters.
+
+    ``keep_all=True`` carries EVERY input column through (output schema =
+    input schema + ``fingerprint``) instead of the classic
+    ``(url, text, fingerprint)`` projection — required when the deduped
+    stream feeds the pages-shaped pipeline (which needs ``html``/
+    ``warc_ts``/``lang``). The null-FINGERPRINT drop is the invariant in
+    every mode; what it means follows the key (content mode: NULL text
+    carries nothing trainable; url mode: a schemeless url isn't
+    fetchable — a NULL-text row with a valid url is KEPT there, its text
+    may be extracted downstream)."""
     if state_mode not in ("exact", "bloom"):
         # a typo must not silently fall back to exact mode — on the
         # unbounded stream bloom was chosen for, that converts a
         # constant-memory operator into linear state growth with no error
         raise ValueError(f"state_mode must be 'exact' or 'bloom', got {state_mode!r}")
     fp_col = fingerprint if fingerprint is not None else fingerprint_col("text")
+    if keep_all:
+        for reserved in ("fingerprint", "bucket"):
+            if reserved in stream.columns:
+                raise ValueError(
+                    f"keep_all=True adds a {reserved!r} column; rename the "
+                    f"stream's existing {reserved!r} first"
+                )
+        projected = stream.withColumn("fingerprint", fp_col)
+        out_cols = stream.columns + ["fingerprint"]
+        out_schema = T.StructType(
+            [stream.schema[c] for c in stream.columns]
+            + [T.StructField("fingerprint", T.LongType())]
+        )
+    else:
+        projected = stream.select("url", "text", fp_col.alias("fingerprint"))
+        out_cols, out_schema = ["url", "text", "fingerprint"], OUTPUT_SCHEMA
     with_fp = (
-        stream.select("url", "text", fp_col.alias("fingerprint"))
-        # a NULL text has no content identity (md5(NULL) = NULL) and a null
-        # fingerprint would reach pandas as NaN and kill the query at the
-        # int cast — drop such rows (they carry nothing trainable; the
-        # curation quality floor drops them in batch mode too; a NULL
-        # url_fingerprint means a schemeless/unfetchable url — same drop)
+        projected
+        # a NULL fingerprint has no identity (content mode: md5(NULL)=NULL,
+        # the row carries nothing trainable; url mode: schemeless url,
+        # unfetchable) and would reach pandas as NaN and kill the query at
+        # the int cast — drop such rows
         .filter(F.col("fingerprint").isNotNull())
         .withColumn("bucket", F.pmod(F.col("fingerprint"), F.lit(n_buckets)))
     )
@@ -296,14 +327,17 @@ def dedup_stream(
         timeout = GroupStateTimeout.NoTimeout
         ttl_ms = None
     if state_mode == "bloom":
-        fn, schema = _make_bloom_dedup(bloom_bits, bloom_k, ttl_ms), BLOOM_STATE_SCHEMA
+        fn, schema = (
+            _make_bloom_dedup(bloom_bits, bloom_k, ttl_ms, out_cols),
+            BLOOM_STATE_SCHEMA,
+        )
     else:
-        fn, schema = _make_exact_dedup(ttl_ms), EXACT_STATE_SCHEMA
+        fn, schema = _make_exact_dedup(ttl_ms, out_cols), EXACT_STATE_SCHEMA
     return (
         with_fp.groupBy("bucket")
         .applyInPandasWithState(
             fn,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=schema,
             outputMode="append",
             timeoutConf=timeout,
@@ -366,7 +400,7 @@ def run_streaming_dedup(
     spark, input_dir: str, output_dir: str, checkpoint_dir: str, schema,
     state_mode: str = "exact", use_rocksdb: bool = False,
     n_buckets: int = 64, ttl_minutes: float | None = None,
-    fingerprint: Column | None = None,
+    fingerprint: Column | None = None, keep_all: bool = False,
 ) -> None:
     if use_rocksdb:
         for k, v in rocksdb_state_conf().items():
@@ -376,7 +410,8 @@ def run_streaming_dedup(
     )
     q = (
         dedup_stream(stream, state_mode=state_mode, n_buckets=n_buckets,
-                     ttl_minutes=ttl_minutes, fingerprint=fingerprint)
+                     ttl_minutes=ttl_minutes, fingerprint=fingerprint,
+                     keep_all=keep_all)
         .writeStream.format("parquet")
         .outputMode("append")
         .option("path", output_dir)

@@ -43,6 +43,10 @@ def test_canonical_url_vectors(spark):
             "https://example.com/",
             # whitespace trimmed; scheme case folded
             "  HtTp://Example.com/y  ",
+            # userinfo is case-SENSITIVE (RFC 3986): preserved byte-for-byte
+            # while the host still folds; www-/port-strip work past the @
+            "https://Alice@Example.COM/p",
+            "https://user:Pw@WWW.Example.com:443/p",
         ],
     )
     assert got == [
@@ -54,6 +58,8 @@ def test_canonical_url_vectors(spark):
         "https://example.com/p?refresh=1",
         "https://example.com",
         "http://example.com/y",
+        "https://Alice@example.com/p",
+        "https://user:Pw@example.com/p",
     ]
 
 
@@ -87,6 +93,19 @@ def test_url_dedup_latest_crawl_wins(spark):
     assert b.n_crawls == 1 and b.text == "only"
     # schema = input + canonical_url + n_crawls
     assert url_dedup(df).columns == ["url", "warc_ts", "text", "canonical_url", "n_crawls"]
+
+
+def test_url_dedup_rejects_reserved_columns(spark):
+    import datetime as dt
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", dt.datetime(2026, 1, 1), "x")],
+        "url string, warc_ts timestamp, canonical_url string",
+    )
+    with pytest.raises(ValueError, match="canonical_url"):
+        url_dedup(df)
 
 
 def test_url_dedup_on_synthetic_pages(spark):
@@ -176,9 +195,14 @@ def test_streaming_url_dedup_suppresses_recrawls(spark, tmp_path):
     base = synthesize_pages(spark, 20).select("url", "warc_ts", "html", "text", "lang")
     base.write.mode("append").parquet(inp)
     run_streaming_dedup(
-        spark, inp, out, ckpt, PAGES_SCHEMA, fingerprint=url_fingerprint_col("url")
+        spark, inp, out, ckpt, PAGES_SCHEMA,
+        fingerprint=url_fingerprint_col("url"), keep_all=True,
     )
-    assert spark.read.parquet(out).count() == 20
+    first = spark.read.parquet(out)
+    assert first.count() == 20
+    # keep_all carries the FULL pages schema through (+ fingerprint) — the
+    # deduped stream must be consumable by the pages-shaped pipeline
+    assert set(first.columns) == {"url", "warc_ts", "html", "text", "lang", "fingerprint"}
 
     # drop 2: 10 recrawls under messy spellings with NEW content, + 5 new
     # pages, + 2 schemeless junk rows (dropped, never emitted)
@@ -205,8 +229,45 @@ def test_streaming_url_dedup_suppresses_recrawls(spark, tmp_path):
     recrawl.unionByName(fresh).unionByName(junk).write.mode("append").parquet(inp)
 
     run_streaming_dedup(
-        spark, inp, out, ckpt, PAGES_SCHEMA, fingerprint=url_fingerprint_col("url")
+        spark, inp, out, ckpt, PAGES_SCHEMA,
+        fingerprint=url_fingerprint_col("url"), keep_all=True,
     )
     res = spark.read.parquet(out)
     assert res.count() == 25  # +5 new; 10 recrawls + 2 junk suppressed
     assert res.where(F.col("text").startswith("CHANGED")).count() == 0
+
+    # ...and the deduped stream output actually feeds the batch pipeline
+    from research_knowledge_graph_spark.plans.pipeline import run_pipeline
+
+    graph = run_pipeline(
+        spark,
+        res.select("url", "warc_ts", "html", "text", "lang"),
+        str(tmp_path / "kg"),
+        mode="heuristic",
+    )
+    assert graph.nodes.filter(F.col("node_type") == "paper").count() == 25
+
+
+def test_dedup_urls_is_part_of_checkpoint_identity(spark, tmp_path):
+    """Toggling dedup_urls on the SAME workdir/run_fingerprint must not
+    reuse stages committed under the other setting — it changes what
+    stage 1 reads, so it is part of checkpoint identity."""
+    from research_knowledge_graph_spark.plans.pipeline import run_pipeline
+    from research_knowledge_graph_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 20)
+    noise = pages.select(
+        F.concat(F.lit("HTTPS://www."), F.expr("substring(url, 9)"), F.lit("/?gclid=1")).alias("url"),
+        (F.col("warc_ts") - F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    noisy = pages.unionByName(noise)
+    wd = str(tmp_path / "kg")
+
+    r1 = run_pipeline(spark, noisy, wd, mode="heuristic")
+    assert r1.nodes.filter(F.col("node_type") == "paper").count() == 40
+
+    # same workdir, same run_fingerprint, dedup now ON: stale committed
+    # stages (40-paper docs table) must NOT satisfy this run
+    r2 = run_pipeline(spark, noisy, wd, mode="heuristic", dedup_urls=True)
+    assert r2.nodes.filter(F.col("node_type") == "paper").count() == 20
