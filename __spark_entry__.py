@@ -3644,6 +3644,30 @@ def t47_dup_span_coverage(spark, sf_dir):
     return dup_span_coverage(_t(spark, sf_dir, "documents"), k=13)
 
 
+def _t54_messy_url():
+    """Deterministic messy-url column over ``documents`` — shared by t54
+    and t55 (ONE construction, mirrored verbatim in both oracle SQLs).
+    Variant selector (doc_id//7)%4 and group key doc_id//149: BOTH vary
+    whatever the sf dir's doc_id stride is (sf0.01 ids step by 20 — a
+    plain doc_id%4 would pin every row to ONE spelling variant and make
+    every //7 group a singleton, exercising neither the m=1..3 rules nor
+    the collapse)."""
+    m = (F.floor(F.col("doc_id") / 7) % 4).cast("int")
+    return F.concat(
+        F.when(m == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(m == 2, F.lit("www.")).otherwise(F.lit("")),
+        F.when(m == 1, F.upper("source")).otherwise(F.col("source")),
+        F.when(m == 3, F.lit(".Example.COM:443")).otherwise(F.lit(".example.com")),
+        F.lit("/A/"),
+        F.floor(F.col("doc_id") / 149).cast("string"),
+        F.when(m == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(m == 0, F.lit("?utm_source=feed&b=2&a=1#top"))
+        .when(m == 1, F.lit("?a=1&b=2"))
+        .when(m == 2, F.lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(F.lit("?a=1&b=2&gclid=abc#s")),
+    )
+
+
 def t54_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + url-level dedup
     (operators/web.py::canonical_url_col) — the Common-Crawl front door:
@@ -3663,30 +3687,11 @@ def t54_url_canonical_dedup(spark, sf_dir):
     from research_knowledge_graph_spark.operators.web import canonical_url_col
 
     d = _t(spark, sf_dir, "documents")
-    # variant selector (doc_id//7)%4 and group key doc_id//149: BOTH vary
-    # whatever the sf dir's doc_id stride is (sf0.01 ids step by 20 — a
-    # plain doc_id%4 would pin every row to ONE spelling variant and make
-    # every //7 group a singleton, exercising neither the m=1..3 rules
-    # nor the collapse)
-    m = (F.floor(F.col("doc_id") / 7) % 4).cast("int")
-    messy = F.concat(
-        F.when(m == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
-        F.when(m == 2, F.lit("www.")).otherwise(F.lit("")),
-        F.when(m == 1, F.upper("source")).otherwise(F.col("source")),
-        F.when(m == 3, F.lit(".Example.COM:443")).otherwise(F.lit(".example.com")),
-        F.lit("/A/"),
-        F.floor(F.col("doc_id") / 149).cast("string"),
-        F.when(m == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(m == 0, F.lit("?utm_source=feed&b=2&a=1#top"))
-        .when(m == 1, F.lit("?a=1&b=2"))
-        .when(m == 2, F.lit("?b=2&a=1&utm_campaign=x"))
-        .otherwise(F.lit("?a=1&b=2&gclid=abc#s")),
-    )
     return (
         d.select(
             "doc_id",
             "n_chars",
-            canonical_url_col(messy).alias("canonical_url"),
+            canonical_url_col(_t54_messy_url()).alias("canonical_url"),
         )
         .groupBy("canonical_url")
         .agg(
@@ -3695,6 +3700,24 @@ def t54_url_canonical_dedup(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+def t55_domain_skew(spark, sf_dir):
+    """Head-domain skew audit (operators/web.py::domain_skew_report) over
+    the SAME deterministic messy urls t54 builds from ``documents`` — the
+    per-domain page share + corpus Herfindahl index (both exact integer
+    ppm via DECIMAL ``div``, the repo's fixed-point ratio idiom) that
+    decides whether url-hash salting is needed before per-domain stages.
+    One domain per ``source`` value after canonicalization (case/www/port
+    spellings collapse), so the report is #sources rows; DuckDB derives
+    the domain with its own regexp/string SQL and recomputes share/HHI in
+    integer arithmetic. ``top_n=1000`` ≥ #domains at every sf, so the
+    ordered limit never truncates (no tie ambiguity in the compared
+    set)."""
+    from research_knowledge_graph_spark.operators.web import domain_skew_report
+
+    d = _t(spark, sf_dir, "documents").select(_t54_messy_url().alias("url"))
+    return domain_skew_report(d, top_n=1000)
 
 
 def t36_sequence_packing(spark, sf_dir):
@@ -3968,6 +3991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v17_user_concentration (also never driver-checked; the local
         # uncapped gate still runs it — see the boundary marker)
         "t54_url_canonical_dedup": t54_url_canonical_dedup,
+        # t55 domain skew: sibling entry on the same messy-url frame; its
+        # exact share/HHI integer-div arithmetic keeps the concentration
+        # idiom driver-exercised after v17's eviction. Evicts t33 (never
+        # driver-checked; local uncapped gate still runs it)
+        "t55_domain_skew": t55_domain_skew,
         "t32_composition_rollup": t32_composition_rollup,
         "g35_avg_neighbor_degree": g35_avg_neighbor_degree,
         "e11_kmeans_update": e11_kmeans_update,
@@ -4016,11 +4044,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "g38_pagerank_exact": g38_pagerank_exact,
         "g40_link_prediction": g40_link_prediction,
-        "t33_length_quality_corr": t33_length_quality_corr,
         # ---- driver 50-entry window boundary ----
-        # (t54's insertion at the top pushed v17 to position 51 — outside
-        # the cap; it was never driver-checked and now relies on the local
-        # uncapped gate alone, like every entry below this line)
+        # (t54+t55's insertion at the top pushed t33 and v17 to positions
+        # 51-52 — outside the cap; both were never driver-checked and now
+        # rely on the local uncapped gate alone, like every entry below
+        # this line)
+        "t33_length_quality_corr": t33_length_quality_corr,
         "v17_user_concentration": v17_user_concentration,
         # (entries below are multi-round driver-green or no_oracle; the
         # driver's correctness gate records only the first 50 keys, so
@@ -7688,12 +7717,12 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         WHERE n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
     """
-    # t54: DuckDB re-implements the WHOLE canonicalization independently
-    # (its own regexp_extract/list_filter/list_sort SQL) over the same
-    # deterministic messy-url construction — regex texts shared verbatim
-    # with operators/web.py (lookaround-free, so Java regex == RE2).
-    sql["t54_url_canonical_dedup"] = r"""
-        WITH messy AS (
+    # t54/t55: DuckDB re-implements the WHOLE canonicalization
+    # independently (its own regexp_extract/list_filter/list_sort SQL)
+    # over the same deterministic messy-url construction (_t54_messy_url
+    # twin, ONE literal shared by both entries) — regex texts shared
+    # verbatim with operators/web.py (lookaround-free, Java regex == RE2).
+    messy_cte = r"""messy AS (
             SELECT doc_id, n_chars,
                 (CASE WHEN (doc_id // 7) % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END)
                 || (CASE WHEN (doc_id // 7) % 4 = 2 THEN 'www.' ELSE '' END)
@@ -7706,7 +7735,9 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
                                     ELSE '?a=1&b=2&gclid=abc#s' END) AS url
             FROM documents
-        ),
+        )"""
+    sql["t54_url_canonical_dedup"] = r"""
+        WITH """ + messy_cte + r""",
         parsed AS (
             SELECT doc_id, n_chars,
                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -7742,4 +7773,36 @@ def oracle_sql() -> dict[str, str]:
         FROM norm
         GROUP BY 1
     """
+    # t55: domain derivation (hostport past userinfo, www-/any-port-strip)
+    # + exact integer-ppm share/HHI — DuckDB's own regexp/string SQL and
+    # hugeint `//` vs Spark's DECIMAL(38,0) `div`.
+    sql["t55_domain_skew"] = (
+        r"""
+        WITH """
+        + messy_cte
+        + r""",
+        dom AS (
+            SELECT regexp_replace(regexp_replace(
+                       lower(regexp_extract(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                           '([^@]*)$', 1)),
+                       '^www\.', ''), ':[0-9]+$', '') AS domain
+            FROM messy
+        ),
+        per AS (
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_pages
+            FROM dom WHERE domain <> '' GROUP BY domain
+        ),
+        tot AS (
+            SELECT CAST(sum(n_pages) AS BIGINT) AS total,
+                   CAST((sum(n_pages * n_pages) * 1000000)
+                        // (sum(n_pages) * sum(n_pages)) AS BIGINT) AS hhi
+            FROM per
+        )
+        SELECT domain, n_pages,
+               CAST((n_pages * 1000000) // total AS BIGINT) AS share_ppm,
+               hhi AS corpus_hhi_ppm
+        FROM per CROSS JOIN tot
+    """
+    )
     return sql
