@@ -205,3 +205,35 @@ def url_fingerprint_col(col: Column | str = "url") -> Column:
     from research_knowledge_graph_spark.functions.hashing import portable_hash64
 
     return portable_hash64(canonical_url_col(col))
+
+
+# robots-meta regex: matched against the DECODED html head. Lookaround-free
+# and anchored on the tag so Java regex and RE2 agree; attribute order is
+# handled by the two alternates (name-then-content / content-then-name).
+_NOINDEX_RE = (
+    r"(?is)<meta[^>]*?(?:"
+    r"name\s*=\s*[\"']?robots[\"']?[^>]*?content\s*=\s*[\"'][^\"'>]*?noindex"
+    r"|"
+    r"content\s*=\s*[\"'][^\"'>]*?noindex[^\"'>]*?[\"'][^>]*?name\s*=\s*[\"']?robots"
+    r")"
+)
+
+
+def noindex_col(html_col: Column | str = "html") -> Column:
+    """TRUE when the page's ``<meta name="robots">`` carries ``noindex`` —
+    the pages a crawl-derived training corpus must drop (the publisher
+    opted out of indexing). Map-only: binary html reinterpreted as a
+    string via CAST — NOT ANSI ``decode``, which THROWS on any invalid
+    UTF-8 byte and a crawl corpus always has some; the cast passes bytes
+    through unvalidated and the ASCII markup the regex matches is
+    unaffected — then one case-insensitive regex; both attribute orders
+    matched. NULL html → FALSE (nothing to opt out with)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.coalesce(c.cast("string").rlike(_NOINDEX_RE), F.lit(False))
+
+
+def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """``pages`` minus rows whose html opts out via robots ``noindex`` —
+    the polite-crawler filter applied right after the URL front door,
+    before any text extraction cost is paid."""
+    return pages.filter(~noindex_col(html_col))

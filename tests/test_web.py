@@ -271,3 +271,22 @@ def test_dedup_urls_is_part_of_checkpoint_identity(spark, tmp_path):
     # stages (40-paper docs table) must NOT satisfy this run
     r2 = run_pipeline(spark, noisy, wd, mode="heuristic", dedup_urls=True)
     assert r2.nodes.filter(F.col("node_type") == "paper").count() == 20
+
+
+def test_noindex_detection_and_drop(spark):
+    from research_knowledge_graph_spark.operators.web import drop_noindex, noindex_col
+
+    rows = [
+        (1, b'<html><head><meta name="robots" content="noindex,nofollow"></head><body>x</body></html>'),
+        (2, b'<HTML><META NAME=ROBOTS CONTENT="NOINDEX"></HTML>'),  # case + bare attrs
+        (3, b'<meta content="noindex" name="robots">'),  # reversed attr order
+        (4, b'<meta name="robots" content="index,follow"><p>fine</p>'),
+        (5, b'<meta name="viewport" content="noindex-lookalike">'),  # wrong meta name
+        (6, b'<p>plain page, no meta at all</p>'),
+        (7, b'\xff\xfe broken bytes <meta name="robots" content="noindex">'),  # still detected
+        (8, None),  # NULL html -> kept
+    ]
+    df = spark.createDataFrame(rows, "id int, html binary")
+    flags = {r.id: r.f for r in df.select("id", noindex_col("html").alias("f")).collect()}
+    assert flags == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False, 7: True, 8: False}
+    assert sorted(r.id for r in drop_noindex(df).collect()) == [4, 5, 6, 8]
