@@ -290,3 +290,48 @@ def test_noindex_detection_and_drop(spark):
     flags = {r.id: r.f for r in df.select("id", noindex_col("html").alias("f")).collect()}
     assert flags == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False, 7: True, 8: False}
     assert sorted(r.id for r in drop_noindex(df).collect()) == [4, 5, 6, 8]
+
+
+def test_canonical_url_idempotent_hypothesis(spark):
+    """Property: canonicalization is IDEMPOTENT — canon(canon(u)) ==
+    canon(u) for every url shape (a canonical form that re-canonicalizes
+    differently would make url_dedup's key unstable across re-ingests of
+    an already-deduped corpus). Random urls are assembled from scheme /
+    userinfo / host-case / www / port / path-slashes / param-set (incl.
+    tracking + empties + duplicates) / fragment parts; schemeless strings
+    must stay NULL-stable."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def urls(draw):
+        scheme = draw(st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp", ""]))
+        user = draw(st.sampled_from(["", "Alice@", "u:P%40w@", "a@b@"]))
+        host = draw(st.sampled_from(["Example.COM", "www.site.io", "WWW.X.Y", "a-b.c"]))
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        path = draw(st.sampled_from(["", "/", "/A/b", "/A/b/", "/x//", "/%7Ea"]))
+        params = draw(
+            st.lists(
+                st.sampled_from(
+                    ["a=1", "b=2", "B=2", "utm_source=x", "gclid", "ref=z", "", "a=1"]
+                ),
+                max_size=5,
+            )
+        )
+        frag = draw(st.sampled_from(["", "#f", "#/x?y=1"]))
+        q = "?" + "&".join(params) if params else ""
+        prefix = f"{scheme}://" if scheme else ""
+        return f"{prefix}{user}{host}{port}{path}{q}{frag}"
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(urls(), min_size=1, max_size=40))
+    def check(batch):
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(batch)], "i int, u string")
+        once = df.select("i", canonical_url_col("u").alias("c1"))
+        twice = once.select(
+            "i", "c1", canonical_url_col(F.col("c1")).alias("c2")
+        ).collect()
+        for r in twice:
+            assert r.c2 == r.c1, (batch[r.i], r.c1, r.c2)
+
+    check()
