@@ -44,16 +44,30 @@ from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
 
+# plan-depth cut interval for the merge-apply fold (see segment_words):
+# 100 nested F.aggregate folds sit comfortably under Catalyst's TreeNode
+# recursion limit (k=200 confirmed fine, k=1000 overflows uncut)
+_SEGMENT_CHECKPOINT_EVERY = 100
+
+
+def _exploded_words(docs: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
+    """THE tokenization (lower + split on non-letter runs, every non-empty
+    word) — one home, shared by training (:func:`word_types`) and
+    evaluation (:func:`segmentation_fertility`), so the fertility metric
+    can never drift onto a different word distribution than the merges
+    were learned on."""
+    return docs.select(
+        *extra_cols,
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word"),
+    ).filter(F.length("word") >= 1)
+
 
 def word_types(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over lower + split on non-letter runs, keeping every
     non-empty word — BPE wants the full distribution, so no length floor
     (deliberately NOT _tok3's ≥3 filter)."""
     return (
-        docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
-        )
-        .filter(F.length("word") >= 1)
+        _exploded_words(docs, text_col)
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
@@ -163,13 +177,7 @@ def segmentation_fertility(
     Returns (source, n_tokens, n_word_types, pieces_total,
     fertility_ppm) — exact bigints, floor-div ppm."""
     wt = (
-        docs.select(
-            "source",
-            F.explode(
-                F.split(F.lower(F.col(text_col)), "[^a-z]+")
-            ).alias("word"),
-        )
-        .filter(F.length("word") >= 1)
+        _exploded_words(docs, text_col, "source")
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
@@ -205,7 +213,15 @@ def segment_words(
     array<string> column — the trained tokenizer's segmentation. Merges
     are applied in rank order, each as the same pure-Catalyst fold used
     during training, so train/apply cannot diverge. The merge table is a
-    driver-side list by construction (k rows, k = num_merges)."""
+    driver-side list by construction (k rows, k = num_merges).
+
+    The plan is CUT every ``_SEGMENT_CHECKPOINT_EVERY`` merges
+    (localCheckpoint, same discipline as training's per-round cut):
+    each ``_apply_merge`` nests another ``F.aggregate`` inside the
+    previous expression, and one unbroken chain overflows Catalyst's
+    TreeNode recursion around a few hundred merges — a real BPE table is
+    8k-32k merges, so an uncut apply path cannot run at all
+    (StackOverflowError, reproduced at k=1000)."""
     state = words.select(
         F.col(word_col).alias("word"),
         F.lit(1).cast("long").alias("freq"),
@@ -213,6 +229,8 @@ def segment_words(
             F.split(F.col(word_col), "(?!^)(?=.)"), F.array(F.lit(END_OF_WORD))
         ).alias("syms"),
     )
-    for m in merges.orderBy("rank").collect():
+    for i, m in enumerate(merges.orderBy("rank").collect(), start=1):
         state = _apply_merge(state, m.left, m.right)
+        if i % _SEGMENT_CHECKPOINT_EVERY == 0:
+            state = state.localCheckpoint(eager=True)
     return state.select("word", F.col("syms").alias("pieces"))

@@ -65,10 +65,21 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         (portable_hash64(id_col) % n_shards).cast("bigint").alias("shard"),
         token_count_col(text_col).cast("bigint").alias("tok"),
+    ).filter(
+        # a NULL id has no shard (hash(NULL)=NULL) and a NULL text has no
+        # token count — left in, either would flow NULL through cum into
+        # pack_id and emit a phantom (shard, NULL) pack row that silently
+        # NULL-poisons downstream token totals. Such docs carry nothing
+        # trainable (the dedup family drops them for the same reason).
+        F.col("doc_id").isNotNull() & F.col("tok").isNotNull()
     )
     w = (
+        # tok as tie-break: doc_id alone leaves duplicate-id rows in
+        # engine order, making cum (hence the layout) partitioning-
+        # dependent — against the module's determinism contract. Equal
+        # (doc_id, tok) rows are interchangeable under the running sum.
         Window.partitionBy("shard")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "tok")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = t.withColumn("cum", F.sum("tok").over(w)).withColumn(

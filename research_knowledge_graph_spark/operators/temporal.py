@@ -317,6 +317,21 @@ def cooccurrence_graph(
         shared_entity_pairs,
     )
 
+    # fail fast on a bad truncation unit: date_trunc returns NULL (not an
+    # error, even under ANSI) for anything it doesn't recognize — e.g. the
+    # F.window-style '15 minutes' or a typo — and a NULL unit poisons
+    # EVERY block id, so the operator would silently return an empty
+    # graph, indistinguishable from "no co-occurrences"
+    _TRUNC_UNITS = {
+        "year", "yyyy", "yy", "quarter", "month", "mm", "mon", "week",
+        "day", "dd", "hour", "minute", "second", "millisecond", "microsecond",
+    }
+    if window.lower() not in _TRUNC_UNITS:
+        raise ValueError(
+            f"window must be a date_trunc unit ({sorted(_TRUNC_UNITS)}), "
+            f"got {window!r}"
+        )
+
     # F.concat, NOT concat_ws: a NULL context value must poison the block
     # id (NULL never equi-joins, so the row drops out of pairing) exactly
     # like the oracle's `||` rendering — concat_ws would silently SKIP the

@@ -135,6 +135,13 @@ def build_text_index(
     a single scan-form query pays, amortized over every query after."""
     import os
 
+    if n_buckets < 1:
+        # a negative count builds an index whose Spark-side pmod buckets
+        # (non-negative) disagree with the serving twin's python `%`
+        # (negative) — every query would silently return empty; 0 only
+        # dies later with an opaque DIVIDE_BY_ZERO
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
     # tokenize ONCE: the postings and doclen/stats writes all consume the
     # cached tokenized frame (without it the corpus pays two full
     # scan+regex passes — caught in review)

@@ -176,3 +176,24 @@ def test_segment_words_applies_in_rank_order(spark):
             syms = _py_apply(syms, left, right)
         want[w] = syms
     assert got == want
+
+
+def test_segment_words_deep_merge_table_no_stack_overflow(spark):
+    """1000 merges through segment_words — the uncut expression chain
+    overflowed Catalyst's TreeNode recursion around a few hundred nested
+    F.aggregate folds (StackOverflowError, reproduced at k=1000); the
+    periodic localCheckpoint cut must carry a real-vocabulary-sized merge
+    table. Mostly no-op merges: plan depth is what's under test, plus the
+    few real merges asserting the fold still applies correctly."""
+    from research_knowledge_graph_spark.operators.bpe import END_OF_WORD, segment_words
+
+    real = [("a", "b"), ("ab", "c"), ("abc", END_OF_WORD)]
+    noop = [(f"zz{i}", f"qq{i}") for i in range(997)]
+    merges = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(real + noop)],
+        "rank int, left string, right string",
+    )
+    words = spark.createDataFrame([("abc",), ("abd",)], "word string")
+    out = {r.word: r.pieces for r in segment_words(words, merges).collect()}
+    assert out["abc"] == ["abc" + END_OF_WORD]
+    assert out["abd"] == ["ab", "d", END_OF_WORD]

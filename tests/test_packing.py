@@ -106,3 +106,40 @@ def test_validation():
         pack_sequences(None, capacity=0)
     with pytest.raises(ValueError):
         pack_sequences(None, n_shards=0)
+
+
+def test_pack_sequences_null_rows_dropped(spark):
+    """NULL-text and NULL-id docs must not emit phantom (shard, NULL)
+    packs with NULL token totals — they carry nothing trainable and are
+    dropped (the dedup family's rule)."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("d1", "one two three"), ("d2", None), (None, "four five"), ("d3", "six")],
+        "doc_id string, text string",
+    )
+    out = pack_sequences(docs, capacity=4, n_shards=1).collect()
+    assert all(r.pack_id is not None and r.pack_tokens is not None for r in out)
+    assert sum(r.n_docs for r in out) == 2  # d1, d3 only
+    assert {d for r in out for d in (r.first_doc, r.last_doc)} <= {"d1", "d3"}
+
+
+def test_pack_sequences_duplicate_ids_deterministic(spark):
+    """Duplicate doc_ids with different token counts: the (doc_id, tok)
+    window ordering makes the layout independent of engine row order —
+    both input permutations must produce the identical pack table."""
+    from research_knowledge_graph_spark.operators.packing import pack_sequences
+
+    rows = [("d7", "a b c d e f g"), ("d7", "h i"), ("d1", "x y z")]
+    a = pack_sequences(spark.createDataFrame(rows, "doc_id string, text string"),
+                       capacity=5, n_shards=1)
+    b = pack_sequences(spark.createDataFrame(rows[::-1], "doc_id string, text string"),
+                       capacity=5, n_shards=1)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # and the tie-break is the documented tok-ascending one: d7's 2-token
+    # row lays out before its 7-token row
+    assert sum(r[3] for r in ra) == 12  # total token mass conserved

@@ -393,3 +393,23 @@ def test_cooccurrence_block_delimiter_escaped(spark):
         ).collect()
     }
     assert got == {("u1", "u3")}
+
+
+def test_cooccurrence_graph_rejects_bad_window_unit(spark):
+    """An unsupported date_trunc unit must raise, not NULL-poison every
+    block id and silently return an empty graph."""
+    import datetime
+
+    import pytest
+
+    from research_knowledge_graph_spark.operators.temporal import cooccurrence_graph
+
+    ev = spark.createDataFrame(
+        [("u1", "click", datetime.datetime(2026, 1, 1, 10))],
+        "user_id string, event_type string, ts timestamp",
+    )
+    for bad in ("15 minutes", "hourly", ""):
+        with pytest.raises(ValueError, match="date_trunc unit"):
+            cooccurrence_graph(ev, window=bad)
+    # the sibling spellings date_trunc does accept still work
+    assert cooccurrence_graph(ev, window="HOUR").count() == 0

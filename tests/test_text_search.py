@@ -86,3 +86,17 @@ def test_bm25_sql_escapes_quotes():
 
     s = bm25_sql(["o'brien", "plain"])
     assert "'o''brien'" in s and "'plain'" in s
+
+
+def test_build_text_index_rejects_bad_bucket_count(spark, tmp_path):
+    """n_buckets < 1 must fail at build time: a negative count makes the
+    Spark-side pmod buckets disagree with the serving twin's python `%`
+    (every query silently empty); 0 only died later with DIVIDE_BY_ZERO."""
+    import pytest
+
+    from research_knowledge_graph_spark.operators.text_search import build_text_index
+
+    docs = spark.createDataFrame([("d1", "hello world")], "doc_id string, text string")
+    for bad in (-64, 0):
+        with pytest.raises(ValueError, match="n_buckets"):
+            build_text_index(docs, str(tmp_path / "idx"), n_buckets=bad)
