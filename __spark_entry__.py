@@ -674,9 +674,11 @@ def e05_knn_lsh_multiprobe(spark, sf_dir):
 
 def t14_quality_floor(spark, sf_dir):
     """Per-source quality-floor filter (operators/curation.py): drop every
-    document at or below its source's 10th-percentile alpha-ratio score.
-    Exact interpolated threshold per source, broadcast back; comparisons in
-    rounded 6-decimal space for a reproducible boundary."""
+    document strictly BELOW its source's 10th-percentile alpha-ratio
+    score (threshold ties kept — a strict drop wipes constant-score
+    strata to zero). Exact interpolated threshold per source, broadcast
+    back; comparisons in rounded 6-decimal space for a reproducible
+    boundary."""
     from research_knowledge_graph_spark.operators.curation import (
         quality_floor_filter,
     )
@@ -4950,10 +4952,12 @@ def _source_curation_sql() -> str:
             SELECT source, fp, alpha, n_tokens, {case} AS lang FROM feat
         )
         SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
-               round(CAST(1.0 AS DOUBLE)
-                     - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+               round(CASE WHEN count(fp) > 0
+                     THEN CAST(1.0 AS DOUBLE)
+                          - CAST(count(DISTINCT fp) AS DOUBLE) / count(fp)
+                     ELSE 0.0 END, 6) AS dup_rate,
                round(avg(alpha), 6) AS avg_alpha,
-               sum(n_tokens) AS total_tokens,
+               coalesce(sum(n_tokens), 0) AS total_tokens,
                round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
                      / count(*), 6) AS en_share
         FROM scored GROUP BY source
@@ -5899,7 +5903,7 @@ def oracle_sql() -> dict[str, str]:
             WITH per AS (
                 SELECT source,
                        CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(len({toks})) AS BIGINT) AS n_tokens
+                       CAST(coalesce(sum(len({toks})), 0) AS BIGINT) AS n_tokens
                 FROM documents GROUP BY source
             ),
             tot AS (
@@ -6455,9 +6459,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, round(quantile_cont(score6, 0.1), 6) AS floor6
                 FROM scored GROUP BY source
             )
-            SELECT doc_id, source, score6
-            FROM scored JOIN thr USING (source)
-            WHERE score6 > floor6
+            SELECT doc_id, scored.source AS source, score6
+            FROM scored JOIN thr ON scored.source IS NOT DISTINCT FROM thr.source
+            WHERE score6 >= floor6
         """,
         "t16_bm25_search": bm25_sql(["spark", "hash", "vector"]),
         "t15_pii_redaction": """

@@ -63,19 +63,30 @@ def quality_floor_filter(
     quantile: float = 0.1,
     strata_col: str = "source",
 ) -> DataFrame:
-    """Keep rows strictly above their stratum's ``quantile`` score — the
+    """Drop rows strictly BELOW their stratum's ``quantile`` score — the
     'drop the bottom decile per source' primitive. ``score`` is any
     numeric Column over ``df``'s columns; both it and the exact
     interpolated threshold are rounded to 6 decimals before comparing
-    (reproducible boundary). Adds ``score6``."""
+    (reproducible boundary). Adds ``score6``.
+
+    Rows TIED with the threshold are KEPT (``>=``, not ``>``): a strict
+    comparison wipes a constant-score stratum to zero (its percentile
+    equals the only score — e.g. a source of all-empty docs scoring 0.0
+    vanishes entirely instead of losing its bottom decile), and ties are
+    common once scores round to 6 decimals. A NULL stratum is a stratum
+    (``eqNullSafe`` join): its rows are filtered against their own
+    threshold, not silently deleted by a null-dropping equi-join."""
     scored = df.withColumn("score6", F.round(score, 6))
     thresholds = scored.groupBy(strata_col).agg(
         F.round(F.percentile("score6", quantile), 6).alias("_floor6")
-    )
+    ).withColumnRenamed(strata_col, "_stratum")
     return (
-        scored.join(F.broadcast(thresholds), strata_col)
-        .filter(F.col("score6") > F.col("_floor6"))
-        .drop("_floor6")
+        scored.join(
+            F.broadcast(thresholds),
+            F.col(strata_col).eqNullSafe(F.col("_stratum")),
+        )
+        .filter(F.col("score6") >= F.col("_floor6"))
+        .drop("_floor6", "_stratum")
     )
 
 
@@ -113,14 +124,20 @@ def source_curation_report(
         q["n_tokens"].alias("n_tokens"),
         lang_id_col(text_col).alias("lang"),
     )
+    # dup_rate is over docs WITH a fingerprint: fingerprint(NULL text) is
+    # NULL, which count(*) includes but countDistinct excludes — the old
+    # 1 - distinct/count(*) form reported every NULL-text doc as a
+    # duplicate (and an all-NULL source as dup_rate 1.0). Same md5(NULL)
+    # phantom-duplicate class the dedup family drops NULL rows for.
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
-        F.round(
-            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 6
-        ).alias("dup_rate"),
+        F.when(
+            F.count("fp") > 0,
+            F.round(F.lit(1.0) - F.countDistinct("fp") / F.count("fp"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_rate"),
         F.round(F.avg("alpha"), 6).alias("avg_alpha"),
-        F.sum("n_tokens").alias("total_tokens"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long")).alias("total_tokens"),
         F.round(
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
             / F.count(F.lit(1)),
@@ -535,16 +552,21 @@ def length_quality_correlation(
     Scale: one map-side-combinable hash-agg to #sources rows; the filter
     and formula run on that bounded frame. No joins, no windows, no
     Python."""
-    y_expr = (
-        f"CAST(CASE WHEN length({text_col}) > 0 THEN "
-        f"length(regexp_replace({text_col}, '[^A-Za-z]', '')) * 1000L "
-        f"div length({text_col}) ELSE 0 END AS BIGINT)"
-    )
-    xy = docs.select(
+    # the caller's text column is re-aliased to a fixed internal name
+    # BEFORE the SQL expression references it: f-string-interpolating an
+    # arbitrary column name into F.expr breaks on spaces/reserved words
+    # (the bug class t53's charset_audit fix removed)
+    projected = docs.select(
         F.col(source_col).alias("source"),
         F.col(len_col).cast("long").alias("x"),
-        F.expr(y_expr).alias("y"),
+        F.col(text_col).alias("_lqc_text"),
     )
+    y_expr = (
+        "CAST(CASE WHEN length(_lqc_text) > 0 THEN "
+        "length(regexp_replace(_lqc_text, '[^A-Za-z]', '')) * 1000L "
+        "div length(_lqc_text) ELSE 0 END AS BIGINT)"
+    )
+    xy = projected.select("source", "x", F.expr(y_expr).alias("y"))
     s = xy.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

@@ -104,6 +104,11 @@ def quota_sample(
     rows survive. For pathological strata use :func:`stratified_sample`
     (rate ≈ n/|stratum|, map-only) as the escape hatch."""
     _guard_columns(df, {"pick"}, "quota_sample input")
+    # NULL ids have no hash bucket and would sort FIRST (NULLS FIRST
+    # default), deterministically winning every pick regardless of seed —
+    # while stratified_sample drops the same rows. Drop them here too so
+    # the three samplers agree on what a row without identity means.
+    df = df.filter(F.col(id_col).isNotNull())
     w = Window.partitionBy(strata_col).orderBy(
         sample_bucket_col(id_col, seed), F.col(id_col)
     )
@@ -136,6 +141,10 @@ def token_budget_sample(
     serializes on one reducer (same bound and same rate-variant escape
     hatch as :func:`quota_sample`)."""
     _guard_columns(df, {"cum_tokens"}, "token_budget_sample input")
+    # same NULL-id rule as quota_sample; additionally a NULL weight would
+    # ride FREE (F.sum skips NULL, cum_tokens unchanged) — a row whose
+    # token mass is unknown cannot be budgeted, so it is dropped too
+    df = df.filter(F.col(id_col).isNotNull() & weight_col.isNotNull())
     w = (
         Window.partitionBy(strata_col)
         .orderBy(sample_bucket_col(id_col, seed), F.col(id_col))
@@ -178,9 +187,16 @@ def mixture_rates(
     the corpus is scanned once."""
     from research_knowledge_graph_spark.functions.textops import token_count_col
 
+    # coalesce: token_count(NULL text) is NULL and F.sum skips it, so an
+    # all-NULL source published NULL n_tokens/share_ppm/expected_tokens —
+    # against the exact-bigints contract. 0 tokens is the true mass; the
+    # rate_ppm=10⁶ such a source then gets is deliberate (keeping its
+    # docs costs zero tokens; expected_tokens stays 0).
     per = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count_col(text_col)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(token_count_col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
     tot = per.agg(
         F.sum("n_tokens").cast("long").alias("total_tokens"),

@@ -39,10 +39,12 @@ def run_windowed_rollup(
     schema, ts_col: str = "warc_ts", key_col: str = "lang",
 ) -> None:
     """AvailableNow drain of a file stream into windowed counts (append
-    mode: only watermark-finalized windows are emitted)."""
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 64).parquet(input_dir)
-    )
+    mode: only watermark-finalized windows are emitted). The reader is
+    the shared ``ingest.stream_pages`` (one home for the landing-dir
+    makedirs guard + trigger sizing)."""
+    from research_knowledge_graph_spark.streaming.ingest import stream_pages
+
+    stream = stream_pages(spark, input_dir, schema=schema)
     agg = windowed_counts(stream, ts_col, key_col)
     q = (
         agg.writeStream.format("parquet")

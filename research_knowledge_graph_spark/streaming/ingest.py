@@ -15,6 +15,8 @@ pure expressions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from research_knowledge_graph_spark.operators.extraction import (
@@ -25,11 +27,23 @@ from research_knowledge_graph_spark.operators.validation import validate_triples
 from research_knowledge_graph_spark.sources.pages import PAGES_SCHEMA
 
 
-def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream of page parquet files."""
+def stream_pages(
+    spark: SparkSession,
+    input_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """File-source stream of parquet files (default: the pages schema) —
+    THE schema'd file-stream reader, parameterized so every streaming
+    entrypoint shares one copy of the landing-dir guard + trigger sizing
+    (aggregates.run_windowed_rollup consumes it with its own schema)."""
+    # a not-yet-created landing dir must mean "drain zero files", not an
+    # AnalysisException at stream start (first scheduled run typically
+    # precedes the producer's first drop)
+    os.makedirs(input_dir, exist_ok=True)
     return (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
+        spark.readStream.schema(schema or PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -109,14 +123,37 @@ def run_streaming_graph_ingest(
         set differs. Scoped markers make that a full (idempotent,
         anti-joined) reprocess instead of a silent skip; within one
         checkpoint lineage the id is stable across restarts, so the
-        double-fire replay window still no-ops. Fallback (metadata not yet
-        visible): a hash of the checkpoint path — weaker (same path
-        recreated keeps the identity) but never wrong within a lineage."""
+        double-fire replay window still no-ops. The metadata is read
+        through Hadoop's FileSystem API so ANY checkpoint URI Spark can
+        host (hdfs://, s3a://, file://, bare local path) resolves the
+        real uuid — a builtin ``open()`` only understands local paths,
+        and erroring on every remote URI would make production runs live
+        permanently on the weak fallback (where a recreated checkpoint
+        KEEPS the old identity and the first batch silently no-ops).
+        Last-resort fallback (metadata not yet visible on any reader): a
+        hash of the checkpoint path — weaker but never wrong within one
+        lineage."""
         import hashlib
         import json as _json
 
+        meta_path = os.path.join(checkpoint_dir, "metadata")
         try:
-            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(meta_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                stream = fs.open(jpath)
+                try:
+                    raw = bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    )
+                finally:
+                    stream.close()
+                return _json.loads(raw.decode("utf-8"))["id"][:12]
+        except Exception:  # py4j/FS errors → try the local read below
+            pass
+        try:
+            with open(meta_path) as f:
                 return _json.load(f)["id"][:12]
         except (OSError, ValueError, KeyError):
             return hashlib.sha256(

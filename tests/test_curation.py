@@ -370,3 +370,66 @@ def test_length_ks_drift_hand_computed(spark):
         [("Z", "abc")], "source string, text string"
     )
     assert length_ks_drift(solo).count() == 0
+
+
+def test_quality_floor_constant_stratum_survives(spark):
+    """A constant-score stratum's percentile equals its only score; the
+    threshold comparison must KEEP ties (>=) — the old strict > silently
+    wiped the whole stratum instead of dropping its bottom decile."""
+    df = spark.createDataFrame(
+        [(i, "flat", 0.5) for i in range(10)] + [(i + 10, "var", float(i)) for i in range(10)],
+        "doc_id int, source string, sc double",
+    )
+    kept = quality_floor_filter(df, F.col("sc"), 0.1, "source")
+    per = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert per["flat"] == 10  # nothing dropped from the constant stratum
+    assert per["var"] == 9
+
+
+def test_quality_floor_null_stratum_is_a_stratum(spark):
+    """NULL-source rows join their own threshold via eqNullSafe instead of
+    vanishing through a null-dropping equi-join."""
+    df = spark.createDataFrame(
+        [(1, None, 0.9), (2, None, 0.1), (3, None, 0.5), (4, "s", 0.7)],
+        "doc_id int, source string, sc double",
+    )
+    kept = quality_floor_filter(df, F.col("sc"), 0.5, "source")
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 3 in ids  # at/above the NULL stratum's median
+    assert 2 not in ids           # below it — filtered, not join-dropped
+    assert 4 in ids
+
+
+def test_source_curation_report_null_text_not_phantom_dup(spark):
+    """fingerprint(NULL)=NULL: NULL-text docs must not count as
+    duplicates (old form: dup_rate 0.5 on 50% NULLs with zero real dups;
+    all-NULL source: dup_rate 1.0 and NULL total_tokens)."""
+    from research_knowledge_graph_spark.operators.curation import source_curation_report
+
+    rows = (
+        [("a", f"unique text {i}") for i in range(4)]
+        + [("a", None)] * 4
+        + [("b", None)] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    rep = {r.source: r for r in source_curation_report(df).collect()}
+    assert rep["a"].n_docs == 8 and rep["a"].n_unique == 4
+    assert rep["a"].dup_rate == 0.0  # no real duplicates
+    assert rep["b"].dup_rate == 0.0 and rep["b"].total_tokens == 0
+
+
+def test_length_quality_corr_odd_column_names(spark):
+    """Backtick-needing column names must resolve — the y expression no
+    longer f-string-interpolates the caller's name into SQL."""
+    from research_knowledge_graph_spark.operators.curation import (
+        length_quality_correlation,
+    )
+
+    df = spark.createDataFrame(
+        [("s", len(t), t) for t in ["abc def", "aa1111", "zz zz zz", "b2b2"]],
+        ["source", "the len", "doc text"],
+    )
+    out = length_quality_correlation(
+        df, text_col="doc text", len_col="the len"
+    ).collect()
+    assert len(out) == 1 and out[0].source == "s"

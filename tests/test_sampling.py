@@ -130,3 +130,47 @@ def test_sampling_reserved_output_columns_fail_fast(spark):
     )
     with pytest.raises(ValueError, match="reserved"):
         stratified_sample(df3, {"a": 0.5}, "source", "doc_id")
+
+
+def test_samplers_agree_on_null_ids(spark):
+    """NULL doc_id rows (NULL hash bucket, NULLS FIRST) used to win every
+    quota pick and ride the token budget free — all three samplers now
+    drop rows without identity, like stratified_sample always did."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.operators.sampling import (
+        quota_sample,
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "s", 5), ("d1", "s", 5), ("d2", "s", 5), (None, "s", 5)],
+        "doc_id string, source string, n_tok int",
+    )
+    q = quota_sample(df, 2)
+    assert {r.doc_id for r in q.collect()} == {"d1", "d2"}
+    t = token_budget_sample(df, 10, F.col("n_tok"))
+    assert {r.doc_id for r in t.collect()} == {"d1", "d2"}
+    # NULL weight: unknown token mass cannot be budgeted -> dropped
+    df2 = spark.createDataFrame(
+        [("d1", "s", 5), ("d2", "s", None), ("d3", "s", 5)],
+        "doc_id string, source string, n_tok int",
+    )
+    t2 = token_budget_sample(df2, 10, F.col("n_tok"))
+    assert {r.doc_id for r in t2.collect()} == {"d1", "d3"}
+
+
+def test_mixture_rates_all_null_source_exact(spark):
+    """A source of only NULL texts publishes exact zeros, never NULLs —
+    and its keep-everything rate costs zero expected tokens."""
+    from research_knowledge_graph_spark.operators.sampling import mixture_rates
+
+    df = spark.createDataFrame(
+        [("a", "three words here"), ("a", "two words"), ("z", None), ("z", None)],
+        "source string, text string",
+    )
+    rows = {r.source: r for r in mixture_rates(df).collect()}
+    z = rows["z"]
+    assert (z.n_tokens, z.share_ppm, z.expected_tokens) == (0, 0, 0)
+    assert z.rate_ppm == 1_000_000
+    assert all(v is not None for r in rows.values() for v in r)

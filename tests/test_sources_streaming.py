@@ -131,3 +131,18 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
+
+
+def test_windowed_rollup_missing_landing_dir_drains_zero(spark, tmp_path):
+    """First scheduled rollup before the producer's first drop: the
+    landing dir doesn't exist yet — must drain zero files, not die with
+    AnalysisException at stream start (the guard its ingest siblings
+    always had, via the now-shared stream_pages reader)."""
+    from research_knowledge_graph_spark.sources.pages import PAGES_SCHEMA
+    from research_knowledge_graph_spark.streaming.aggregates import run_windowed_rollup
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ["never_written", "out", "ck"])
+    run_windowed_rollup(spark, inp, out, ckpt, PAGES_SCHEMA)
+    import os
+
+    assert os.path.isdir(inp)  # created by the guard
