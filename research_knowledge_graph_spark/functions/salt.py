@@ -28,6 +28,12 @@ def salted_repartition(df: DataFrame, by: str, n_partitions: int) -> DataFrame:
     The salt domain is 32× the partition count: hashing a salt domain equal
     to the partition count leaves empty partitions (collisions), while a
     wide domain re-hashed into n partitions is near-uniform."""
+    from research_knowledge_graph_spark.functions.guards import guard_columns
+
+    # withColumn would silently REPLACE a caller's _salt (e.g. the output
+    # of replicate_for_salted_join) and drop() would then delete it —
+    # the salt a pending (key, _salt) join condition needs would vanish
+    guard_columns(df, {"_salt"}, "salted_repartition input")
     return (
         df.withColumn("_salt", salt_col(by, n_partitions * 32))
         .repartition(n_partitions, F.col("_salt"))

@@ -82,6 +82,10 @@ def route_queries(
     slice(nprobe) → explode. One map-only pass — works for a query TABLE of
     any size (nothing is collected to the driver). Struct sort orders by
     (d, cell), so ties break deterministically on cell id."""
+    if nprobe < 1:
+        # slice(..., 1, 0) silently explodes to ZERO rows — every kNN
+        # query would return empty, indistinguishable from "no neighbors"
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     top = F.slice(
         F.array_sort(_cell_dists_col(query_vec_col, centroids)), 1, nprobe
     )
@@ -90,6 +94,59 @@ def route_queries(
         F.col(query_vec_col).alias("qv"),
         F.explode(top).alias("_dc"),
     ).select("query_id", "qv", F.col("_dc.cell").alias("cell"))
+
+
+def _exact_rerank(q_df: DataFrame, indexed: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rerank tail of both IVF paths (inline and persisted):
+    cell equi-join → self-match filter → cosine → multi-probe dedup by max
+    → per-query rank window → round. ONE home so a tie/rounding-policy fix
+    can never land on one path and miss the other."""
+    scored = (
+        q_df
+        .join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("vec")), 9).alias("_s9"),
+        )
+        # a vector can appear via multiple probed cells → dedup
+        .groupBy("query_id", "vec_id").agg(F.max("_s9").alias("_s9"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round(F.col("_s9"), 6).alias("cosine"))
+    )
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through Hadoop's FileSystem API so the index
+    path may be ANY URI Spark can host (hdfs://, s3a://, file://, bare
+    local) — builtin open() only understands local paths, and failing
+    AFTER the expensive vectors write would strand an index with no
+    centroids (the _stream_id bug class)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def knn_ivf(
@@ -121,24 +178,7 @@ def knn_ivf(
     q_df = route_queries(queries, centroids, nprobe, query_id_col, query_vec_col)
     if broadcast_queries:
         q_df = F.broadcast(q_df)
-
-    scored = (
-        q_df
-        .join(indexed, "cell")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine_col(F.col("qv"), F.col("vec")), 9).alias("_s9"),
-        )
-        # a vector can appear via multiple probed cells → dedup
-        .groupBy("query_id", "vec_id").agg(F.max("_s9").alias("_s9"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_s9"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", F.round(F.col("_s9"), 6).alias("cosine"))
-    )
+    return _exact_rerank(q_df, indexed, k)
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +206,11 @@ def build_ivf_index(
     assign_cells(embs, centroids, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(_os.path.join(path, "vectors"))
-    with open(_os.path.join(path, "centroids.json"), "w") as f:
-        _json.dump(centroids, f)
+    _fs_write_text(
+        embs.sparkSession,
+        _os.path.join(path, "centroids.json"),
+        _json.dumps(centroids),
+    )
     return centroids
 
 
@@ -187,24 +230,9 @@ def knn_ivf_indexed(
     import json as _json
     import os as _os
 
-    with open(_os.path.join(path, "centroids.json")) as f:
-        centroids = _json.load(f)
+    centroids = _json.loads(
+        _fs_read_text(spark, _os.path.join(path, "centroids.json"))
+    )
     indexed = spark.read.parquet(_os.path.join(path, "vectors"))
     q_df = route_queries(queries, centroids, nprobe, query_id_col, query_vec_col)
-
-    scored = (
-        F.broadcast(q_df)
-        .join(indexed, "cell")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id", "vec_id",
-            F.round(cosine_col(F.col("qv"), F.col("vec")), 9).alias("_s9"),
-        )
-        .groupBy("query_id", "vec_id").agg(F.max("_s9").alias("_s9"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_s9"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", F.round(F.col("_s9"), 6).alias("cosine"))
-    )
+    return _exact_rerank(F.broadcast(q_df), indexed, k)

@@ -27,11 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from research_knowledge_graph_spark.operators.dedup import (
-    lsh_candidate_pairs,
-    minhash_signatures,
-    ngram_jaccard_verify,
-)
+from research_knowledge_graph_spark.functions.guards import guard_columns
+from research_knowledge_graph_spark.operators.dedup import minhash_near_dups
 
 
 def alias_pairs(
@@ -44,13 +41,21 @@ def alias_pairs(
 ) -> DataFrame:
     """labels(key, label) → verified alias pairs (key_a, key_b).
 
-    LSH candidates within (entity_type-scoped) keys, verified by exact
-    shingle Jaccard. ``key`` must embed the entity type so types never merge.
-    """
+    Delegates to :func:`dedup.minhash_near_dups` (ONE home for the
+    signature/banding/verify pipeline and its k % bands guard) with the
+    hot-bucket cap enabled: buckets holding more than ``max_bucket_size``
+    keys are a stopword shingle pattern, not an entity cluster, and are
+    dropped before the pair join (the module-header guardrail).
+
+    Note: embedding the entity type in ``key`` makes keys DISTINCT across
+    types, but similarity runs on the label text alone — the caller must
+    still drop cross-type pairs before clustering
+    (:func:`canonicalize_fuzzy` does)."""
     docs = labels.select(F.col("key").alias("doc_id"), F.col("label").alias("text"))
-    sigs = minhash_signatures(docs, "doc_id", "text", k, shingle_k)
-    cands = lsh_candidate_pairs(sigs, bands, k // bands)
-    verified = ngram_jaccard_verify(docs, cands, threshold, shingle_k)
+    verified = minhash_near_dups(
+        docs, "doc_id", "text", k=k, bands=bands, threshold=threshold,
+        shingle_k=shingle_k, max_bucket_size=max_bucket_size,
+    )
     return verified.select(
         F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b")
     )
@@ -120,28 +125,41 @@ def canonicalize_fuzzy(
     the mention stream and is broadcast for the final join — the
     "broadcast-join alias dictionary" stage of the north rule.
     """
-    # distinct label keys, scoped by type so types never merge
+    guard_columns(mentions_valid, {"_key", "key", "canonical_label"},
+                  "canonicalize_fuzzy input")
+    # key codec: type \x1f label, with \x1f STRIPPED from the type side so
+    # the key parses unambiguously with split(limit=2) — unescaped, a
+    # label 'A\x1fB' would truncate to canonical 'A' and key('T\x1fA','B')
+    # would collide byte-for-byte with key('T','A\x1fB'), merging across
+    # types (labels are crawled text; the control char is reachable).
+    # Types are enum-ish — stripping is defensive, not lossy in practice.
+    _type = F.regexp_replace(F.col("entity_type"), "\x1f", "")
     labels = (
         mentions_valid.select("entity_type", "label")
         .distinct()
         .select(
-            F.concat_ws("\x1f", "entity_type", "label").alias("key"),
+            F.concat_ws("\x1f", _type, F.col("label")).alias("key"),
             F.col("label"),
         )
     )
     pairs = alias_pairs(labels, threshold=threshold, shingle_k=shingle_k)
+    # similarity ran on label TEXT alone — drop cross-type pairs BEFORE
+    # clustering, or a dataset label could alias a near-identical method
+    # label (and chain same-type labels transitively through it)
+    _tp = lambda c: F.split(c, "\x1f", 2).getItem(0)  # noqa: E731
+    pairs = pairs.filter(_tp(F.col("key_a")) == _tp(F.col("key_b")))
     comps = connected_components(pairs)
 
     # canonical label per component = label of the min key (keys sort by
-    # (entity_type, label), so this is the lexicographically first variant)
+    # (entity_type, label), so this is the lexicographically first variant
+    # within the type); split limit=2 keeps a label's own \x1f intact
     alias_dict = comps.select(
         "key",
-        F.split(F.col("component"), "\x1f").getItem(0).alias("canon_type"),
-        F.split(F.col("component"), "\x1f").getItem(1).alias("canonical_label"),
-    ).select("key", "canonical_label")
+        F.split(F.col("component"), "\x1f", 2).getItem(1).alias("canonical_label"),
+    )
 
     keyed = mentions_valid.withColumn(
-        "_key", F.concat_ws("\x1f", "entity_type", "label")
+        "_key", F.concat_ws("\x1f", _type, F.col("label"))
     )
     return (
         keyed.join(F.broadcast(alias_dict), keyed._key == alias_dict.key, "left")

@@ -81,7 +81,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature; docs agreeing on any full band are candidates.
     Returns distinct (doc_a, doc_b), doc_a < doc_b.
@@ -94,7 +97,15 @@ def lsh_candidate_pairs(
     (t07) is untouched. A band whose slice runs past the signature
     (caller passed bands·rows_per_band > k) gets a NULL bucket — NULL
     never equi-joins, so an overshooting band drops out instead of
-    hashing '' for every doc and forming one corpus-sized O(n²) bucket."""
+    hashing '' for every doc and forming one corpus-sized O(n²) bucket.
+
+    ``max_bucket_size`` (opt-in): drop band buckets holding more than
+    this many docs BEFORE the self-join — a bucket with 10⁶ members is a
+    stopword shingle pattern, not a duplicate cluster, and it alone
+    contributes m²/2 candidate pairs on one reducer (the standard ER
+    hot-bucket guardrail). Costs one extra hash-agg + equi-join, only
+    when enabled; the dropped mass is recall the caller explicitly
+    traded for boundedness."""
     if bands < 1 or rows_per_band < 1:
         raise ValueError(
             f"lsh_candidate_pairs needs bands >= 1 and rows_per_band >= 1, "
@@ -122,6 +133,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"max_bucket_size must be >= 2 (a pair needs a 2-bucket), "
+                f"got {max_bucket_size}"
+            )
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -143,15 +168,18 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.7,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
-    candidate pairs → exact Jaccard verification ≥ threshold."""
+    candidate pairs → exact Jaccard verification ≥ threshold.
+    ``max_bucket_size`` is the opt-in hot-bucket cap passed through to
+    :func:`lsh_candidate_pairs`."""
     if k % bands != 0:
         # same guard as hamming_pairs_from_fingerprints: k=10/bands=4 would
         # silently band only 8 of the 10 hashes (rows_per_band = k//bands)
         raise ValueError(f"k must divide evenly into bands, got k={k} bands={bands}")
     sigs = minhash_signatures(docs, id_col, text_col, k, shingle_k)
-    cands = lsh_candidate_pairs(sigs, bands, k // bands)
+    cands = lsh_candidate_pairs(sigs, bands, k // bands, max_bucket_size)
     return ngram_jaccard_verify(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), cands, threshold, shingle_k)
 
 

@@ -99,7 +99,13 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     rows (the real frame decode is the stubbed step). Shows the explode
     shape: one row per sampled frame, co-partitioned with the payload."""
     n_frames = (F.length("payload") / 1000).cast("int")  # fake: 1 frame/KB
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-    return media.filter(F.col("media_type") == "video").select(
-        "media_id", F.explode(idx).alias("frame_idx")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    # filter, not clamp: greatest(n_frames-1, 0) emitted a phantom frame 0
+    # for zero-frame videos AND for NULL payloads (Spark's greatest SKIPS
+    # nulls, so greatest(NULL, 0) = 0) — downstream decode would then read
+    # frame 0 of empty/absent media. A video with no frames yields no rows.
+    return (
+        media.filter(F.col("media_type") == "video")
+        .filter(n_frames >= 1)
+        .select("media_id", F.explode(idx).alias("frame_idx"))
     )

@@ -95,3 +95,14 @@ def test_e06_entry_matches_bruteforce(spark):
     bf = {tuple(r) for r in entry.e01_knn_bruteforce(spark, sf).collect()}
     ivf = {tuple(r) for r in entry.e06_knn_ivf_indexed(spark, sf).collect()}
     assert ivf == bf
+
+
+def test_route_queries_rejects_nonpositive_nprobe(spark):
+    import pytest
+
+    from research_knowledge_graph_spark.operators.ann_ivf import route_queries
+
+    q = spark.createDataFrame([(0, [0.1, 0.2])], "query_id long, query_vec array<float>")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="nprobe"):
+            route_queries(q, [[0.0, 0.0], [1.0, 1.0]], bad)

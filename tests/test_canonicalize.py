@@ -80,3 +80,57 @@ def test_cluster_survivors_all_dups_no_window(spark):
     assert "Window" not in plan, plan[:2000]
     assert "ResolvedHint" not in out._jdf.queryExecution().logical().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_cross_type_near_identical_labels_never_merge(spark):
+    """Similarity runs on label text alone — a dataset label must not
+    alias a near-identical method label, and same-type labels must not
+    chain transitively through another type's variant."""
+    rows = [
+        ("u1", 0, "dataset", "ImageNet"),
+        ("u2", 0, "method", "ImageNett"),   # near-dup text, OTHER type
+        ("u3", 0, "dataset", "ImageNett"),  # near-dup text, same type
+    ]
+    df = spark.createDataFrame(rows, "url string, seq int, entity_type string, label string")
+    out = {(r.entity_type, r.label): r.canonical_label
+           for r in canonicalize_fuzzy(df, threshold=0.5).collect()}
+    # same-type variants cluster; the method's near-dup label stays its own
+    assert out[("dataset", "ImageNett")] == "ImageNet"
+    assert out[("method", "ImageNett")] == "ImageNett"
+
+
+def test_label_with_separator_byte_roundtrips(spark):
+    """A crawled label containing the \\x1f key separator must come back
+    byte-identical (split limit=2), not truncated at the control char."""
+    weird = "A\x1fB tail"
+    df = spark.createDataFrame(
+        [("u1", 0, "dataset", weird), ("u2", 0, "dataset", "other thing")],
+        "url string, seq int, entity_type string, label string",
+    )
+    out = {r.label: r.canonical_label for r in canonicalize_fuzzy(df).collect()}
+    assert out[weird] == weird
+
+
+def test_canonicalize_fuzzy_guards_reserved_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("u1", 0, "dataset", "x", "boom")],
+        "url string, seq int, entity_type string, label string, key string",
+    )
+    with pytest.raises(ValueError, match="key"):
+        canonicalize_fuzzy(df)
+
+
+def test_alias_pairs_hot_bucket_cap(spark):
+    """max_bucket_size drops a stopword-pattern bucket before the pair
+    join: 30 identical labels form one 30-member bucket -> capped at 10,
+    no pairs; uncapped, the same input pairs quadratically."""
+    from research_knowledge_graph_spark.operators.canonicalize import alias_pairs
+
+    rows = [(f"t\x1flabel {i}", "the same text") for i in range(30)]
+    labels = spark.createDataFrame(rows, "key string, label string")
+    capped = alias_pairs(labels, threshold=0.1, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = alias_pairs(labels, threshold=0.1, max_bucket_size=None)
+    assert uncapped.count() == 30 * 29 // 2

@@ -378,3 +378,17 @@ def test_candidate_pairs_mixed_id_spaces_string_order(spark):
         for r in L.incremental_candidate_pairs(nodes, edges, edges).collect()
     }
     assert inc == {("0", hexid)}
+
+
+def test_salted_repartition_guards_existing_salt(spark):
+    import pytest
+
+    from research_knowledge_graph_spark.functions.salt import (
+        replicate_for_salted_join,
+        salted_repartition,
+    )
+
+    small = spark.createDataFrame([("k1", 1)], "k string, v int")
+    replicated = replicate_for_salted_join(small, 4)  # carries _salt
+    with pytest.raises(ValueError, match="_salt"):
+        salted_repartition(replicated, "k", 8)

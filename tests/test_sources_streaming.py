@@ -146,3 +146,18 @@ def test_windowed_rollup_missing_landing_dir_drains_zero(spark, tmp_path):
     import os
 
     assert os.path.isdir(inp)  # created by the guard
+
+
+def test_frame_sample_plan_zero_frame_and_null_payload(spark):
+    """A sub-1KB (zero-frame) video and a NULL-payload video must emit NO
+    frame rows — greatest(NULL, 0)=0 used to fabricate a frame 0 for
+    both (Spark's greatest skips nulls)."""
+    rows = [
+        ("v1", "video", b"x" * 5000),  # 5 frames
+        ("v2", "video", b"x" * 500),   # 0 frames
+        ("v3", "video", None),         # no payload
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media_type string, payload binary")
+    out = frame_sample_plan(df, every_n=2)
+    got = {(r.media_id, r.frame_idx) for r in out.collect()}
+    assert got == {("v1", 0), ("v1", 2), ("v1", 4)}
