@@ -91,15 +91,15 @@ def _community_stats(pairs: DataFrame, labels: DataFrame) -> DataFrame:
     can't drift: (community, n_nodes, internal_edges, degree_sum, m),
     all exact bigints, m (the global undirected edge count) attached as
     a broadcast 1-row constant column. Two label-dim joins onto the edge
-    list + hash-aggs; nothing floats."""
-    und = (
-        pairs.select(
-            F.least("node_a", "node_b").alias("u"),
-            F.greatest("node_a", "node_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    list + hash-aggs; nothing floats. Edge canonicalization and degrees
+    come from graph_queries' shared undirected-incidence trunk (the ONE
+    copy of loop/duplicate/direction semantics — a change there must
+    reach modularity/conductance too)."""
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        _undirected_incidences,
     )
+
+    und, _dr, deg_shared = _undirected_incidences(pairs)
     lab = labels.select("node_id", "community")
     m1 = und.agg(F.count(F.lit(1)).alias("m"))
     ic = (
@@ -115,11 +115,8 @@ def _community_stats(pairs: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy(F.col("cu").alias("community"))
         .agg(F.count(F.lit(1)).alias("internal_edges"))
     )
-    deg = (
-        und.select(F.col("u").alias("node_id"))
-        .unionByName(und.select(F.col("v").alias("node_id")))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    deg = deg_shared.select(
+        F.col("nid").alias("node_id"), F.col("deg").alias("degree")
     )
     dc = (
         deg.join(lab, "node_id")
@@ -350,6 +347,10 @@ def k_core(pairs: DataFrame, k: int = 3, max_iter: int = 16) -> DataFrame:
     probe rides the same job that materializes the checkpoint."""
     if k < 1:
         raise ValueError("k_core needs k >= 1")
+    if max_iter < 1:
+        # zero rounds would return a one-shot degree filter over the RAW
+        # edge set, not a core (k_truss carries the same guard)
+        raise ValueError("k_core needs max_iter >= 1")
     from research_knowledge_graph_spark.operators.graph_queries import (
         _canonical_undirected,
     )

@@ -425,11 +425,20 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
         F.sum(F.col("ds") * F.col("ds")).alias("sxx"),
         F.sum(F.col("dd") * F.col("dd")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    # products in DECIMAL(38,0): n·sxx is ~n²·d̄² and overflows bigint near
+    # 1e8 incidences (a single ~55k-degree hub does it alone — ANSI would
+    # crash on exactly the web graphs this audit targets). DuckDB's side
+    # auto-promotes bigint products to HUGEINT, so exact decimal keeps the
+    # two engines' nearest-double conversions identical (g28 stays
+    # hash-green); float-first products would not.
+    def _d(c: str) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (_d("n") * _d("sxy") - _d("sx") * _d("sy")).cast("double")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        (_d("n") * _d("sxx") - _d("sx") * _d("sx")).cast("double")
     ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (_d("n") * _d("syy") - _d("sy") * _d("sy")).cast("double")
     )
     return sums.select(
         F.col("n").alias("n_directed_edges"),

@@ -54,7 +54,14 @@ def knn_bruteforce(
 def srp_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
     """Sign-random-projection bucket id: for each pseudo-random hyperplane p,
     bit_p = [Σ_i vec[i]·h(p,i) > 0] where h(p,i) ∈ {-1,+1} comes from the
-    portable hash — fully deterministic, expressible in SQL for oracles."""
+    portable hash — fully deterministic, expressible in SQL for oracles.
+
+    A vector whose length differs from ``dim`` gets a NULL bucket and
+    drops out of the bucket equi-join entirely: ``zip_with`` pads the
+    short side with NULL, every plane's dot would be NULL, and the old
+    ``otherwise(0)`` per-bit fallback silently sent EVERY mismatched
+    vector (e.g. a dim typo, or ragged rows) to bucket 0 — collapsing
+    the 2^planes-selective join into a full cross product at scale."""
     from research_knowledge_graph_spark.functions.hashing import portable_hash64_py
 
     bucket = F.lit(0).cast("bigint")
@@ -74,7 +81,7 @@ def srp_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
-    return bucket
+    return F.when(F.size(vec) == dim, bucket)
 
 
 def _probe_buckets_col(bucket: Column, planes: int, probe_bits: int) -> Column:
@@ -643,6 +650,50 @@ def centroid_separation(
     )
 
 
+def _block_pair_d2(
+    emb: DataFrame, id_col: str, vec_col: str, block_col: str
+) -> DataFrame:
+    """THE micro fixed-point block-pair distance trunk — ONE copy shared
+    by :func:`hubness_audit` (e20) and :func:`intrinsic_dimension_twonn`
+    (e21): components fixed-pointed to micro longs, same-block pairs with
+    self excluded, exact bigint squared L2 via zip_with/aggregate.
+    Returns (a_id, label, b_id, d2). A fix to the fixed-point scale, the
+    NULL handling or the self-pair condition lands once for both audits."""
+    vm = F.transform(
+        F.col(vec_col),
+        lambda c: F.round(c.cast("double") * F.lit(1e6)).cast("long"),
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(block_col).alias("label"),
+        vm.alias("v"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("b_label"))
+            & (F.col("a_id") != F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "label",
+            F.col("b_id"),
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+
+
 def hubness_audit(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -675,34 +726,7 @@ def hubness_audit(
         # k=0 would divide by zero in the inbound/k ppm ratio (ANSI mode
         # throws deep in the plan) — fail fast like k_core/k_truss/hits
         raise ValueError(f"hubness_audit needs k >= 1, got {k}")
-    vm = F.transform(
-        F.col(vec_col),
-        lambda c: F.round(c.cast("double") * F.lit(1e6)).cast("long"),
-    )
-    base = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(block_col).alias("label"),
-        vm.alias("v"),
-    )
-    a = base.select(
-        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("va")
-    )
-    b = base.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("b_label"),
-        F.col("v").alias("vb"),
-    )
-    pairs = (
-        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") != F.col("b_id")))
-        .select(
-            "a_id",
-            "b_id",
-            F.aggregate(
-                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-        )
-    )
+    pairs = _block_pair_d2(emb, id_col, vec_col, block_col)
     w = Window.partitionBy("a_id").orderBy(
         F.col("d2").asc_nulls_last(), F.col("b_id").asc()
     )
@@ -768,39 +792,7 @@ def intrinsic_dimension_twonn(
     per-block reduce is one bounded hash-agg. Reference analog: the
     embedding-space health checks around ``repository.py``'s pgvector
     serving surface, which the reference never audits."""
-    vm = F.transform(
-        F.col(vec_col),
-        lambda c: F.round(c.cast("double") * F.lit(1e6)).cast("long"),
-    )
-    base = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(block_col).alias("label"),
-        vm.alias("v"),
-    )
-    a = base.select(
-        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("va")
-    )
-    b = base.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("b_label"),
-        F.col("v").alias("vb"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("label") == F.col("b_label"))
-            & (F.col("a_id") != F.col("b_id")),
-        )
-        .select(
-            "a_id",
-            "label",
-            F.aggregate(
-                F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            "b_id",
-        )
-    )
+    pairs = _block_pair_d2(emb, id_col, vec_col, block_col)
     # partition by (a_id, label), not a_id alone: a vector assigned to
     # several blocks (multi-probe LSH at web scale) must get an
     # independent rank-2 neighbor list PER BLOCK — a single a_id window

@@ -36,8 +36,13 @@ from research_knowledge_graph_spark.functions.sanitize import sanitize_string_co
 def validate_mentions(mentions: DataFrame) -> DataFrame:
     """mentions(url, seq, entity_type, label, description, properties)
     → same schema, normalized + deduped per (url, entity_type, lower(label))."""
+    # blank-label drop matches the reference's `not label.strip()`
+    # (validation_agent.py): python strip() removes \t\n\r\x0b\x0c too,
+    # while F.trim strips ONLY spaces — a "\t" label would survive trim,
+    # normalize to "" and emit a phantom empty-label entity
     m = mentions.filter(
-        F.col("label").isNotNull() & (F.trim(F.col("label")) != "")
+        F.col("label").isNotNull()
+        & (F.regexp_replace(F.col("label"), r"\s", "") != "")
     ).withColumn("norm_label", normalize_label_col(F.col("label")))
 
     grouped = (
@@ -45,18 +50,35 @@ def validate_mentions(mentions: DataFrame) -> DataFrame:
         .agg(
             F.min("seq").alias("seq"),
             F.min_by("norm_label", "seq").alias("label"),
-            # first NON-NULL description in arrival order: min over
-            # (seq, description) structs, null rows skipped by min — native
-            # codegen'd struct ordering, no lambda comparator.
+            # first NON-EMPTY description in arrival order: min over
+            # (seq, description) structs, null/empty rows skipped by min —
+            # native codegen'd struct ordering, no lambda comparator.
+            # Empty string is skipped like NULL: the reference's guard is
+            # falsiness ('if entity.description and not
+            # existing.description', validation_agent.py) — an "" stored
+            # first must not beat a later real description
             F.min(
-                F.when(F.col("description").isNotNull(), F.struct("seq", "description"))
+                F.when(
+                    F.col("description").isNotNull()
+                    & (F.col("description") != ""),
+                    F.struct("seq", "description"),
+                )
             ).alias("_d"),
             # properties in arrival order: maps aren't orderable, so collect
             # (seq, entries-array) structs — arrays of string structs ARE —
             # and let the native sort_array order by seq.
+            # coalesce to empty entries: one NULL properties map otherwise
+            # poisons the whole fold (map_concat(acc, NULL) = NULL) and the
+            # entity silently loses every duplicate's properties
             F.sort_array(
                 F.collect_list(
-                    F.struct(F.col("seq"), F.map_entries("properties").alias("entries"))
+                    F.struct(
+                        F.col("seq"),
+                        F.coalesce(
+                            F.map_entries("properties"),
+                            F.array().cast("array<struct<key:string,value:string>>"),
+                        ).alias("entries"),
+                    )
                 )
             ).alias("_props"),
         )

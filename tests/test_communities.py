@@ -263,3 +263,13 @@ def test_conductance_hand_computed(spark):
         [(i, "X") for i in range(1, 7)], "node_id long, community string"
     )
     assert conductance(pairs, one).count() == 0
+
+
+def test_k_core_rejects_zero_max_iter(spark):
+    import pytest
+
+    from research_knowledge_graph_spark.operators.communities import k_core
+
+    df = spark.createDataFrame([("a", "b")], "node_a string, node_b string")
+    with pytest.raises(ValueError, match="max_iter"):
+        k_core(df, k=2, max_iter=0)

@@ -292,3 +292,19 @@ def test_similarity_param_guards(spark):
         mmr_rerank(df, df, k=0)
     with pytest.raises(ValueError, match="hubness_audit"):
         hubness_audit(df, k=0)
+
+
+def test_srp_dim_mismatch_gets_null_bucket(spark):
+    """A vector whose length != dim must drop out (NULL bucket), not
+    silently land in bucket 0 and cross-join the corpus."""
+    from pyspark.sql import functions as F
+
+    from research_knowledge_graph_spark.operators.similarity import srp_bucket_col
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, [0.1, 0.2]), (3, None)],
+        "id int, v array<float>",
+    )
+    got = {r.id: r.b for r in df.select("id", srp_bucket_col(F.col("v"), 3).alias("b")).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None

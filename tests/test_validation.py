@@ -71,3 +71,59 @@ def test_validate_triples(spark):
     )
     out = validate_triples(spark.createDataFrame(rows, schema)).orderBy("obj").collect()
     assert [(r.obj, r.confidence) for r in out] == [("B", 0.9), ("C", 0.5), ("D", 1.0)]
+
+
+def test_empty_description_does_not_beat_later_real_one(spark):
+    """Reference guard is FALSY ('if entity.description and not
+    existing.description') — an empty-string description stored first
+    must not win over a later real one."""
+    rows = [
+        ("u", 0, "method", "Foo", "", None),
+        ("u", 1, "method", "Foo", "the real description", None),
+        ("u", 2, "method", "Bar", "", None),  # only-empty group -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, seq int, entity_type string, label string, "
+        "description string, properties map<string,string>",
+    )
+    out = {r.label: r.description for r in validate_mentions(df).collect()}
+    assert out["Foo"] == "the real description"
+    assert out["Bar"] is None
+
+
+def test_tab_newline_only_labels_dropped(spark):
+    """python str.strip() drops \\t/\\n-only labels (reference 'not
+    label.strip()'); F.trim would have let them through as phantom
+    empty-label entities."""
+    rows = [
+        ("u", 0, "method", "\t", None, None),
+        ("u", 1, "method", "\n\n", None, None),
+        ("u", 2, "method", " \t\r ", None, None),
+        ("u", 3, "method", "Real", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, seq int, entity_type string, label string, "
+        "description string, properties map<string,string>",
+    )
+    out = validate_mentions(df).collect()
+    assert [r.label for r in out] == ["Real"]
+
+
+def test_null_properties_row_does_not_poison_merge(spark):
+    """One duplicate with properties=NULL must not NULL the whole merged
+    map (map_concat(acc, NULL) = NULL poisoned the fold)."""
+    rows = [
+        ("u", 0, "method", "Foo", None, {"a": "1"}),
+        ("u", 1, "method", "Foo", None, None),
+        ("u", 2, "method", "Foo", None, {"b": "2"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, seq int, entity_type string, label string, "
+        "description string, properties map<string,string>",
+    )
+    out = validate_mentions(df).collect()
+    assert len(out) == 1
+    assert dict(out[0].properties) == {"a": "1", "b": "2"}
