@@ -425,6 +425,8 @@ def incremental_candidate_pairs(
     max_block_degree: int | None = 1000,
     salt_above: int | None = 256,
     max_salts: int = 16,
+    postings: DataFrame | None = None,
+    new_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs TOUCHING a posting asserted by this batch's edges:
     the batch-side postings join against ALL postings on the blocking key.
@@ -442,9 +444,18 @@ def incremental_candidate_pairs(
     (hash of paper_id); the SMALL batch side is replicated into all of the
     key's ``min(max_salts, ceil(deg/salt_above))`` slots — replication cost
     is O(batch), never O(corpus). Cold keys get one slot (zero replication,
-    identical plan to unsalted)."""
-    pe = _postings(nodes, edges)
-    pe_new = _postings(nodes, new_edges)
+    identical plan to unsalted).
+
+    ``postings`` / ``new_postings``: the corpus / batch posting frames
+    ((paper_id, entity_id) binary, distinct) when the caller already has
+    them — the incremental pipeline maintains the corpus postings as an
+    append-only table, turning the per-batch full ``edges × ent_nodes``
+    join + distinct into a narrow table scan. Omitted, both sides are
+    derived from the node/edge tables exactly as before."""
+    pe = postings if postings is not None else _postings(nodes, edges)
+    pe_new = (
+        new_postings if new_postings is not None else _postings(nodes, new_edges)
+    )
     thresholds = [t for t in (max_block_degree, salt_above) if t is not None]
     if thresholds:
         # ONE bounded hot dim (≤ |pe|/cutoff keys by pigeonhole) feeds BOTH
@@ -518,14 +529,18 @@ def cross_link_incremental(
     max_block_degree: int | None = 1000,
     salt_above: int | None = 256,
     max_salts: int = 16,
+    postings: DataFrame | None = None,
+    new_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Stage-6 delta for one ingest batch: score/orient only the pairs that
     involve a posting asserted by this batch. Ids are content hashes, so
     the delta dedups against prior batches by key downstream
     (``TableIO.append_rows``). ``salt_above`` defaults match the batch path
-    (:func:`candidate_pairs`)."""
+    (:func:`candidate_pairs`); ``postings``/``new_postings`` as in
+    :func:`incremental_candidate_pairs`."""
     pairs = incremental_candidate_pairs(
-        nodes, edges, new_edges, max_block_degree, salt_above, max_salts
+        nodes, edges, new_edges, max_block_degree, salt_above, max_salts,
+        postings=postings, new_postings=new_postings,
     )
     scored = orient_cross_edges(score_pairs_fixture(pairs))
     return scored.withColumn(

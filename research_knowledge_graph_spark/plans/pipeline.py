@@ -414,26 +414,127 @@ def run_pipeline_incremental(
         cached.append(mentions_v)
         triples_v = V.validate_triples(triples)
 
-        batch_nodes = L.build_paper_nodes(meta).unionByName(L.build_entity_nodes(mentions_v))
-        batch_edges = L.build_edges(meta, mentions_v, triples_v, resolve_titles=(mode != "fixture"))
+        # batch nodes/edges each feed two jobs (their own delta commit + the
+        # cross-link postings) — persisted so build_edges' three shuffles and
+        # the node aggregate run once, not per consumer (guide §5: reused AND
+        # expensive to recompute)
+        batch_nodes = (
+            L.build_paper_nodes(meta)
+            .unionByName(L.build_entity_nodes(mentions_v))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        batch_edges = L.build_edges(
+            meta, mentions_v, triples_v, resolve_titles=(mode != "fixture")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.extend([batch_nodes, batch_edges])
 
-        # assume_unique_key on the edges/cross-edges commits — those frames are
-        # unique by id BY CONSTRUCTION REGARDLESS of the input batch (build_edges
-        # ends in a (from,to,type) groupBy, cross edges in a DISTINCT pair set),
-        # so the intra-batch first-wins aggregate would only re-shuffle the wide
-        # payload (measured as the dominant per-batch commit cost). The NODES
-        # commit keeps the default dedup: paper nodes are one row per input ROW,
-        # and a batch may legitimately carry the same url twice (a re-crawl
-        # landing in two files drained by one micro-batch) — entity nodes are
-        # hash-aggregated, but the paper side needs the first-wins collapse.
-        nodes_all = _timed("nodes_delta", io.append_rows, batch_nodes, "nodes", ["id"], fp, compact_above)
-        edges_base = _timed("edges_delta", io.append_rows, batch_edges, "edges", ["id"], fp, compact_above, assume_unique_key=True)
+        # snapshot maintenance moved to the batch START (was: auto-compact
+        # inside append_rows): the cross-link job below overlaps the
+        # node/edge appends and reads the PRIOR snapshots lazily, and a
+        # concurrent auto-compaction's expiry sweep could delete those dirs
+        # mid-read. Compacting up front — serially, before any batch job —
+        # keeps the same bounded snapshot counts with no mid-batch sweep.
+        if compact_above is not None:
+            for t in ("nodes", "edges", "cross_edges", "postings"):
+                if io.snapshot_count(t) > compact_above:
+                    io.compact(t, fp)
+
+        # Corpus postings for the cross-link are maintained INCREMENTALLY as
+        # their own narrow append-only table ((paper_id, entity_id) binary):
+        # every new posting comes from an edge built by some batch, and every
+        # batch edge's target node is materialized by the SAME batch, so the
+        # batch delta is exactly _postings(batch_nodes, batch_edges). This
+        # replaces the per-batch full edges × ent_nodes join + distinct
+        # (O(corpus) shuffle per micro-batch) with a narrow table scan, and
+        # it breaks the cross job's dependency on the post-append tables, so
+        # all three delta commits overlap (the batch path's stage-6 shape).
+        # Older graph dirs without the table are backfilled on first touch.
+        pe_new = postings_all = postings_delta = None
+        if cross_link:
+            pe_new = L._postings(batch_nodes, batch_edges)
+            postings_delta = pe_new  # the normal per-batch append: O(batch)
+            try:
+                pe_prior = io.read("postings")
+            except FileNotFoundError:
+                try:
+                    pe_prior = L._postings(io.read("nodes"), io.read("edges"))
+                    # one-time backfill of an older graph dir: this batch's
+                    # append writes the FULL posting set (anti-join against
+                    # the empty table keeps it all); later batches are back
+                    # to O(batch) deltas
+                    postings_delta = pe_prior.unionByName(pe_new).distinct()
+                except FileNotFoundError:
+                    pe_prior = None  # first batch into an empty graph dir
+            postings_all = (
+                pe_new
+                if pe_prior is None
+                else pe_prior.unionByName(pe_new).distinct()
+            )
+
+        # assume_unique_key on the edges/cross-edges/postings commits — those
+        # frames are unique by key BY CONSTRUCTION REGARDLESS of the input
+        # batch (build_edges ends in a (from,to,type) groupBy, cross edges and
+        # postings in a DISTINCT set), so the intra-batch first-wins aggregate
+        # would only re-shuffle the wide payload (measured as the dominant
+        # per-batch commit cost). The NODES commit keeps the default dedup:
+        # paper nodes are one row per input ROW, and a batch may legitimately
+        # carry the same url twice (a re-crawl landing in two files drained by
+        # one micro-batch) — entity nodes are hash-aggregated, but the paper
+        # side needs the first-wins collapse.
+        def _commit_edges():
+            eb = _timed(
+                "edges_delta", io.append_rows, batch_edges, "edges", ["id"],
+                fp, None, assume_unique_key=True,
+            )
+            if cross_link:
+                # chained AFTER the edges append so a crash can never leave a
+                # posting in the table whose asserting edge was not committed
+                _timed(
+                    "postings_delta", io.append_rows, postings_delta, "postings",
+                    ["paper_id", "entity_id"], fp, None, assume_unique_key=True,
+                )
+            return eb
+
+        def _commit_cross():
+            # the candidate enumeration reads ONLY the prior-snapshot postings
+            # (manifest pinned at the read() above) + the cached batch frames,
+            # so it runs concurrently with the node/edge appends
+            delta = L.cross_link_incremental(
+                None, None, batch_edges, max_block_degree,
+                postings=postings_all, new_postings=pe_new,
+            )
+            return _timed(
+                "cross_delta", io.append_rows, delta, "cross_edges", ["id"],
+                fp, None, assume_unique_key=True,
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = {
+                "nodes": ex.submit(
+                    _timed, "nodes_delta", io.append_rows, batch_nodes,
+                    "nodes", ["id"], fp, None,
+                ),
+                "edges": ex.submit(_commit_edges),
+            }
+            if cross_link:
+                futs["cross"] = ex.submit(_commit_cross)
+            # gather ALL failures (same rule as the batch path: a commit
+            # error must not mask the likelier compute error in the
+            # cross-link job) and raise the first with the rest attached
+            results, errs = {}, []
+            for name, f in futs.items():
+                try:
+                    results[name] = f.result()
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    errs.append((name, exc))
+            if errs:
+                first = errs[0][1]
+                for name, exc in errs[1:]:
+                    first.add_note(f"also failed: stage {name}: {exc!r}")
+                raise first
+        nodes_all = results["nodes"]
 
         if cross_link:
-            delta = L.cross_link_incremental(
-                nodes_all, edges_base, batch_edges, max_block_degree
-            )
-            _timed("cross_delta", io.append_rows, delta, "cross_edges", ["id"], fp, compact_above, assume_unique_key=True)
             edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges", "cross_edges"], fp)
         else:
             edges_all = _timed("edges_all_union", io.commit_union, "edges_all", ["edges"], fp)

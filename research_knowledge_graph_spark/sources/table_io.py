@@ -372,6 +372,15 @@ class TableIO:
                 return self.compact(name, fingerprint)
             return self.read(name)
 
+    def snapshot_count(self, name: str) -> int:
+        """Number of member snapshots behind ``name`` (0 = not committed) —
+        lets callers schedule :meth:`compact` maintenance at a safe point
+        (e.g. batch start) instead of mid-append."""
+        t = self._load_manifest()["tables"].get(name)
+        if not t:
+            return 0
+        return len(t.get("paths") or ([t["path"]] if t.get("path") else []))
+
     def mark(self, name: str, fingerprint: str) -> None:
         """Commit a zero-data sentinel entry — e.g. a batch-complete marker
         written as the LAST step of a multi-table commit so resume logic can

@@ -273,3 +273,68 @@ def test_compact_spares_inflight_and_serializes_with_appends(spark, tmp_path):
             f.result()
     got = sorted(r.id for r in io.read("t").collect())
     assert got == [0, 1, 2, 100, 101, 102, 103], got
+
+
+def test_incremental_postings_table_matches_full_recompute(spark, tmp_path):
+    """The incrementally-maintained corpus postings table (the cross-link's
+    blocking input, appended per batch from the batch's own nodes/edges)
+    must equal a from-scratch ``_postings(nodes, edges)`` over the committed
+    graph after every batch — the invariant that lets the per-batch full
+    edges × ent_nodes join be replaced by a narrow table scan."""
+    from research_knowledge_graph_spark.operators.linking import _postings
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    pages = synthesize_pages(spark, 60)
+    inc_dir = str(tmp_path / "postings_inv")
+    io = TableIO(spark, inc_dir)
+    for i in range(3):
+        b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i)
+        run_pipeline_incremental(spark, b, inc_dir, f"b{i}")
+        table = sorted(
+            (bytes(r.paper_id), bytes(r.entity_id))
+            for r in io.read("postings").collect()
+        )
+        full = sorted(
+            (bytes(r.paper_id), bytes(r.entity_id))
+            for r in _postings(io.read("nodes"), io.read("edges")).collect()
+        )
+        assert table == full
+        assert len(table) == len(set(table))  # distinct by construction
+
+
+def test_incremental_postings_backfill_older_dir(spark, tmp_path):
+    """A graph dir created before the postings table existed (simulated by
+    deleting the table's manifest entry) is backfilled on the next batch:
+    the append writes the full posting set once, and the invariant holds."""
+    import json
+
+    from research_knowledge_graph_spark.operators.linking import _postings
+    from research_knowledge_graph_spark.sources.table_io import TableIO
+
+    pages = synthesize_pages(spark, 60)
+    inc_dir = str(tmp_path / "postings_bf")
+    b1 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    run_pipeline_incremental(spark, b1, inc_dir, "b1")
+
+    # simulate an older dir: drop the postings entries from the manifest
+    mpath = inc_dir + "/_manifest.json"
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["tables"] = {
+        k: v for k, v in manifest["tables"].items() if not k.startswith("postings")
+    }
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    run_pipeline_incremental(spark, b2, inc_dir, "b2")
+    io = TableIO(spark, inc_dir)
+    table = sorted(
+        (bytes(r.paper_id), bytes(r.entity_id))
+        for r in io.read("postings").collect()
+    )
+    full = sorted(
+        (bytes(r.paper_id), bytes(r.entity_id))
+        for r in _postings(io.read("nodes"), io.read("edges")).collect()
+    )
+    assert table == full
