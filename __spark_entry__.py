@@ -197,11 +197,51 @@ def _couse_pairs(spark, sf_dir) -> DataFrame:
         # evict superseded entries for the same (session, sf_dir): a
         # regenerated input must not leave the old content-key's persisted
         # frame pinned in the block manager for the session's lifetime
-        for stale in [x for x in _COUSE_CACHE if x[:2] == k[:2] and x != k]:
+        for stale in [x for x in _COUSE_CACHE if x[:2] == k[:2] and x[:len(k)] != k]:
             _COUSE_CACHE.pop(stale).unpersist()
-        edges = TG.derive_edges(spark, sf_dir)
-        pairs = G.shared_entity_pairs(edges, ["USES_PART"]).filter(
-            F.col("shared_count") >= 2
+        # Plan-shape optimization over the generic shared_entity_pairs call,
+        # same rows bit-for-bit (oracle g06 unchanged; numeric==generic
+        # parity pinned in tests/test_salt.py):
+        # - the USES_PART postings are exactly DISTINCT (l_orderkey,
+        #   l_partkey) — derive them straight from lineitem as LONGS instead
+        #   of first building 'oN'/'pN' strings and re-distincting the
+        #   already-unique groupBy output (the generic path scanned lineitem
+        #   4× with a redundant string-keyed exchange per wedge side);
+        # - the wedge self-join, degree attach and pair aggregate all run on
+        #   8-byte longs (≈2.5× narrower shuffle rows than two ~8-char
+        #   strings, and long hash/compare beats string compare in the
+        #   sort/agg hot loops — guide §2.3 "narrower types");
+        # - postings are persisted so the hot-degree dim and both wedge
+        #   sides read ONE computed copy (guide §2.4: the self-join
+        #   otherwise recomputes the scan+distinct per side). The persist
+        #   lives in _COUSE_CACHE under an aux key: bench.py clears the
+        #   whole dict between repeats, so every sample still pays the full
+        #   compute;
+        # - pair counting is order-invariant, so numeric a<b enumerates each
+        #   unordered pair exactly once and the string ids are rebuilt AFTER
+        #   the ≥2 filter, with least/greatest restoring the oracle's
+        #   string-order (node_a, node_b) assignment ('o10' < 'o9' even
+        #   though 10 > 9).
+        li = _t(spark, sf_dir, "lineitem")
+        pe = (
+            li.select(
+                F.col("l_orderkey").cast("long").alias("src"),
+                F.col("l_partkey").cast("long").alias("tgt"),
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _COUSE_CACHE[k + ("pe",)] = pe
+        pairs_num = G._wedge_pair_agg(
+            pe, [F.count(F.lit(1)).alias("shared_count")], salt_above=256,
+            max_salts=16,
+        ).filter(F.col("shared_count") >= 2)
+        sa = F.concat(F.lit("o"), F.col("node_a").cast("string"))
+        sb = F.concat(F.lit("o"), F.col("node_b").cast("string"))
+        pairs = pairs_num.select(
+            F.least(sa, sb).alias("node_a"),
+            F.greatest(sa, sb).alias("node_b"),
+            "shared_count",
         )
         _COUSE_CACHE[k] = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     return _COUSE_CACHE[k]

@@ -1123,7 +1123,9 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
-def two_hop_reach(pairs: DataFrame) -> DataFrame:
+def two_hop_reach(
+    pairs: DataFrame, salt_above: int | None = 256, max_salts: int = 16
+) -> DataFrame:
     """Two-hop reach histogram — the neighborhood function N(v, 2) of an
     undirected pair graph (columns ``node_a``/``node_b``, any order /
     multiplicity), rolled up by reach value: how many nodes can touch
@@ -1135,21 +1137,66 @@ def two_hop_reach(pairs: DataFrame) -> DataFrame:
     Returns (reach, n_nodes) — bounded by #distinct-reach-values rows.
     Exact integer counts end to end.
 
-    Scale: the wedge self-join fans out d² per node — same shape and
-    same degree-aware mitigation story as :func:`shared_entity_pairs`;
-    the per-node DISTINCT union is the memory hog at web scale, where the
-    standard move is the ANF/HyperLogLog form (replace the exact distinct
-    + count with per-node ``approx_count_distinct`` over the same union —
-    one pass, constant state per node; Palmer et al., KDD'02). This
-    operator keeps the exact form because the histogram is the oracle
-    contract; swap the last two aggregates for the sketch at 100×."""
+    Scale: the wedge self-join fans out d² per node, keyed on the MIDDLE
+    node — degree-aware salted by default (``salt_above``), the same
+    defense as :func:`shared_entity_pairs`: a middle node hotter than
+    ``salt_above`` has its wedge spread over
+    ``min(max_salts, ceil(deg/salt_above))`` reducer slots (left leg
+    hashed into one slot by its outer endpoint, right leg replicated into
+    every slot), so no single reducer owns a hub's d² blowup; every
+    (x, m, w) wedge still meets in exactly one slot, so the downstream
+    DISTINCT union is bit-identical (salted==unsalted parity pinned in
+    tests/test_salt.py). Cold middle nodes get one slot — the plan the
+    unsalted join would produce. The per-node DISTINCT union is the
+    remaining memory hog at web scale, where the standard move is the
+    ANF/HyperLogLog form (replace the exact distinct + count with
+    per-node ``approx_count_distinct`` over the same union — one pass,
+    constant state per node; Palmer et al., KDD'02). This operator keeps
+    the exact form because the histogram is the oracle contract; swap the
+    last two aggregates for the sketch at 100×."""
     _, dr, _ = _undirected_incidences(pairs)
-    two = (
-        dr.alias("a")
-        .join(dr.alias("b"), F.col("a.v") == F.col("b.u"))
-        .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
-        .filter(F.col("u") != F.col("w"))
-    )
+    if salt_above is not None:
+        from research_knowledge_graph_spark.functions.salt import (
+            salted_join_sides,
+        )
+
+        # middle-node degree, hot keys only (pigeonhole-bounded dim, the
+        # attach_hot_degrees shape — inlined because the two sides key the
+        # SAME degree on different columns: a's middle is v, b's is u)
+        hot = (
+            dr.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") > salt_above)
+            .select(F.col("u").alias("_hk"), "deg")
+        )
+        a_side = (
+            dr.join(hot, dr.v == hot._hk, "left")
+            .drop("_hk")
+            .withColumn("deg", F.coalesce("deg", F.lit(1)))
+        )
+        b_side = (
+            dr.join(hot, dr.u == hot._hk, "left")
+            .drop("_hk")
+            .withColumn("deg", F.coalesce("deg", F.lit(1)))
+        )
+        big, small = salted_join_sides(a_side, b_side, "u", salt_above, max_salts)
+        two = (
+            big.alias("a")
+            .join(
+                small.alias("b"),
+                (F.col("a.v") == F.col("b.u"))
+                & (F.col("a._salt") == F.col("b._salt")),
+            )
+            .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
+            .filter(F.col("u") != F.col("w"))
+        )
+    else:
+        two = (
+            dr.alias("a")
+            .join(dr.alias("b"), F.col("a.v") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
+            .filter(F.col("u") != F.col("w"))
+        )
     reach = (
         dr.select("u", F.col("v").alias("w"))
         .unionByName(two)

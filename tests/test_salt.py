@@ -392,3 +392,70 @@ def test_salted_repartition_guards_existing_salt(spark):
     replicated = replicate_for_salted_join(small, 4)  # carries _salt
     with pytest.raises(ValueError, match="_salt"):
         salted_repartition(replicated, "k", 8)
+
+
+def test_couse_pairs_numeric_rewrite_matches_generic(spark):
+    """The entry-side co-usage pair build (g06: numeric long postings,
+    persisted once, strings rebuilt after the >=2 filter with
+    least/greatest) must emit exactly the rows of the generic
+    string-keyed shared_entity_pairs path it replaced."""
+    import importlib.util
+
+    from research_knowledge_graph_spark.operators import graph_queries as G
+    from research_knowledge_graph_spark.plans import tpch_graph as TG
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_couse_test", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.node_a, r.node_b, r.shared_count)
+        for r in m._couse_pairs(spark, sf_dir).collect()
+    )
+    generic = sorted(
+        (r.node_a, r.node_b, r.shared_count)
+        for r in G.shared_entity_pairs(
+            TG.derive_edges(spark, sf_dir), ["USES_PART"]
+        )
+        .filter(F.col("shared_count") >= 2)
+        .collect()
+    )
+    assert got == generic and len(got) > 0
+    for df in m._COUSE_CACHE.values():
+        df.unpersist()
+    m._COUSE_CACHE.clear()
+
+
+def test_two_hop_reach_salted_identical_output(spark):
+    """g36's wedge join is salted on the middle node by default; the reach
+    histogram must be bit-identical to the unsalted form on a Zipf-skewed
+    graph whose head node is far hotter than salt_above."""
+    import random
+
+    from research_knowledge_graph_spark.operators.graph_queries import (
+        two_hop_reach,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # hub node n0 linked to 600 others (deg >> salt_above=16 below), plus
+    # a random sparse tail
+    for i in range(1, 601):
+        rows.append((f"n0", f"n{i}"))
+    for _ in range(800):
+        a, b = rng.randrange(1, 650), rng.randrange(1, 650)
+        rows.append((f"n{a}", f"n{b}"))
+    pairs = spark.createDataFrame(rows, "node_a string, node_b string")
+
+    salted = sorted(
+        (r.reach, r.n_nodes)
+        for r in two_hop_reach(pairs, salt_above=16, max_salts=8).collect()
+    )
+    plain = sorted(
+        (r.reach, r.n_nodes)
+        for r in two_hop_reach(pairs, salt_above=None).collect()
+    )
+    assert salted == plain and len(salted) > 0
