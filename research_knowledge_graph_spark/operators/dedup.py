@@ -331,16 +331,22 @@ def simhash_agg(
     tokens get simhash 0. Output identical to :func:`simhash_col`."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != F.lit(""))
     exploded = docs.select(F.col(id_col).alias("doc_id"), F.explode_outer(toks).alias("tok"))
-    h = portable_hash64(F.col("tok"))
-    aggs = [F.count(F.col("tok")).alias("n")] + [
+    # materialize the hash in a PROJECT below the aggregate: each of the
+    # ``bits`` per-bit sums embeds its own copy of the hash expression, and
+    # aggregate codegen does not share it — the md5 ran 16× per token
+    # (measured 3.9 s → 0.9 s at sf0.1, output identical). The hash
+    # null-propagates (md5(NULL) = NULL), so count(_h) still counts tokens
+    # and coalesce(bit, 0) reproduces the explode_outer NULL handling.
+    hashed = exploded.select("doc_id", portable_hash64(F.col("tok")).alias("_h"))
+    aggs = [F.count(F.col("_h")).alias("n")] + [
         F.sum(
-            F.when(F.col("tok").isNull(), F.lit(0)).otherwise(
-                F.shiftright(h, b).bitwiseAND(F.lit(1))
+            F.coalesce(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)), F.lit(0)
             )
         ).alias(f"ones_{b}")
         for b in range(bits)
     ]
-    g = exploded.groupBy("doc_id").agg(*aggs)
+    g = hashed.groupBy("doc_id").agg(*aggs)
     sim = None
     for b in range(bits):
         term = F.when(2 * F.col(f"ones_{b}") - F.col("n") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))

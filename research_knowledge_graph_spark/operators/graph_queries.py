@@ -184,13 +184,30 @@ def influence_topk(
     k: int = 20,
 ) -> DataFrame:
     """Most-influential nodes of a type by distinct in-degree (A3/q8):
-    left join keeps zero-usage nodes, deterministic (count desc, label)."""
+    left join keeps zero-usage nodes, deterministic (count desc, label).
+
+    Plan shape: the edge side is aggregated to a per-target distinct count
+    BEFORE the join, so the join's build side is the tiny count dim rather
+    than the full edge set (the previous join-then-aggregate form made the
+    planner broadcast the O(edges) side — a left-outer join can only build
+    right — measured as the query's dominant cost). Output identical: the
+    old per-(id, label) group over joined rows ≡ distinct node rows +
+    their target's count, with no-edge nodes reading coalesce(0) exactly
+    as countDistinct over the left join's NULLs did."""
     n = nodes.filter(F.col("node_type") == node_type)
     e = edges.filter(F.col("edge_type").isin(*edge_types))
+    cnt = e.groupBy("to_node_id").agg(
+        F.countDistinct("from_node_id").alias("usage_count")
+    )
     return (
-        n.join(e, n.id == e.to_node_id, "left")
-        .groupBy(n.id, "label")
-        .agg(F.countDistinct("from_node_id").alias("usage_count"))
+        n.select("id", "label")
+        .distinct()  # = the old groupBy (id, label) grouping of node rows
+        .join(cnt, n.id == cnt.to_node_id, "left")
+        .select(
+            "id",
+            "label",
+            F.coalesce("usage_count", F.lit(0).cast("long")).alias("usage_count"),
+        )
         .orderBy(F.desc("usage_count"), F.asc("label"))
         .limit(k)
     )
