@@ -265,10 +265,18 @@ def recursive_chain(
     (start_id, node_id, depth) for every reached node incl. depth 0.
 
     Iterative joins with localCheckpoint per level — the standard Spark
-    recursion pattern (Spark SQL has no recursive CTE).
+    recursion pattern (Spark SQL has no recursive CTE). The filtered edge
+    projection is localCheckpoint-ed ONCE up front: it is joined at every
+    level, and an unmaterialized frame would re-derive the whole edge
+    input (for a window-derived edge set, a shuffle + sort) per level
+    (guide §2.4 — the pagerank family already does this).
     """
-    e = edges.filter(F.col("edge_type") == edge_type).select(
-        F.col("from_node_id").alias("child"), F.col("to_node_id").alias("parent")
+    e = (
+        edges.filter(F.col("edge_type") == edge_type)
+        .select(
+            F.col("from_node_id").alias("child"), F.col("to_node_id").alias("parent")
+        )
+        .localCheckpoint(eager=True)
     )
     frontier = start.select(
         F.col("node_id").alias("start_id"),
@@ -301,11 +309,17 @@ def bfs_subgraph(
 ) -> DataFrame:
     """Bidirectional BFS to depth k (G1, ``graph_visualizer.py:238-311``):
     returns (node_id, depth) with the minimal depth per visited node."""
-    und = edges.select(
-        F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
-    ).unionByName(
-        edges.select(F.col("to_node_id").alias("u"), F.col("from_node_id").alias("v"))
-    ).distinct()
+    und = (
+        edges.select(F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v"))
+        .unionByName(
+            edges.select(
+                F.col("to_node_id").alias("u"), F.col("from_node_id").alias("v")
+            )
+        )
+        .distinct()
+        # joined at every BFS level — materialize once (recursive_chain rule)
+        .localCheckpoint(eager=True)
+    )
 
     visited = nodes.sparkSession.createDataFrame(
         [(root_id, 0)], "node_id string, depth int"
@@ -661,10 +675,13 @@ def shortest_paths(
     e = edges
     if edge_types is not None:
         e = e.filter(F.col("edge_type").isin(edge_types))
-    # reach TO the landmark: u→v means dist(u) ≤ dist(v)+1
-    rev = e.select(
-        F.col("to_node_id").alias("u"), F.col("from_node_id").alias("v")
-    ).distinct()
+    # reach TO the landmark: u→v means dist(u) ≤ dist(v)+1; joined at every
+    # level — materialize once (recursive_chain rule)
+    rev = (
+        e.select(F.col("to_node_id").alias("u"), F.col("from_node_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     visited = spark.createDataFrame(
         [(l, l, 0) for l in landmarks], "landmark string, node_id string, dist int"
@@ -926,9 +943,12 @@ def _bounded_bfs_visited(
     e = edges
     if edge_types is not None:
         e = e.filter(F.col("edge_type").isin(edge_types))
-    fwd = e.select(
-        F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v")
-    ).distinct()
+    fwd = (
+        e.select(F.col("from_node_id").alias("u"), F.col("to_node_id").alias("v"))
+        .distinct()
+        # joined at every level — materialize once (recursive_chain rule)
+        .localCheckpoint(eager=True)
+    )
     if sources is None:
         # only nodes WITH out-edges can reach anything within the horizon
         sources = fwd.select(F.col("u").alias("node_id")).distinct()
