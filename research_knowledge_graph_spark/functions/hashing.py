@@ -49,8 +49,14 @@ def id_to_bin(col: Column | str) -> Column:
     BINARY order equals the source string order, so ``<`` / ``least`` /
     ``greatest`` pair canonicalization is unchanged by the narrowing."""
     c = F.col(col) if isinstance(col, str) else col
+    # \A/\z anchors, not ^/$: Java regex '$' also matches just before a
+    # trailing newline, so an id of 32 hex chars + '\n' would take the
+    # unhex branch, unhex('..\n') would return NULL and the row would be
+    # silently dropped from every posting/pair join (ADVICE r5). \z is
+    # end-of-input unconditionally, so such ids fall to the raw-UTF-8 tag
+    # branch and round-trip byte-identically.
     return F.when(
-        c.rlike("^[0-9a-f]{32}$"),
+        c.rlike("\\A[0-9a-f]{32}\\z"),
         F.concat(F.lit(b"\x00"), F.unhex(c)),
     ).otherwise(F.concat(F.lit(b"\x01"), F.encode(c, "UTF-8")))
 

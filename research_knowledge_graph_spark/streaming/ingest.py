@@ -27,6 +27,17 @@ from research_knowledge_graph_spark.operators.validation import validate_triples
 from research_knowledge_graph_spark.sources.pages import PAGES_SCHEMA
 
 
+def _ensure_local_dir(path: str) -> None:
+    """Create a LOCAL landing dir if absent; for a scheme'd URI (s3a://,
+    hdfs://) this is a no-op — ``os.makedirs`` would otherwise create a
+    bogus local directory literally named 's3a:/...' and silently defeat
+    the landing-dir guard (ADVICE r5). Remote stores either auto-create
+    on write or are provisioned out of band; the file-source stream guard
+    only exists for the local-path case anyway."""
+    if "://" not in path:
+        os.makedirs(path, exist_ok=True)
+
+
 def stream_pages(
     spark: SparkSession,
     input_dir: str,
@@ -40,7 +51,7 @@ def stream_pages(
     # a not-yet-created landing dir must mean "drain zero files", not an
     # AnalysisException at stream start (first scheduled run typically
     # precedes the producer's first drop)
-    os.makedirs(input_dir, exist_ok=True)
+    _ensure_local_dir(input_dir)
     return (
         spark.readStream.schema(schema or PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -59,7 +70,7 @@ def run_incremental_ingest(
     # landing-directory pattern: the first run may precede the first drop
     # (same guard as run_streaming_graph_ingest — a file-source stream on a
     # not-yet-created dir fails at start instead of draining zero files)
-    os.makedirs(input_dir, exist_ok=True)
+    _ensure_local_dir(input_dir)
     pages = stream_pages(spark, input_dir)
     docs = extract_text(pages).selectExpr(
         "url", "warc_ts", "extracted_text AS text", "lang"
@@ -111,7 +122,7 @@ def run_streaming_graph_ingest(
     )
 
     # landing-directory pattern: the first run may precede the first drop
-    os.makedirs(input_dir, exist_ok=True)
+    _ensure_local_dir(input_dir)
 
     def _stream_id() -> str:
         """Stable identity of THIS stream's checkpoint, read from the

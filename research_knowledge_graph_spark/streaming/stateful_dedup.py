@@ -78,6 +78,15 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# COMPATIBILITY NOTE (ADVICE r5): EXACT_STATE_SCHEMA gained ``last_seen``
+# and BLOOM_STATE_SCHEMA gained ``bits_prev``/``gen_started`` in round 5.
+# applyInPandasWithState persists state tuples in the stream checkpoint, so
+# a dedup stream RESUMED from a checkpoint written before that change would
+# unpack old (shorter) state tuples against the new schema and fail or
+# misread state mid-lineage. Recreate dedup-stream checkpoints when
+# upgrading across that boundary — the first drain reprocesses the landing
+# files, and the downstream graph commit path is idempotent (anti-joined),
+# so the rebuild is safe.
 EXACT_STATE_SCHEMA = T.StructType(
     [
         T.StructField("seen", T.ArrayType(T.LongType())),

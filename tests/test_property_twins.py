@@ -310,3 +310,24 @@ def test_id_codec_roundtrip_and_order_twin(spark, ids):
     )
     for r in pairs.collect():
         assert r.lt == (r.x < r.y), (r.x, r.y, r.lt)
+
+
+def test_id_codec_trailing_newline_hex_not_dropped(spark):
+    """ADVICE r5: Java regex '$' matches before a trailing newline, so an
+    id of exactly 32 hex chars + '\\n' used to take the unhex branch,
+    unhex returned NULL and the row silently vanished from every
+    posting/pair join. With \\A/\\z anchors it must take the raw-UTF-8 tag
+    branch and round-trip byte-identically."""
+    from research_knowledge_graph_spark.functions.hashing import (
+        bin_to_id,
+        id_to_bin,
+    )
+
+    tricky = "ab" * 16 + "\n"
+    df = spark.createDataFrame([(tricky,), ("ab" * 16,)], "v string")
+    got = {r.v: (r.rt, bytes(r.b)) for r in df.select(
+        "v", bin_to_id(id_to_bin("v")).alias("rt"), id_to_bin("v").alias("b")
+    ).collect()}
+    assert got[tricky][0] == tricky
+    assert got[tricky][1][0] == 1  # raw tag, not packed-hex
+    assert got["ab" * 16][1][0] == 0  # clean hex still packs
