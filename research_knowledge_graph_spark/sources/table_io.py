@@ -488,17 +488,41 @@ class TableIO:
         if not pending:
             return
         try:
-            per_stage = None
+            # per-partition row counts come straight from the snapshots'
+            # parquet FOOTERS (one part file per write task), read on the
+            # driver — the previous spark.read → groupBy(spark_partition_id)
+            # job re-scanned every snapshot written this batch (including a
+            # ~10⁶-row cross-edge delta per streaming micro-batch) just to
+            # count rows Spark's own writer already recorded in the footer.
+            import glob as _glob
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            out = {"partition_id": [], "rows": [], "stage": [], "fingerprint": []}
             for name, fp, snap, _ in pending:
-                df = (
-                    self.spark.read.parquet(snap)
-                    .groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(F.count(F.lit(1)).alias("rows"))
-                    .withColumn("stage", F.lit(name))
-                    .withColumn("fingerprint", F.lit(fp))
+                files = sorted(
+                    _glob.glob(os.path.join(snap, "**", "*.parquet"), recursive=True)
                 )
-                per_stage = df if per_stage is None else per_stage.unionByName(df)
-            per_stage.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+                for i, f in enumerate(files):
+                    out["partition_id"].append(i)
+                    out["rows"].append(pq.ParquetFile(f).metadata.num_rows)
+                    out["stage"].append(name)
+                    out["fingerprint"].append(fp)
+            if out["stage"]:
+                table = pa.table(
+                    {
+                        "partition_id": pa.array(out["partition_id"], pa.int32()),
+                        "rows": pa.array(out["rows"], pa.int64()),
+                        "stage": pa.array(out["stage"], pa.string()),
+                        "fingerprint": pa.array(out["fingerprint"], pa.string()),
+                    }
+                )
+                mdir = os.path.join(self.root, "_metrics")
+                os.makedirs(mdir, exist_ok=True)
+                pq.write_table(
+                    table, os.path.join(mdir, f"part-{uuid.uuid4().hex}.parquet")
+                )
 
             self._write_lineage_rows(
                 [(n, fp, float(sec)) for n, fp, _, sec in pending]
