@@ -55,6 +55,10 @@ def label_propagation(
         e = e.groupBy("u", "v").agg(F.max("w").alias("w"))
     else:
         e = e.distinct()
+    # joined every round — materialize once instead of re-running the
+    # union + distinct/max-weight shuffle per iteration (the k_core /
+    # recursive_chain idiom)
+    e = e.localCheckpoint(eager=True)
     labels = e.select(F.col("u").alias("node_id")).distinct().withColumn(
         "community", F.col("node_id")
     )

@@ -54,9 +54,14 @@ def pagerank(
     fan its source's rank out 1+1/deg-fold AND land its full rank in the
     dangling pool — one dirty edge silently skews every rank — and NULL
     would enter the node set as a phantom node."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # joined in EVERY per-iteration job (each iteration checkpoints, so
+        # ReuseExchange can't share the edge subtree across them) —
+        # materialize once instead of re-deriving the edge input per round
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
@@ -68,7 +73,11 @@ def pagerank(
         # every edge had a NULL endpoint (or the input was empty) — fail
         # fast instead of a bare ZeroDivisionError from the teleport term
         raise ValueError("pagerank: no valid (non-NULL-endpoint) edges")
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # joined per iteration, static across them
+    )
     base_const = (1.0 - damping) / n  # teleport term, constant across nodes
 
     ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
@@ -145,9 +154,12 @@ def personalized_pagerank(
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     seeds = sorted(set(seeds))  # duplicates would deflate every rank
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # per-iteration jobs — materialize once (see pagerank)
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
@@ -160,7 +172,11 @@ def personalized_pagerank(
             f"{len(seeds) - n_hit} of {len(seeds)} seeds not in the "
             "graph — their teleport mass would silently vanish"
         )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # joined per iteration, static across them
+    )
     p = F.when(F.col("node_id").isin(*seeds), F.lit(1.0 / len(seeds))).otherwise(
         F.lit(0.0)
     )
