@@ -451,7 +451,15 @@ def run_pipeline_incremental(
         # Older graph dirs without the table are backfilled on first touch.
         pe_new = postings_all = postings_delta = None
         if cross_link:
-            pe_new = L._postings(batch_nodes, batch_edges)
+            # persisted: pe_new feeds THREE jobs (the postings delta append,
+            # the postings_all union, and the enumeration's batch side) that
+            # run concurrently in the commit threads below — unpersisted,
+            # each re-runs the batch-edges × entity-nodes semi-join (guide
+            # §5: reused AND joins/shuffles to recompute)
+            pe_new = L._postings(batch_nodes, batch_edges).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cached.append(pe_new)
             postings_delta = pe_new  # the normal per-batch append: O(batch)
             try:
                 pe_prior = io.read("postings")
