@@ -57,6 +57,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _wide(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Scan fanned out to the session's parallelism BEFORE compute-heavy
+    per-row expression work. The testdata tables are single-file,
+    SINGLE-ROW-GROUP parquet, so the scan cannot be split: every
+    expression Catalyst fuses into the scan stage (tokenize / hash /
+    shingle / vector math, Arrow-UDF batches) otherwise runs as ONE task
+    on one core — observed: t19's winnowing pass pinned a single core for
+    >15 min at sf0.1 while 31 cores idled (guide §2.5 "input skew: one
+    huge unsplittable file — repartition immediately after the read").
+    Deterministic hash repartition by the row key (unique ⇒ uniform; no
+    round-robin pre-sort), sized from ``defaultParallelism`` so it adapts
+    to the cluster rather than a local constant. On a real corpus laid
+    out in many splittable files this is a no-op-sized extra exchange;
+    layout only — results unchanged (oracle-pinned)."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism, F.col(key)
+    )
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wide(spark, sf_dir, "documents", "doc_id")
+
+
 def _utc(spark: SparkSession) -> None:
     """Timestamp-sensitive queries pin the session timezone: DuckDB reads
     parquet timestamps as naive UTC wall-clock, so Spark must render/compare
@@ -141,15 +164,67 @@ def g02_neighbors_out(spark, sf_dir):
 
 
 def g03_two_hop(spark, sf_dir):
-    """J10 chained joins: (customer)-PLACED->(order)-USES_PART->(part)."""
-    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
-    return G.two_hop(nodes, edges, "PLACED", "USES_PART", end_node_type="part")
+    """J10 chained joins: (customer)-PLACED->(order)-USES_PART->(part).
+
+    Runs the SAME two_hop operator over a numeric derivation of the graph
+    (guide §2.3 "narrower types"): every join key and the final DISTINCT
+    exchange carry 8-byte longs instead of 'cN'/'oN'/'pN' strings (~2.5×
+    narrower rows, long hash/compare in the agg hot loop), and the string
+    ids are rebuilt AFTER the distinct, for output rows only. 'c'/'o'/'p'
+    prefixing is injective on the key spaces, so distinct-then-concat ≡
+    concat-then-distinct — rows bit-identical (oracle g03 unchanged)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    placed = o.select(
+        F.col("o_custkey").alias("from_node_id"),
+        F.col("o_orderkey").alias("to_node_id"),
+        F.lit("PLACED").alias("edge_type"),
+    )
+    uses = (
+        li.select(
+            F.col("l_orderkey").alias("from_node_id"),
+            F.col("l_partkey").alias("to_node_id"),
+        )
+        .distinct()  # = derive_edges' USES_PART groupBy (confidence pruned)
+        .withColumn("edge_type", F.lit("USES_PART"))
+    )
+    part_nodes = p.select(
+        F.col("p_partkey").alias("id"),
+        F.lit("part").alias("node_type"),
+        F.col("p_name").alias("label"),
+    )
+    out = G.two_hop(
+        part_nodes, placed.unionByName(uses), "PLACED", "USES_PART",
+        end_node_type="part",
+    )
+    return out.select(
+        F.concat(F.lit("c"), F.col("start_id").cast("string")).alias("start_id"),
+        F.concat(F.lit("p"), F.col("end_id").cast("string")).alias("end_id"),
+        "end_label",
+    )
 
 
 def g04_influence_topk(spark, sf_dir):
-    """A3/q8 influence ranking: top-20 parts by distinct using orders."""
-    nodes, edges = TG.derive_nodes(spark, sf_dir), TG.derive_edges(spark, sf_dir)
-    return G.influence_topk(nodes, edges, "part", ["USES_PART"], k=20).select(
+    """A3/q8 influence ranking: top-20 parts by distinct using orders.
+
+    Same influence_topk operator over a numeric graph derivation (the g03
+    rule, guide §2.3): the countDistinct's two-phase exchanges and the
+    count dim's join key are 8-byte longs, not 'oN'/'pN' strings. The
+    output columns (label, usage_count) carry no ids, so no hex-back is
+    needed — rows bit-identical (oracle g04 unchanged)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    uses = li.select(
+        F.col("l_orderkey").alias("from_node_id"),
+        F.col("l_partkey").alias("to_node_id"),
+    ).withColumn("edge_type", F.lit("USES_PART"))
+    part_nodes = p.select(
+        F.col("p_partkey").alias("id"),
+        F.lit("part").alias("node_type"),
+        F.col("p_name").alias("label"),
+    )
+    return G.influence_topk(part_nodes, uses, "part", ["USES_PART"], k=20).select(
         "label", "usage_count"
     )
 
@@ -270,11 +345,36 @@ def g07_reverse_reach(spark, sf_dir):
 
 
 def g08_recursive_chain(spark, sf_dir):
-    """G2/q9 recursive chain: walk FOLLOWS edges from each first order."""
+    """G2/q9 recursive chain: walk FOLLOWS edges from each first order.
+
+    Same recursive_chain operator over a numeric FOLLOWS derivation
+    (guide §2.3): every per-level join, the path-array cycle guard and the
+    per-level localCheckpoint serialize 8-byte longs instead of 'oN'
+    strings, and ONE window pass (lag + row_number over the same
+    partition/order) derives both the FOLLOWS edges and the start set —
+    derive_edges + first_orders each paid their own window sort. String
+    ids are rebuilt on the final output only; 'o'-prefixing is injective,
+    so the operator's closing distinct is unchanged (oracle g08 intact)."""
     _utc(spark)
-    edges = TG.derive_edges(spark, sf_dir)
-    starts = TG.first_orders(spark, sf_dir)
-    return G.recursive_chain(edges, starts, edge_type="FOLLOWS", max_depth=5)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lagged = o.select(
+        F.col("o_orderkey").alias("ok"),
+        F.lag("o_orderkey").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+    )
+    follows = lagged.filter(F.col("prev").isNotNull()).select(
+        F.col("ok").alias("from_node_id"),
+        F.col("prev").alias("to_node_id"),
+        F.lit("FOLLOWS").alias("edge_type"),
+    )
+    starts = lagged.filter(F.col("rn") == 1).select(F.col("ok").alias("node_id"))
+    out = G.recursive_chain(follows, starts, edge_type="FOLLOWS", max_depth=5)
+    return out.select(
+        F.concat(F.lit("o"), F.col("start_id").cast("string")).alias("start_id"),
+        F.concat(F.lit("o"), F.col("node_id").cast("string")).alias("node_id"),
+        "depth",
+    )
 
 
 def g09_bfs(spark, sf_dir):
@@ -496,7 +596,7 @@ def t24_frequent_kgrams(spark, sf_dir):
     from research_knowledge_graph_spark.operators.curation import frequent_kgrams
 
     return frequent_kgrams(
-        _t(spark, sf_dir, "documents"), k=8, min_docs=2, top_n=200
+        _docs_wide(spark, sf_dir), k=8, min_docs=2, top_n=200
     )
 
 
@@ -529,7 +629,7 @@ def t01_normalize_labels(spark, sf_dir):
 
 def t02_quality(spark, sf_dir):
     """Quality scoring: length/punct/stopword features per document."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     q = quality_features_cols("text")
     return d.select(
         "doc_id",
@@ -543,7 +643,7 @@ def t02_quality(spark, sf_dir):
 
 def t03_langid(spark, sf_dir):
     """Language-ID heuristic, aggregated."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select(lang_id_col("text").alias("lang_guess")).groupBy("lang_guess").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -551,7 +651,7 @@ def t03_langid(spark, sf_dir):
 
 def t04_exact_dedup(spark, sf_dir):
     """Exact dedup stats per source: fingerprint-distinct counts."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return (
         d.select("source", fingerprint_col("text").alias("fp"))
         .groupBy("source")
@@ -561,7 +661,7 @@ def t04_exact_dedup(spark, sf_dir):
 
 def t05_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs, blocked by source."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return D.ngram_jaccard_pairs_blocked(
         d, block_col="source", threshold=0.5, shingle_k=4
     )
@@ -570,7 +670,7 @@ def t05_jaccard_pairs(spark, sf_dir):
 def t06_simhash(spark, sf_dir):
     """16-bit SimHash per document (portable hash → oracle-identical).
     Uses the explode+aggregate variant: one hash per token, not per bit."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return D.simhash_agg(d, id_col="doc_id", text_col="text", bits=16)
 
 
@@ -579,7 +679,7 @@ def t09_quality_quantiles(spark, sf_dir):
     percentiles) — the curation primitive behind 'drop the bottom decile
     per source'. Spark ``percentile`` and DuckDB ``quantile_cont`` share
     the linear-interpolation definition."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     q = quality_features_cols("text")
     scored = d.select("source", q["alpha_ratio"].alias("score"))
     return scored.groupBy("source").agg(
@@ -591,8 +691,11 @@ def t09_quality_quantiles(spark, sf_dir):
 
 
 def e01_knn_bruteforce(spark, sf_dir):
-    """J4/J5 vector top-k: exact cosine kNN for 5 query vectors."""
-    e = _t(spark, sf_dir, "embeddings")
+    """J4/J5 vector top-k: exact cosine kNN for 5 query vectors. The base
+    side is fanned out (_wide): the per-row dot products against all 5
+    query vectors otherwise run inside the unsplittable single-row-group
+    scan's ONE task."""
+    e = _wide(spark, sf_dir, "embeddings", "vec_id")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -622,7 +725,7 @@ def g11_undirected_degree(spark, sf_dir):
 
 def t07_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-signature LSH banding candidate pairs over documents."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     return D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
@@ -636,7 +739,7 @@ def t10_dedup_cluster_survivors(spark, sf_dir):
     the identical pair set. Cluster sizes via groupBy + broadcast join, not
     a per-component window (operators/dedup.py::cluster_survivors — the
     all-dups degenerate case is pinned in tests/test_canonicalize.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     return D.cluster_survivors(pairs)
@@ -723,7 +826,7 @@ def t14_quality_floor(spark, sf_dir):
         quality_floor_filter,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     q = quality_features_cols("text")
     return quality_floor_filter(
         d.select("doc_id", "source", "text"), q["alpha_ratio"], 0.1, "source"
@@ -741,7 +844,7 @@ def t15_pii_redaction(spark, sf_dir):
         redaction_counts_col,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     pii_text = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -769,7 +872,7 @@ def t16_bm25_search(spark, sf_dir):
     (round-6 scores, doc-id tie-break) → full DuckDB oracle."""
     from research_knowledge_graph_spark.operators.text_search import bm25_scores
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return bm25_scores(d, ["spark", "hash", "vector"], limit=20)
 
 
@@ -852,7 +955,7 @@ def t17_bm25_indexed(spark, sf_dir):
         build_text_index,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     path = _cached_index(
         os.path.join(sf_dir, "documents.parquet"),
         "tidx_t17",
@@ -978,7 +1081,7 @@ def e07_hybrid_search_rrf(spark, sf_dir):
     from research_knowledge_graph_spark.operators.hybrid import rrf_fuse
     from research_knowledge_graph_spark.operators.text_search import bm25_scores
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings")
     lex = bm25_scores(d, ["spark", "hash", "vector"], limit=50).withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
@@ -1121,7 +1224,7 @@ def t21_source_curation(spark, sf_dir):
         source_curation_report,
     )
 
-    return source_curation_report(_t(spark, sf_dir, "documents"))
+    return source_curation_report(_docs_wide(spark, sf_dir))
 
 
 def t18_token_stats(spark, sf_dir):
@@ -1161,7 +1264,7 @@ def t19_winnow_fingerprints(spark, sf_dir):
         winnow_fingerprints_col,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select(
         "doc_id",
         F.explode(winnow_fingerprints_col("text")).alias("fingerprint"),
@@ -1178,7 +1281,7 @@ def t20_winnow_near_dups(spark, sf_dir):
     estimating whole-doc Jaccard. Integer counts — fully hash-checked."""
     from research_knowledge_graph_spark.operators.dedup import winnow_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return winnow_near_dups(d, min_shared=2, max_bucket=1000)
 
 
@@ -1200,7 +1303,7 @@ def t51_detector_agreement(spark, sf_dir):
     the outer join keys on the pair id — no new skew surface."""
     from research_knowledge_graph_spark.operators.dedup import winnow_near_dups
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     lsh = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).select(
         "doc_a", "doc_b", F.lit(True).alias("in_l")
@@ -1262,7 +1365,7 @@ def t52_simhash_near_dups(spark, sf_dir):
     fingerprint. Oracle: the t06 simhash CTE + the same band/guard/
     verify cascade in DuckDB (bit_count/xor are engine built-ins on
     both sides)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return D.simhash_hamming_pairs(
         d, bits=16, bands=4, max_hamming=3, max_bucket=100_000
     )
@@ -1279,7 +1382,7 @@ def t08_chunk_stats(spark, sf_dir):
     ceil((len-200)/1800))."""
     from research_knowledge_graph_spark.functions.textops import chunk_text_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(chunk_text_udf(F.col("text"))).cast("int").alias("n_chunks"),
@@ -1312,7 +1415,7 @@ def e04_embed_documents(spark, sf_dir):
     float-vector output, rows-only check."""
     from research_knowledge_graph_spark.operators.qa import embed_docs
 
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _docs_wide(spark, sf_dir).limit(200)
     out = embed_docs(d, dim=32)
     return out.select(
         "doc_id",
@@ -1490,7 +1593,7 @@ def t22_tfidf_keywords(spark, sf_dir):
     two hash-aggs over the exploded terms; the 1-row corpus count joins
     by broadcast (bounded by construction). Ranking rounds the score to 6
     before ordering so the cross-engine float tie-break is stable."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = _tok3(d)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1530,7 +1633,7 @@ def t23_unigram_nll_quality(spark, sf_dir):
     the cross-engine hash at round-6 boundaries); the single float
     division happens once per doc at the end. Tokenize is the shared
     _tok3 (same as t22)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     toks = _tok3(d)
     tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
     # 1-row aggregate: broadcast is bounded by construction
@@ -1572,7 +1675,7 @@ def t40_bigram_nll_quality(spark, sf_dir):
     Scale: two hash-aggregates on bigram/prefix string keys + one
     fact-to-dim join — the dims are vocabulary-sized, AQE decides the
     strategy (no forced broadcast: bigram vocabulary is unbounded)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     a = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: F.length(w) >= 3
     )
@@ -1766,7 +1869,7 @@ def t25_ngram_novelty(spark, sf_dir):
     broadcast — the dim is the gram vocabulary)."""
     from research_knowledge_graph_spark.operators.curation import ngram_novelty
 
-    return ngram_novelty(_t(spark, sf_dir, "documents"), k=8)
+    return ngram_novelty(_docs_wide(spark, sf_dir), k=8)
 
 
 def t26_repetition_signals(spark, sf_dir):
@@ -1782,7 +1885,7 @@ def t26_repetition_signals(spark, sf_dir):
         repetition_signals,
     )
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    return repetition_signals(_docs_wide(spark, sf_dir))
 
 
 def t27_decontaminate(spark, sf_dir):
@@ -1796,7 +1899,7 @@ def t27_decontaminate(spark, sf_dir):
     semantics), n_grams/n_hit_grams exact bigints."""
     from research_knowledge_graph_spark.operators.curation import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     out = decontaminate(
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
@@ -2084,7 +2187,7 @@ def t33_length_quality_corr(spark, sf_dir):
         length_quality_correlation,
     )
 
-    return length_quality_correlation(_t(spark, sf_dir, "documents"))
+    return length_quality_correlation(_docs_wide(spark, sf_dir))
 
 
 def e12_label_confusion(spark, sf_dir):
@@ -2142,7 +2245,7 @@ def t28_cross_source_dup_matrix(spark, sf_dir):
     the docs projection (high-cardinality uniform key); the rollup keys
     on source pairs — map-side combinable, #sources² max. Oracle: the
     identical pair CTE + least/greatest canonicalization."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     src = d.select("doc_id", "source")
@@ -2417,7 +2520,7 @@ def e15_embed_fingerprint(spark, sf_dir):
     whose float32 rounding is not hash-comparable cross-engine."""
     from research_knowledge_graph_spark.operators.qa import embed_docs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     out = embed_docs(d, dim=32, normalize=False)
     v = F.col("embedding")
     zero = F.lit(0).cast("long")
@@ -2470,7 +2573,7 @@ def t35_minhash_fidelity(spark, sf_dir):
     arithmetic. Scale: the signature attach is two equi-joins on the
     uniform doc key; the shingle sets ride along only for CANDIDATE
     pairs (LSH-selective), never all pairs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     from research_knowledge_graph_spark.functions.textops import char_shingles_col
@@ -2536,7 +2639,7 @@ def t39_containment_audit(spark, sf_dir):
     companion to t05/t35. Scale: exact shingle-set work rides only on the
     LSH-selective candidate pairs; the two shingle attaches are equi-joins
     on the uniform doc key — never all pairs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     return D.containment_verify(d.select("doc_id", "text"), pairs, shingle_k=4)
@@ -2691,7 +2794,7 @@ def t53_charset_audit(spark, sf_dir):
         charset_audit,
     )
 
-    return charset_audit(_t(spark, sf_dir, "documents"))
+    return charset_audit(_docs_wide(spark, sf_dir))
 
 
 def v23_rfm_segments(spark, sf_dir):
@@ -3422,7 +3525,7 @@ def t48_lexical_complexity(spark, sf_dir):
     counting is one regexp_extract_all + size per token — map-side, the
     only shuffle is the per-doc hash-agg. Token-less docs are absent (the
     t45 rule)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     toks = _tok3(d)
     syl = F.size(F.regexp_extract_all("term", F.lit("[aeiou]+"), F.lit(0))).cast(
         "long"
@@ -3466,7 +3569,7 @@ def t49_vocab_growth(spark, sf_dir):
     combine → per-source reduce over the type inventory; nothing after
     the first agg touches corpus-sized data. Tokenizer is the shared
     _tok3 (source-carrying form, t42's idiom)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     per = _tok3(d, cols=("source",)).groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -3559,7 +3662,7 @@ def t43_term_zipf_tail(spark, sf_dir):
     Scale: tokenize is a map-side explode; the (source, term) count is
     map-side combinable (the composite key de-hot-keys the head terms
     across sources); the final agg is #sources keys."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     x_min = 2
     per = _tok3(d, cols=("source",)).groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -3598,7 +3701,7 @@ def t46_bpe_fertility(spark, sf_dir):
         segmentation_fertility,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return segmentation_fertility(d, learn_bpe(d, num_merges=10))
 
 
@@ -3620,7 +3723,7 @@ def t45_token_entropy(spark, sf_dir):
 
     Scale: one (doc, term) hash-agg + one doc hash-agg, both map-side
     combinable, keys are per-doc composites (no hot key)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     pc = _tok3(d).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -3663,7 +3766,7 @@ def t44_bpe_merges(spark, sf_dir):
     greedy edge, early-stop, train/apply agreement)."""
     from research_knowledge_graph_spark.operators.bpe import learn_bpe
 
-    return learn_bpe(_t(spark, sf_dir, "documents"), num_merges=10)
+    return learn_bpe(_docs_wide(spark, sf_dir), num_merges=10)
 
 
 def t47_dup_span_coverage(spark, sf_dir):
@@ -3683,7 +3786,7 @@ def t47_dup_span_coverage(spark, sf_dir):
         dup_span_coverage,
     )
 
-    return dup_span_coverage(_t(spark, sf_dir, "documents"), k=13)
+    return dup_span_coverage(_docs_wide(spark, sf_dir), k=13)
 
 
 def _t54_messy_url():
@@ -3791,7 +3894,7 @@ def t37_vocab_coverage(spark, sf_dir):
     lowercased-whitespace tokenizer of the t24-t27 gram audits."""
     from research_knowledge_graph_spark.operators.curation import vocab_coverage
 
-    return vocab_coverage(_t(spark, sf_dir, "documents"), top_n=100)
+    return vocab_coverage(_docs_wide(spark, sf_dir), top_n=100)
 
 
 def t41_term_burstiness(spark, sf_dir):
@@ -3806,7 +3909,7 @@ def t41_term_burstiness(spark, sf_dir):
     dividend, so the profile hash-compares bit-exactly."""
     from research_knowledge_graph_spark.operators.curation import term_burstiness
 
-    return term_burstiness(_t(spark, sf_dir, "documents"), top_n=100)
+    return term_burstiness(_docs_wide(spark, sf_dir), top_n=100)
 
 
 def t42_source_kl_drift(spark, sf_dir):
@@ -3833,7 +3936,7 @@ def t42_source_kl_drift(spark, sf_dir):
     tokens/source — beyond that ANSI fails loudly; rescale to micro units
     for the 100-TB run. Tokenizer is the shared _tok3 (t22/t23), carrying
     `source` through the one explode instead of re-joining it on."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     toks = _tok3(d, cols=("doc_id", "source"))
     cst = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("c_st")

@@ -146,11 +146,15 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def noop_queries(names: list[str], repeats: int = 3) -> None:
+def noop_queries(names: list[str], repeats: int | None = None) -> None:
     import __spark_entry__ as entry
 
+    if repeats is None:
+        repeats = int(os.environ.get("NOOP_REPEATS", "3"))
     spark = _spark()
     qs = entry.queries()
+    if names == ["ALL"]:
+        names = list(qs)
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     out = {}
     for name in names:

@@ -136,7 +136,21 @@ def source_curation_report(
             F.count("fp") > 0,
             F.round(F.lit(1.0) - F.countDistinct("fp") / F.count("fp"), 6),
         ).otherwise(F.lit(0.0)).alias("dup_rate"),
-        F.round(F.avg("alpha"), 6).alias("avg_alpha"),
+        # order-invariant mean: double summation order flips the 6th digit
+        # across engines/partitionings when the mean lands ~1 ulp from a
+        # rounding boundary (the t21 driver-red class, VERDICT r5 #1).
+        # Summing exact decimals (cast rounds each double to 18 fractional
+        # digits deterministically) makes Spark's pre-round mean the true
+        # mean to ~1e-18 regardless of partition order; the oracle SQL is
+        # unchanged — DuckDB's avg() lands on the same rounded 6th digit
+        # except in the measure-zero case where ITS own accumulation is
+        # > 1e-12 off at a boundary. Result identical on all test SFs
+        # (oracle-parity pinned); only the order dependence is removed.
+        F.round(
+            (F.sum(F.col("alpha").cast("decimal(32,18)")) / F.count("alpha"))
+            .cast("double"),
+            6,
+        ).alias("avg_alpha"),
         F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long")).alias("total_tokens"),
         F.round(
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
