@@ -231,11 +231,22 @@ def winnow_fingerprints_col(
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     toks = F.filter(F.split(F.lower(c), "\\s+"), lambda t: t != F.lit(""))
     n = F.size(toks)
+    # gram assembly via k element_at lookups instead of
+    # array_join(slice(...)): slice allocates a k-element array copy PER
+    # GRAM (O(tokens) allocations per doc) that concat_ws over direct
+    # lookups avoids; tokens are non-null non-empty by the filter above,
+    # so concat_ws('" "', t_i..t_{i+k-1}) is byte-identical to the join
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+            lambda i: (
+                F.element_at(toks, i)
+                if k == 1
+                else F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                )
+            ),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
     # explicit 1-arg lambda: passing portable_hash64 directly would let
@@ -243,11 +254,18 @@ def winnow_fingerprints_col(
     # default-arg-lambda gotcha) and silently change every hash
     hashes = F.transform(grams, lambda g: portable_hash64(g))
     ng = F.size(hashes)
+    # same allocation dodge for the window minimum: least() over w direct
+    # lookups ≡ array_min(slice(...)) — hashes are never NULL (md5 of a
+    # non-null string), and both skip-null semantics agree on non-null
     fps = F.when(
         ng >= w,
         F.transform(
             F.sequence(F.lit(1), ng - F.lit(w - 1)),
-            lambda j: F.array_min(F.slice(hashes, j, w)),
+            lambda j: (
+                F.element_at(hashes, j)
+                if w == 1
+                else F.least(*[F.element_at(hashes, j + i) for i in range(w)])
+            ),
         ),
     ).otherwise(F.array(F.array_min(hashes)))
     return F.array_distinct(fps)

@@ -19,7 +19,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from research_knowledge_graph_spark.functions.hashing import portable_hash64
@@ -139,11 +139,17 @@ def lsh_candidate_pairs(
                 f"max_bucket_size must be >= 2 (a pair needs a 2-bucket), "
                 f"got {max_bucket_size}"
             )
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bsz")
-        )
+        # window count, not groupBy + join-back (the winnow_near_dups
+        # rule): one exchange on the bucket key, no second computation of
+        # the banding/signature expression. The join form also dropped
+        # NULL-bucket rows (NULL never equi-joins); the window keeps them,
+        # which changes nothing — a NULL bucket never pairs in the
+        # candidate join below either.
         banded = (
-            banded.join(sizes, ["band", "bucket"])
+            banded.withColumn(
+                "_bsz",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+            )
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
@@ -272,24 +278,28 @@ def ngram_jaccard_pairs_blocked(
 ) -> DataFrame:
     """All-pairs Jaccard within blocks (block key = e.g. source/domain/length
     band) — the classic blocked-comparison shape; never a global cross join."""
+    # Enumerate the within-block pairs NARROW (ids + block key only), then
+    # attach shingles and verify through ngram_jaccard_verify's two
+    # uniform doc_id joins. The previous single self-join carried the
+    # shingle arrays through the block-keyed exchange AND ran the per-pair
+    # intersect inside the block-join stage — parallelism capped at the
+    # number of blocks (a 20-source corpus used 20 of 32 cores, and one
+    # hot block serializes; guide §2.5). The verify stage's exchange is
+    # keyed by doc id (uniform), so the intersect compute spreads over
+    # every core regardless of the block-key distribution; the pair set,
+    # the jaccard expression and the threshold filter are unchanged.
     d = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk"),
-        char_shingles_col(F.col(text_col), shingle_k).alias("sh"),
+        F.col(id_col).alias("doc_id"), F.col(block_col).alias("blk")
     )
     a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = (
-        F.size(F.col("a.sh")) + F.size(F.col("b.sh"))
-        - F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    ).cast("double")
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    return ngram_jaccard_verify(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        pairs, threshold, shingle_k,
     )
 
 
@@ -408,13 +418,19 @@ def hamming_pairs_from_fingerprints(
     bb = fp.select(
         "doc_id", "simhash", F.posexplode(chunks).alias("band", "chunk")
     )
-    keep = (
-        bb.groupBy("band", "chunk")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") <= max_bucket)
-        .select("band", "chunk")
+    # degenerate-bucket guard as a window count (the winnow_near_dups
+    # rule): the groupBy + semi-join form computed the fingerprint input —
+    # for the end-to-end caller, the whole simhash aggregate — twice,
+    # because column pruning made the semi-join's two exchange children
+    # non-identical and ReuseExchange could not share them. ONE exchange
+    # on (band, chunk); count-over-partition ≡ the groupBy count.
+    bb = (
+        bb.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "chunk"))
+        )
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
     )
-    bb = bb.join(keep, ["band", "chunk"], "left_semi")
     a, b = bb.alias("a"), bb.alias("b")
     cand = (
         a.join(
@@ -573,13 +589,18 @@ def winnow_near_dups(
         F.col(id_col).alias("doc_id"),
         F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias("fp"),
     )
-    keep = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") <= max_bucket)
-        .select("fp")
+    # stop-fingerprint guard as a WINDOW count over fp, not groupBy +
+    # semi-join: the semi-join's aggregate child was column-pruned to (fp)
+    # while the probe side kept (doc_id, fp), so the two exchanges were
+    # not identical and ReuseExchange could not share them — the winnowing
+    # expression (the expensive map work) ran TWICE. The window form has
+    # ONE exchange on fp (guide §2.4), the self-join below reuses its
+    # partitioning, and count-over-partition ≡ the groupBy count exactly.
+    fp = (
+        fp.withColumn("_bsz", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
     )
-    fp = fp.join(keep, "fp", "left_semi")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
