@@ -1261,14 +1261,15 @@ def t19_winnow_fingerprints(spark, sf_dir):
     downstream near-dup join groups on the fingerprint exactly like
     MinHash bands (t07)."""
     from research_knowledge_graph_spark.functions.textops import (
-        winnow_fingerprints_col,
+        winnow_fingerprint_rows,
     )
 
     d = _docs_wide(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.explode(winnow_fingerprints_col("text")).alias("fingerprint"),
-    )
+    # staged-projection form — identical fingerprints, 25× (see
+    # winnow_fingerprint_rows: HOF lambdas re-evaluate embedded outer
+    # expressions per element, so the single-expression form was
+    # quadratic in tokens)
+    return winnow_fingerprint_rows(d, "doc_id", "text", fp_name="fingerprint")
 
 
 def t20_winnow_near_dups(spark, sf_dir):
@@ -2576,9 +2577,11 @@ def t35_minhash_fidelity(spark, sf_dir):
     d = _docs_wide(spark, sf_dir)
     sigs = D.minhash_signatures(d, "doc_id", "text", k=8, shingle_k=4)
     pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    from research_knowledge_graph_spark.functions.textops import char_shingles_col
+    from research_knowledge_graph_spark.functions.textops import shingle_rows
 
-    sh = d.select("doc_id", char_shingles_col(F.col("text"), 4).alias("sh"))
+    # staged shingles (char_shingles_lowered_col rationale): the inline
+    # form re-lowercased the document once per shingle inside the lambda
+    sh = shingle_rows(d, "doc_id", "text", 4, out="sh")
     j = (
         pairs.join(
             sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")),

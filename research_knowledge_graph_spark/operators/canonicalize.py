@@ -71,12 +71,17 @@ def connected_components(
     converges in O(log n) rounds. Each round localCheckpoints to cut lineage
     (iterative self-joins otherwise build exponential plans).
     """
-    # edge list, symmetric, no self-loops
+    # edge list, symmetric, no self-loops — materialized ONCE before the
+    # loop (the pagerank/BFS-family rule, guide §2.4): the nb step joins
+    # ``e`` every round, and an unmaterialized frame re-derives the whole
+    # pair input per round — for the dedup callers (t10) that was the
+    # entire MinHash+LSH banding pipeline re-running each iteration
     e = (
         pairs.select(F.col("key_a").alias("u"), F.col("key_b").alias("v"))
         .unionByName(pairs.select(F.col("key_b").alias("u"), F.col("key_a").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # parent pointer init: p(u) = min(u, min neighbor)
     parent = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("p"))

@@ -23,7 +23,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from research_knowledge_graph_spark.functions.hashing import portable_hash64
-from research_knowledge_graph_spark.functions.textops import char_shingles_col
+from research_knowledge_graph_spark.functions.textops import (
+    char_shingles_col,
+    shingle_rows,
+)
 from research_knowledge_graph_spark.functions.vectors import cosine_col
 
 # ---------------------------------------------------------------------------
@@ -73,10 +76,29 @@ def minhash_signatures(
 ) -> DataFrame:
     # NULL text dropped (exact_dup_groups' rule): an all-NULL signature's
     # band buckets all hash '' (concat_ws skips NULLs), so every NULL-text
-    # doc would land in one corpus-sized bucket — an O(n²) candidate clique
-    return docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature_col(F.col(text_col), k, shingle_k).alias("signature"),
+    # doc would land in one corpus-sized bucket — an O(n²) candidate clique.
+    # Shingles are STAGED as a real column before the k per-seed minima:
+    # minhash_signature_col embeds the shingle expression k times, and a
+    # non-attribute expression inside a higher-order-function lambda is
+    # re-evaluated per element per reference (the winnow_fingerprint_rows
+    # finding) — staging computes the shingle set once per row
+    # (measured 2.2×, identical signatures); shingle_rows additionally
+    # stages the lowercase pass (char_shingles_lowered_col rationale).
+    sh = shingle_rows(
+        docs.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+        ),
+        "doc_id", "_t", shingle_k, out="_sh",
+    )
+
+    def _min_hash(seed: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: portable_hash64(s, seed=seed))
+        )
+
+    return sh.select(
+        "doc_id",
+        F.array(*[_min_hash(j) for j in range(k)]).alias("signature"),
     )
 
 
@@ -211,7 +233,7 @@ def containment_verify(
     docs: (doc_id, text); pairs: (doc_a, doc_b). Scale: exact set work rides
     only on CANDIDATE pairs (blocked upstream by LSH banding), never all
     pairs; the two shingle attaches are equi-joins on the uniform doc key."""
-    sh = docs.select(F.col("doc_id"), char_shingles_col(F.col("text"), shingle_k).alias("sh"))
+    sh = shingle_rows(docs, "doc_id", "text", shingle_k, out="sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
@@ -251,7 +273,7 @@ def ngram_jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard over char-shingle sets for given candidate pairs.
     docs: (doc_id, text); pairs: (doc_a, doc_b)."""
-    sh = docs.select(F.col("doc_id"), char_shingles_col(F.col("text"), shingle_k).alias("sh"))
+    sh = shingle_rows(docs, "doc_id", "text", shingle_k, out="sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
@@ -582,12 +604,15 @@ def winnow_near_dups(
     signal; the exact analog of stop-words in the BM25 path). The guard
     makes worst-case pair volume O(corpus × max_bucket), not O(corpus²)."""
     from research_knowledge_graph_spark.functions.textops import (
-        winnow_fingerprints_col,
+        winnow_fingerprint_rows,
     )
 
-    fp = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias("fp"),
+    # staged-projection form (see winnow_fingerprint_rows): the inline
+    # expression re-evaluated its embedded token/hash chain per lambda
+    # element — 25× slower, same values
+    fp = winnow_fingerprint_rows(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id", "text", k, w, fp_name="fp",
     )
     # stop-fingerprint guard as a WINDOW count over fp, not groupBy +
     # semi-join: the semi-join's aggregate child was column-pruned to (fp)
