@@ -1680,17 +1680,24 @@ def t40_bigram_nll_quality(spark, sf_dir):
     a = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: F.length(w) >= 3
     )
+    # token array STAGED as a column (the winnow_fingerprint_rows rule):
+    # embedded in the transform lambda, the split+filter chain re-ran per
+    # bigram per element_at reference — quadratic in document length
+    da = d.select("doc_id", a.alias("_a"))
+    na = F.size(F.col("_a"))
     bgs = (
-        d.select(
+        da.select(
             "doc_id",
             F.when(
-                F.size(a) >= 2,
+                na >= 2,
                 F.transform(
                     # sequence(1, n) is DESCENDING when n < 1 — the when()
                     # guard above keeps it strictly ascending here
-                    F.sequence(F.lit(1), F.size(a) - 1),
+                    F.sequence(F.lit(1), na - 1),
                     lambda i: F.concat(
-                        F.element_at(a, i), F.lit(" "), F.element_at(a, i + 1)
+                        F.element_at(F.col("_a"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("_a"), i + 1),
                     ),
                 ),
             )
@@ -1700,6 +1707,10 @@ def t40_bigram_nll_quality(spark, sf_dir):
         .select("doc_id", F.explode("bg_arr").alias("bg"))
     )
     bc = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    # NOTE (measured): folding the prefix totals into a window over bc
+    # (one exchange by w1) was SLOWER than this aggregate + join — the
+    # window's per-partition sort over the multi-million-row bigram dim
+    # costs more than the hash-agg + AQE-broadcast join it replaced.
     pc = (
         bc.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
         .agg(F.sum("n_bg").alias("n_prefix"))

@@ -534,15 +534,28 @@ def embedding_near_dups(
             "dim=... (auto SRP-LSH bucket); an unblocked all-pairs join is "
             "quadratic and refused"
         )
-    d = embs.select(*cols)
-    a, b = d.alias("a"), d.alias("b")
+    # Enumerate pairs NARROW (ids + block key), attach vectors by the
+    # uniform doc key, and compute the cosine after that exchange (the
+    # ngram_jaccard_pairs_blocked rule): the previous form carried both
+    # vectors through the block-keyed join AND ran every per-pair cosine
+    # inside the block-join stage, capping the dot-product parallelism at
+    # the number of blocks (a label-blocked corpus has few). Pair set and
+    # cosine values unchanged.
+    dn = embs.select(*cols).select("doc_id", "blk")
+    a, b = dn.alias("a"), dn.alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("a.blk") == F.col("b.blk"))
+    pairs = a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    va = embs.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    vb = embs.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
     return (
-        a.join(b, cond)
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(cosine_col(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            "doc_a",
+            "doc_b",
+            F.round(cosine_col(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
