@@ -650,8 +650,11 @@ def t03_langid(spark, sf_dir):
 
 
 def t04_exact_dedup(spark, sf_dir):
-    """Exact dedup stats per source: fingerprint-distinct counts."""
-    d = _docs_wide(spark, sf_dir)
+    """Exact dedup stats per source: fingerprint-distinct counts.
+    No _wide fan-out: ONE md5 per document is cheap enough that the
+    repartition exchange costs more than the single-task scan saves
+    (A/B measured 0.37 s plain vs 0.86 s fanned at sf0.1)."""
+    d = _t(spark, sf_dir, "documents")
     return (
         d.select("source", fingerprint_col("text").alias("fp"))
         .groupBy("source")
