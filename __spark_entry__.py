@@ -4148,15 +4148,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r04, pinned locally every run by tests/test_entry_oracle.py, which
     # has no cap).
     return {
-        # t54 url canonicalize+dedup: newest entry (round 5 final session),
-        # never driver-checked — first in the window; evicts
-        # v17_user_concentration (also never driver-checked; the local
-        # uncapped gate still runs it — see the boundary marker)
+    # ORDER MATTERS: the driver's correctness harness caps at its first 50
+    # dict entries. Round-6 rotation (VERDICT r5 #3): the window is t21 (the
+    # r5 red row, kept for re-confirmation of the order-invariant-mean fix)
+    # plus 49 of the 54 oracled entries that have NEVER had a driver row —
+    # the audit tier e12-e21, the graph long tail incl. g36 (whose driver
+    # row confirms the salted wedge, clearing the r5 weak mark), the
+    # curation/tokenizer tier t33-t53 and the behavioral tier v17-v31.
+    # Five never-sampled entries (e15, g39, g41, g42, v20) plus every
+    # previously-green entry wait at positions 51+; the local uncapped gate
+    # (tests/test_entry_oracle.py) still runs ALL of them every session.
+        "t21_source_curation": t21_source_curation,
+        "t33_length_quality_corr": t33_length_quality_corr,
+        "v17_user_concentration": v17_user_concentration,
+        "t36_sequence_packing": t36_sequence_packing,
+        "t37_vocab_coverage": t37_vocab_coverage,
+        "g43_graph_summary": g43_graph_summary,
+        "t38_mixture_rates": t38_mixture_rates,
+        "v21_cohort_retention": v21_cohort_retention,
+        "e16_quantization_audit": e16_quantization_audit,
+        "t39_containment_audit": t39_containment_audit,
+        "e17_srp_fidelity": e17_srp_fidelity,
+        "t40_bigram_nll_quality": t40_bigram_nll_quality,
+        "e18_ann_recall_audit": e18_ann_recall_audit,
+        "v22_markov_stationary": v22_markov_stationary,
+        "t41_term_burstiness": t41_term_burstiness,
+        "t42_source_kl_drift": t42_source_kl_drift,
+        "v23_rfm_segments": v23_rfm_segments,
+        "e19_silhouette": e19_silhouette,
+        "v24_activity_tail_index": v24_activity_tail_index,
+        "g44_truncated_harmonic": g44_truncated_harmonic,
+        "g45_neighborhood_function": g45_neighborhood_function,
+        "v25_cusum_changepoint": v25_cusum_changepoint,
+        "t43_term_zipf_tail": t43_term_zipf_tail,
+        "t45_token_entropy": t45_token_entropy,
+        "t47_dup_span_coverage": t47_dup_span_coverage,
+        "v26_benford_audit": v26_benford_audit,
+        "e20_hubness_audit": e20_hubness_audit,
+        "t48_lexical_complexity": t48_lexical_complexity,
+        "v27_diurnal_autocorr": v27_diurnal_autocorr,
+        "t49_vocab_growth": t49_vocab_growth,
+        "v28_burstiness_profile": v28_burstiness_profile,
+        "g46_bowtie_probe": g46_bowtie_probe,
+        "t50_length_ks_drift": t50_length_ks_drift,
+        "v29_transition_entropy": v29_transition_entropy,
+        "t51_detector_agreement": t51_detector_agreement,
+        "v30_gap_histogram": v30_gap_histogram,
+        "g47_component_size_histogram": g47_component_size_histogram,
+        "t52_simhash_near_dups": t52_simhash_near_dups,
+        "g48_type_mixing_matrix": g48_type_mixing_matrix,
+        "v31_hour_of_day_profile": v31_hour_of_day_profile,
+        "e21_intrinsic_dimension": e21_intrinsic_dimension,
+        "t53_charset_audit": t53_charset_audit,
+        "e12_label_confusion": e12_label_confusion,
+        "g36_two_hop_reach": g36_two_hop_reach,
+        "g37_type_cooccurrence": g37_type_cooccurrence,
+        "v18_volume_anomalies": v18_volume_anomalies,
+        "e13_centroid_separation": e13_centroid_separation,
+        "t35_minhash_fidelity": t35_minhash_fidelity,
+        "v19_user_tenure": v19_user_tenure,
+        "e14_norm_profile": e14_norm_profile,
         "t54_url_canonical_dedup": t54_url_canonical_dedup,
-        # t55 domain skew: sibling entry on the same messy-url frame; its
-        # exact share/HHI integer-div arithmetic keeps the concentration
-        # idiom driver-exercised after v17's eviction. Evicts t33 (never
-        # driver-checked; local uncapped gate still runs it)
         "t55_domain_skew": t55_domain_skew,
         "t32_composition_rollup": t32_composition_rollup,
         "g35_avg_neighbor_degree": g35_avg_neighbor_degree,
@@ -4178,7 +4230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t25_ngram_novelty": t25_ngram_novelty,
         "v12_interarrival_stats": v12_interarrival_stats,
         "g26_node_similarity": g26_node_similarity,
-        "t21_source_curation": t21_source_curation,
         "g27_k_truss": g27_k_truss,
         "e08_mmr_rerank": e08_mmr_rerank,
         "v07_cooccurrence_graph": v07_cooccurrence_graph,
@@ -4206,203 +4257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_frequent_kgrams": t24_frequent_kgrams,
         "g38_pagerank_exact": g38_pagerank_exact,
         "g40_link_prediction": g40_link_prediction,
-        # ---- driver 50-entry window boundary ----
-        # (t54+t55's insertion at the top pushed t33 and v17 to positions
-        # 51-52 — outside the cap; both were never driver-checked and now
-        # rely on the local uncapped gate alone, like every entry below
-        # this line)
-        "t33_length_quality_corr": t33_length_quality_corr,
-        "v17_user_concentration": v17_user_concentration,
-        # (entries below are multi-round driver-green or no_oracle; the
-        # driver's correctness gate records only the first 50 keys, so
-        # new/never-driver-green entries must sit above this line.
-        # Rotated out in round 5 to make room for g29/g30/g31/t24: g04,
-        # g05, g06, g15 — all r3+r4 driver-green (and g06's machinery is
-        # still driver-exercised through g26/g30); then t05/t06 (also
-        # r3+r4 driver-green; the minhash/simhash machinery stays
-        # driver-exercised through t07/t10) to make room for t25/v12;
-        # then t09/g17 (r3+r4 driver-green) to make room for t26/t27;
-        # then t01/t02/t04/g11/t07/e01/e02 (r3+r4 driver-green; the
-        # minhash, brute-force-kNN, SRP-block, triangle and LPA machinery
-        # stays driver-exercised through t10/t28, e07, e03/e05, g27 and
-        # g21/g22/g23) to make room for
-        # v13/e09/g32/t28/g33/t29/e10/v14/v15/g34; then g08 (r3+r4
-        # driver-green; the iterative-join machinery stays
-        # driver-exercised through g32's bounded BFS) to make room for
-        # v16; then e03/e05 (r3+r4 driver-green) to make room for
-        # t30/e11; then t10 (r3+r4 driver-green; the CC-survivor
-        # machinery stays driver-exercised through g15's components
-        # oracle) to make room for g35; then e06 (r4 driver-green; its
-        # serving path keeps a PartitionFilters plan pin and an
-        # e01-equality pytest locally) to make room for t32. NOTE: with
-        # e01/e03/e05/e06 all rotated out, the SRP-LSH / IVF indexed-kNN
-        # family has NO in-window driver row this round — its parity is
-        # gated locally only (test_entry_oracle + the e01-equality and
-        # plan pins); the brute-force cosine-kNN path stays
-        # driver-exercised through e07's RRF hybrid. Rotate one of
-        # e03/e06 back in before retiring anything else from this
-        # family. Local test_entry_oracle.py still gates every entry
-        # regardless of position. FINAL round-5 rotation: g21/t16/t17/g22
-        # moved below the boundary (all four r04 driver-green — the
-        # freshest greens in the window, so evicting them loses least)
-        # to buy first-ever driver rows for g38 (the PageRank family's
-        # only full-oracle row — g16 is rows-only by design), g40 (the
-        # link-prediction scoreboard), t33 (Pearson — no statistical
-        # sibling in-window) and v17 (Gini/top-decile concentration).
-        # More never-driver-green oracle entries exist than the 50 slots
-        # (13 below this line as of the final session: e12, g36, g37,
-        # v18, e13, t35, v19, e14, g39, g41, e15, g42, v20), so those
-        # ship with local-gate evidence only; each has an in-window sibling
-        # exercising the same machinery: t35 shares t07/t28's minhash
-        # CTE blocks, g36 is g32's bounded BFS, g39 reads g34's degree
-        # histogram, e12/e13/e14 ride the e09-e11 fixed-point centroid
-        # pipeline, v18/v19 the v12-v16 event-audit family, g41 the g38
-        # fixed-point PageRank cascade, e15 the e04 embedder (plus its
-        # own BMP-exhaustive tokenizer twin), g42 the g22 community-
-        # stats blocks (shared _community_stats pass AND shared oracle
-        # CTEs), v20 the v03 session CTE (wrapped verbatim). Added after
-        # the final rotation (local-gate evidence only, same rule):
-        # t36 sequence packing (t18's token count + the v03-style window
-        # machinery), t37 vocab coverage (t24's tokenizer + t24's ordered
-        # top-N), g43 graph summary (g18's triangle blocks + g34's degree
-        # definition, shared oracle CTE literal).
-        # t38 mixture rates (t32's composition agg feeding the t11
-        # sampler's rate contract), v21 cohort matrix (v08's retention
-        # machinery at week granularity, v19's exact day arithmetic),
-        # t39 containment (t07/t35's shared minhash CTE blocks), e17 SRP
-        # fidelity (e02's pair frame + e03's hyperplane construction),
-        # t40 bigram NLL (t23's fixed-point log machinery), e18 recall
-        # audit (e01's exact frame — shared literal — vs e03/e05), v22
-        # Markov stationary (v11's shared transition literal + the
-        # g38-cascade arithmetic), t41 burstiness (t37's tokenizer/order).
-        # Round-5 continuation additions (same local-gate rule, each with
-        # an in-window sibling): t42 KL drift (t23's fixed-point ln + the
-        # shared _tok3, t23/t30 in window), v23 RFM (v17's reduced-frame
-        # rank windows, in window), e19 silhouette (e10's distance trunk,
-        # in window), v24 Hill tail index (v17's per-(type,user) reduce,
-        # in window), g44 harmonic (g32's BFS trunk, in window).
-        "t36_sequence_packing": t36_sequence_packing,
-        "t37_vocab_coverage": t37_vocab_coverage,
-        "g43_graph_summary": g43_graph_summary,
-        "t38_mixture_rates": t38_mixture_rates,
-        "v21_cohort_retention": v21_cohort_retention,
-        # e16 quantization audit: e14's micro fixed-point + the t23/g30
-        # non-negative-div rule, error kept divisionless in 127·micro units
-        "e16_quantization_audit": e16_quantization_audit,
-        # t39 containment audit: t35's candidate cascade + the t05 shingle
-        # arithmetic with min() in the denominator (subset-dup detector)
-        "t39_containment_audit": t39_containment_audit,
-        # e17 SRP fidelity: t35's audit shape over e03's hyperplane sketch,
-        # candidates from e02's label-blocked pair frame
-        "e17_srp_fidelity": e17_srp_fidelity,
-        # t40 bigram NLL: t23's fixed-point nano-log machinery one Markov
-        # order up (ordered adjacent pairs, conditional p(w2|w1))
-        "t40_bigram_nll_quality": t40_bigram_nll_quality,
-        # e18 ANN recall audit: e01's exact frame vs e03/e05's LSH paths,
-        # recall@10 in exact floor ppm (the BASELINE.md sweep, in-engine)
-        "e18_ann_recall_audit": e18_ann_recall_audit,
-        # v22 Markov stationary: the g38 fixed-point cascade over v11's
-        # transition matrix (shared _TRANSITIONS_SQL literal)
-        "v22_markov_stationary": v22_markov_stationary,
-        # t41 burstiness: t37's tokenizer + top-N order, VMR as exact
-        # N·SS − S² integer arithmetic (boilerplate-vs-topical split)
-        "t41_term_burstiness": t41_term_burstiness,
-        # t42 source KL drift: t23's fixed-point ln machinery over the
-        # shared _tok3 tokenizer, distribution-drift next to t30's
-        # set-overlap read
-        "t42_source_kl_drift": t42_source_kl_drift,
-        # v23 RFM segmentation: v19's exact day arithmetic + v17's
-        # reduced-frame rank windows, quartiles by rank formula (no ntile)
-        "v23_rfm_segments": v23_rfm_segments,
-        # e19 silhouette: e10's distance trunk (shared literal both
-        # sides), own-vs-nearest-foreign split in per-mille fixed point
-        "e19_silhouette": e19_silhouette,
-        # v24 Hill tail index: t23's fixed-point ln terms over v17's
-        # per-(type,user) reduce — the quantitative salting-threshold read
-        "v24_activity_tail_index": v24_activity_tail_index,
-        # g44 harmonic centrality: g32's bounded-BFS trunk (shared on
-        # both sides), exact lcm-denominator score
-        "g44_truncated_harmonic": g44_truncated_harmonic,
-        # g45 neighbourhood function: the SAME shared BFS trunk/CTE as
-        # g32/g44 (g32 in window), exact distance histogram
-        "g45_neighborhood_function": g45_neighborhood_function,
-        # v25 CUSUM changepoint: v18's exact z-algebra over v16's daily
-        # reduce (v16 in window), row_number tie-broken argmax
-        "v25_cusum_changepoint": v25_cusum_changepoint,
-        # t43 term Zipf tail: v24's Hill fixed point over the shared
-        # _tok3 tokenizer (t23 in window carries the same twin CTE)
-        "t43_term_zipf_tail": t43_term_zipf_tail,
-        # t45 token entropy: t23's nano fixed point end-to-end (the
-        # entropy itself is an exact bigint), shared _tok3/_TOK3_CTE
-        "t45_token_entropy": t45_token_entropy,
-        # t47 dup-span coverage: t25/t27's gram machinery (both in
-        # window) + the t05 set arithmetic, interval union by one window
-        "t47_dup_span_coverage": t47_dup_span_coverage,
-        # v26 Benford: v23's exact-cents idiom + v14's distribution-audit
-        # shape (v14 in window), hardcoded integer expectation constants
-        "v26_benford_audit": v26_benford_audit,
-        # e20 hubness: e19's micro fixed-point distance arithmetic over
-        # e02's label-blocked pair frame (e10's trunk in window)
-        "e20_hubness_audit": e20_hubness_audit,
-        # t48 lexical complexity: shared _tok3 (t23 in window), pure
-        # integer vowel-group counts, the t02/t26/t45 quality-quartet axis
-        "t48_lexical_complexity": t48_lexical_complexity,
-        # v27 diurnal autocorrelation: v18/t33's exact z-algebra over a
-        # calendar-bounded hour spine (v18/v12 siblings in window)
-        "v27_diurnal_autocorr": v27_diurnal_autocorr,
-        # t49 vocab growth: the shared source-carrying _tok3 + t43/v24's
-        # nano-ln fixed point (t23/t30 siblings in window)
-        "t49_vocab_growth": t49_vocab_growth,
-        # v28 burstiness: v12's lag-window gap machinery (v12 in window)
-        # + t42's cast-before-product double rule
-        "v28_burstiness_profile": v28_burstiness_profile,
-        # g46 bowtie: g32's shared _bounded_bfs_visited trunk (g32 in
-        # window) run forward + reversed from a degree-selected pivot
-        "g46_bowtie_probe": g46_bowtie_probe,
-        # t50 length KS drift: t42's drift read made nonparametric — the
-        # v26 complete-spine rule + v23's reduced-frame rank windows
-        "t50_length_ks_drift": t50_length_ks_drift,
-        # v29 transition entropy: v11's ONE transition frame (v11 in
-        # window) + t23/t45's nano-ln fixed point on the #types² frame
-        "v29_transition_entropy": v29_transition_entropy,
-        # t51 detector agreement: t07's minhash blocks + t20's winnow
-        # cascade (t07 in window), pure set algebra on the pair frames
-        "t51_detector_agreement": t51_detector_agreement,
-        # v30 gap histogram: v28's ONE _typed_gaps frame (v12 sibling in
-        # window) + the exact bit-length bucket rule (no float log2)
-        "v30_gap_histogram": v30_gap_histogram,
-        # g47 component-size histogram: g15's ONE CC operator + oracle
-        # CTE blocks (g15 in window), two bounded hash-aggs on top
-        "g47_component_size_histogram": g47_component_size_histogram,
-        # t52 simhash near-dups: t06's fingerprint CTE + t20's
-        # bucket-join/guard cascade (t19/t20 in window); pigeonhole-exact
-        # banding, verify = one bit_count(xor) on both engines
-        "t52_simhash_near_dups": t52_simhash_near_dups,
-        # g48 type mixing matrix: g01's node-type frame + g37's
-        # schema-health rollup shape (g01 and g33 in window), endpoint
-        # types attached by two uniform-key equi-joins
-        "g48_type_mixing_matrix": g48_type_mixing_matrix,
-        # v31 hour-of-day profile: v27's epoch-hour idiom + the v26/v27
-        # complete-spine rule (v16/v18 in window carry the same daily
-        # reduce), everything past the hash-agg on a ≤#types×24 frame
-        "v31_hour_of_day_profile": v31_hour_of_day_profile,
-        # e21 TwoNN intrinsic dimension: e20's exact-d2 blocked-pair
-        # trunk (e13/e16's micro fixed-point rule stays driver-exercised
-        # through e09/e10/e11 in window) + the v24 nano-ln reduce
-        "e21_intrinsic_dimension": e21_intrinsic_dimension,
-        # t53 charset/encoding-health audit: t02's per-doc quality-ratio
-        # machinery at the per-source encoding marginal (t21's
-        # source-curation rollup shape stays driver-exercised in window);
-        # Java/RE2-identical explicit-range classes only
-        "t53_charset_audit": t53_charset_audit,
-        "e12_label_confusion": e12_label_confusion,
-        "g36_two_hop_reach": g36_two_hop_reach,
-        "g37_type_cooccurrence": g37_type_cooccurrence,
-        "v18_volume_anomalies": v18_volume_anomalies,
-        "e13_centroid_separation": e13_centroid_separation,
-        "t35_minhash_fidelity": t35_minhash_fidelity,
-        "v19_user_tenure": v19_user_tenure,
-        "e14_norm_profile": e14_norm_profile,
         "e15_embed_fingerprint": e15_embed_fingerprint,
         "g39_rich_club": g39_rich_club,
         "g41_ppr_exact": g41_ppr_exact,
@@ -4459,11 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m01_media_features": m01_media_features,
         "e04_embed_documents": e04_embed_documents,
         "g24_personalized_pagerank": g24_personalized_pagerank,
-        # t44 BPE induction: rows-only by design (iterative argmax +
-        # greedy fold), bit-exact python twin in tests/test_bpe.py
         "t44_bpe_merges": t44_bpe_merges,
-        # t46 fertility: t44's learned merges applied via the same fold,
-        # rows-only for the same reason, python twin alongside t44's
         "t46_bpe_fertility": t46_bpe_fertility,
     }
 
