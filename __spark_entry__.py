@@ -4139,14 +4139,6 @@ def e16_quantization_audit(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness harness caps at its first 50
-    # dict entries. Newest / least-recently-driver-checked oracle entries go
-    # FIRST; the tail (positions 51+) holds the rows-only no_oracle entries
-    # (their driver check is weakest, so excluding them loses least) plus a
-    # small rotating slice of long-green oracle entries (q01/q03/q05/g09/g10/g01/g02/g03/g07/g12/
-    # g13/t03 this round — driver-green since round ≤3 and re-confirmed in
-    # r04, pinned locally every run by tests/test_entry_oracle.py, which
-    # has no cap).
     return {
     # ORDER MATTERS: the driver's correctness harness caps at its first 50
     # dict entries. Round-6 rotation (VERDICT r5 #3): the window is t21 (the
