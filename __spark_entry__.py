@@ -1419,7 +1419,11 @@ def e04_embed_documents(spark, sf_dir):
     float-vector output, rows-only check."""
     from research_knowledge_graph_spark.operators.qa import embed_docs
 
-    d = _docs_wide(spark, sf_dir).limit(200)
+    # plain scan, NOT _docs_wide: limit(200) after a repartition takes 200
+    # rows from whichever shuffle partitions finish first (nondeterministic
+    # subset, full-corpus exchange for a 200-row query); the deterministic
+    # first-200 of the single-file scan is the cheaper and stable input
+    d = _t(spark, sf_dir, "documents").limit(200)
     out = embed_docs(d, dim=32)
     return out.select(
         "doc_id",

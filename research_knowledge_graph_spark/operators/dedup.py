@@ -520,7 +520,12 @@ def embedding_near_dups(
     - ``dim`` given: an SRP-LSH bucket (``srp_planes`` hyperplanes) is
       derived map-side from the vector itself — high-cosine pairs land in
       the same bucket with high probability;
-    - neither → ``ValueError`` (the old silent all-pairs degeneration)."""
+    - neither → ``ValueError`` (the old silent all-pairs degeneration).
+
+    Precondition: ``id_col`` is unique per row (the normal embeddings-table
+    contract). The narrow-pairs plan re-attaches vectors by id, so a
+    corpus with duplicate ids would fan each pair out over every vector of
+    both endpoints — dedupe upstream (e.g. first-wins on id) first."""
     cols = [F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))

@@ -489,14 +489,24 @@ def run_pipeline_incremental(
         # carry the same url twice (a re-crawl landing in two files drained by
         # one micro-batch) — entity nodes are hash-aggregated, but the paper
         # side needs the first-wins collapse.
-        def _commit_edges():
+        def _commit_edges(nodes_future):
             eb = _timed(
                 "edges_delta", io.append_rows, batch_edges, "edges", ["id"],
                 fp, None, assume_unique_key=True,
             )
             if cross_link:
-                # chained AFTER the edges append so a crash can never leave a
-                # posting in the table whose asserting edge was not committed
+                # chained AFTER the edges append AND the nodes commit: the
+                # postings table is a derived cache of _postings(nodes,
+                # edges), so it must never get ahead of EITHER source — a
+                # batch whose nodes append failed while edges + postings
+                # landed would otherwise leave rows the from-tables
+                # recompute cannot produce, and only a re-run of the SAME
+                # batch id heals that (an abandoned batch id would leave
+                # the append-only table inconsistent forever). Waiting on
+                # the concurrently-running nodes future costs only the
+                # commit-latency difference; the postings delta itself is
+                # narrow.
+                nodes_future.result()
                 _timed(
                     "postings_delta", io.append_rows, postings_delta, "postings",
                     ["paper_id", "entity_id"], fp, None, assume_unique_key=True,
@@ -517,12 +527,13 @@ def run_pipeline_incremental(
             )
 
         with ThreadPoolExecutor(max_workers=3) as ex:
+            f_nodes = ex.submit(
+                _timed, "nodes_delta", io.append_rows, batch_nodes,
+                "nodes", ["id"], fp, None,
+            )
             futs = {
-                "nodes": ex.submit(
-                    _timed, "nodes_delta", io.append_rows, batch_nodes,
-                    "nodes", ["id"], fp, None,
-                ),
-                "edges": ex.submit(_commit_edges),
+                "nodes": f_nodes,
+                "edges": ex.submit(_commit_edges, f_nodes),
             }
             if cross_link:
                 futs["cross"] = ex.submit(_commit_cross)

@@ -28,13 +28,25 @@ from research_knowledge_graph_spark.sources.pages import PAGES_SCHEMA
 
 
 def _ensure_local_dir(path: str) -> None:
-    """Create a LOCAL landing dir if absent; for a scheme'd URI (s3a://,
-    hdfs://) this is a no-op — ``os.makedirs`` would otherwise create a
-    bogus local directory literally named 's3a:/...' and silently defeat
-    the landing-dir guard (ADVICE r5). Remote stores either auto-create
-    on write or are provisioned out of band; the file-source stream guard
-    only exists for the local-path case anyway."""
-    if "://" not in path:
+    """Create a LOCAL landing dir if absent; for a REMOTE scheme'd URI
+    (s3a://, hdfs://) this is a no-op — ``os.makedirs`` would otherwise
+    create a bogus local directory literally named 's3a:/...' and silently
+    defeat the landing-dir guard (ADVICE r5). A ``file://`` URI is still
+    LOCAL: the scheme is stripped and the dir created, otherwise a
+    local path spelled URI-style would skip the guard and the first
+    scheduled stream run preceding the producer's first drop would fail
+    at start — exactly what the guard exists to prevent. Remote stores
+    either auto-create on write or are provisioned out of band."""
+    if path.startswith("file://"):
+        # file://host/path is not supported for local mkdir; the common
+        # forms are file:///abs/path (empty authority) and file:/abs/path
+        local = path[len("file://"):]
+        if local and not local.startswith("/"):
+            return  # non-empty authority (file://host/..) — not ours
+        os.makedirs(local or "/", exist_ok=True)
+    elif path.startswith("file:"):
+        os.makedirs(path[len("file:"):], exist_ok=True)
+    elif "://" not in path:
         os.makedirs(path, exist_ok=True)
 
 
